@@ -1,0 +1,236 @@
+"""flam3 XML <-> Genome conversion.
+
+Equivalent of the reference's cuburn/genome/convert.py (SURVEY.md §2b,
+§3.3): parse `<flame>` elements (coefs, post, chaos rows, color /
+symmetry, variation attributes, parametric knobs, palette hex blocks or
+`<color>` entries) into the schema of specs.py, entirely host-side.
+
+flam3 attribute conventions honored here:
+  * `coefs="A B C D E F"` is stored column-wise in flam3 (c[i][j]); with
+    our convention x' = a*x + b*y + c, y' = d*x + e*y + f, the attribute
+    order maps as a=A, d=B, b=C, e=D, c=E, f=F.  Same for `post`.
+  * `symmetry` (legacy) maps to color_speed = (1 - symmetry) / 2; an
+    explicit `color_speed` attribute wins.
+  * `chaos="..."` rows are right-padded with 1.0 (flam3 default).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import List, Optional
+
+import numpy as np
+
+from cuburn_tpu.genome import palette as palette_mod
+from cuburn_tpu.genome.specs import Genome, XForm, IDENTITY_AFFINE
+from cuburn_tpu.genome.variations import VARIATION_PARAMS, is_variation
+
+# flam3 xform attributes that are not variation names
+_XFORM_META_ATTRS = {
+    "weight", "color", "color_speed", "symmetry", "opacity", "coefs",
+    "post", "chaos", "animate", "var", "var1", "name", "plotmode",
+    "motion_frequency", "motion_function",
+}
+
+_FLAME_SCALAR_ATTRS = {
+    "brightness": 4.0, "gamma": 4.0, "gamma_threshold": 0.01,
+    "vibrancy": 1.0, "highlight_power": -1.0,
+    "estimator_radius": 9.0, "estimator_minimum": 0.0,
+    "estimator_curve": 0.4, "scale": 100.0, "rotate": 0.0,
+}
+
+_ALL_PARAM_ATTRS = {
+    attr for pairs in VARIATION_PARAMS.values() for attr, _ in pairs
+}
+
+
+def _parse_floats(s: str) -> List[float]:
+    return [float(x) for x in s.replace(",", " ").split()]
+
+
+def _parse_affine(attr: str):
+    v = _parse_floats(attr)
+    if len(v) != 6:
+        raise ValueError(f"coefs needs 6 values, got {len(v)}")
+    A, B, C, D, E, F = v
+    # flam3 order: a d b e c f  (see module docstring)
+    return (A, C, E, B, D, F)
+
+
+def _parse_xform(el: ET.Element, n_xforms: int):
+    attrs = dict(el.attrib)
+    vars_, params = {}, {}
+    for k, val in attrs.items():
+        if k in _XFORM_META_ATTRS:
+            continue
+        if is_variation(k):
+            vars_[k] = float(val)
+        elif k in _ALL_PARAM_ATTRS:
+            params[k] = float(val)
+        # unknown attributes are ignored (forward compat, like flam3)
+    if "color_speed" in attrs:
+        speed = float(attrs["color_speed"])
+    elif "symmetry" in attrs:
+        speed = (1.0 - float(attrs["symmetry"])) / 2.0
+    else:
+        speed = 0.5
+    xf = XForm(
+        weight=float(attrs.get("weight", 1.0)),
+        color=float(attrs.get("color", 0.0)),
+        color_speed=speed,
+        opacity=float(attrs.get("opacity", 1.0)),
+        affine=(_parse_affine(attrs["coefs"]) if "coefs" in attrs
+                else IDENTITY_AFFINE),
+        post=(_parse_affine(attrs["post"]) if "post" in attrs else None),
+        vars=vars_,
+        params=params,
+        animate=float(attrs.get("animate", 0.0)),
+    )
+    chaos = None
+    if "chaos" in attrs:
+        row = _parse_floats(attrs["chaos"])
+        chaos = (row + [1.0] * n_xforms)[:n_xforms]
+    return xf, chaos
+
+
+def flame_to_genome(flame: ET.Element) -> Genome:
+    """Convert one parsed <flame> element to a Genome."""
+    attrs = dict(flame.attrib)
+    xform_els = flame.findall("xform")
+    n = len(xform_els)
+
+    xforms, chaos_rows = [], []
+    for el in xform_els:
+        xf, chaos = _parse_xform(el, n)
+        xforms.append(xf)
+        chaos_rows.append(chaos)
+    xaos = None
+    if any(c is not None for c in chaos_rows):
+        xaos = [c if c is not None else [1.0] * n for c in chaos_rows]
+
+    final = None
+    fel = flame.find("finalxform")
+    if fel is not None:
+        final, _ = _parse_xform(fel, n)
+
+    # palette: <palette> hex block, or <color index rgb> entries
+    pal = None
+    pel = flame.find("palette")
+    if pel is not None and pel.text:
+        pal = palette_mod.decode_hex_block(
+            pel.text, int(pel.get("count", palette_mod.PALETTE_SIZE)))
+    else:
+        colors = flame.findall("color")
+        if colors:
+            pal = np.zeros((palette_mod.PALETTE_SIZE, 3))
+            for cel in colors:
+                idx = int(cel.get("index", 0))
+                if "rgb" in cel.attrib:
+                    rgb = _parse_floats(cel.get("rgb"))
+                    pal[idx] = [c / 255.0 for c in rgb]
+    palettes = [(0.0, pal)] if pal is not None else []
+
+    size = tuple(int(x) for x in
+                 _parse_floats(attrs.get("size", "640 480")))[:2]
+    center = tuple(_parse_floats(attrs.get("center", "0 0")))[:2]
+    background = tuple(
+        _parse_floats(attrs.get("background", "0 0 0")))[:3]
+    scalars = {k: float(attrs.get(k, d))
+               for k, d in _FLAME_SCALAR_ATTRS.items()}
+
+    return Genome(
+        xforms=xforms, final_xform=final, xaos=xaos, palettes=palettes,
+        center=center, scale=scalars["scale"], rotate=scalars["rotate"],
+        brightness=scalars["brightness"], gamma=scalars["gamma"],
+        gamma_threshold=scalars["gamma_threshold"],
+        vibrancy=scalars["vibrancy"],
+        highlight_power=scalars["highlight_power"],
+        background=background,
+        estimator_radius=scalars["estimator_radius"],
+        estimator_minimum=scalars["estimator_minimum"],
+        estimator_curve=scalars["estimator_curve"],
+        size=size, name=attrs.get("name", "untitled"),
+    )
+
+
+def parse_flam3(text: str) -> List[Genome]:
+    """Parse a flam3 XML document (one or more <flame> elements)."""
+    text = text.strip()
+    root = ET.fromstring(text)
+    if root.tag == "flame":
+        return [flame_to_genome(root)]
+    return [flame_to_genome(f) for f in root.iter("flame")]
+
+
+def load_genomes(path: str) -> List[Genome]:
+    """Load genomes from a file: flam3 XML (.flam3/.flame/.xml) or
+    cuburn-style JSON."""
+    with open(path) as f:
+        text = f.read()
+    if text.lstrip().startswith("<"):
+        return parse_flam3(text)
+    return [Genome.from_json(text)]
+
+
+# ---------------------------------------------------------------------------
+# Genome -> flam3 XML (round-trip support)
+# ---------------------------------------------------------------------------
+
+def _fmt_affine(coefs, t: float = 0.0) -> str:
+    a, b, c, d, e, f = [s(t) for s in coefs]
+    return " ".join(f"{v:.9g}" for v in (a, d, b, e, c, f))
+
+
+def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
+    """Serialize a genome (sampled at time t) as a flam3 <flame> element."""
+    flame = ET.Element("flame", {
+        "name": g.name,
+        "size": f"{g.size[0]} {g.size[1]}",
+        "center": f"{g.center[0](t):.9g} {g.center[1](t):.9g}",
+        "scale": f"{g.scale(t):.9g}",
+        "rotate": f"{g.rotate(t):.9g}",
+        "brightness": f"{g.brightness(t):.9g}",
+        "gamma": f"{g.gamma(t):.9g}",
+        "gamma_threshold": f"{g.gamma_threshold(t):.9g}",
+        "vibrancy": f"{g.vibrancy(t):.9g}",
+        "highlight_power": f"{g.highlight_power(t):.9g}",
+        "estimator_radius": f"{g.estimator_radius(t):.9g}",
+        "estimator_minimum": f"{g.estimator_minimum(t):.9g}",
+        "estimator_curve": f"{g.estimator_curve(t):.9g}",
+        "background": " ".join(f"{s(t):.9g}" for s in g.background),
+    })
+
+    def emit_xform(tag: str, xf: XForm, chaos_row=None):
+        at = {
+            "weight": f"{xf.weight(t):.9g}",
+            "color": f"{xf.color(t):.9g}",
+            "color_speed": f"{xf.color_speed(t):.9g}",
+            "opacity": f"{xf.opacity(t):.9g}",
+            "coefs": _fmt_affine(xf.affine, t),
+        }
+        if xf.post is not None:
+            at["post"] = _fmt_affine(xf.post, t)
+        for name, w in xf.vars.items():
+            at[name] = f"{w(t):.9g}"
+        for name, p in xf.params.items():
+            at[name] = f"{p(t):.9g}"
+        if chaos_row is not None:
+            at["chaos"] = " ".join(f"{v(t):.9g}" for v in chaos_row)
+        if tag == "finalxform":
+            at.pop("weight")
+            at.pop("chaos", None)
+        ET.SubElement(flame, tag, at)
+
+    for i, xf in enumerate(g.xforms):
+        emit_xform("xform", xf,
+                   g.xaos[i] if g.xaos is not None else None)
+    if g.final_xform is not None:
+        emit_xform("finalxform", g.final_xform)
+
+    pal = palette_mod.palette_at(g.palettes, t)
+    pel = ET.SubElement(flame, "palette",
+                        {"count": "256", "format": "RGB"})
+    hexstr = palette_mod.encode_palette(pal)
+    pel.text = "\n" + "\n".join(
+        hexstr[i:i + 48] for i in range(0, len(hexstr), 48)) + "\n"
+    return ET.tostring(flame, encoding="unicode")

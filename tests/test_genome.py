@@ -1,0 +1,213 @@
+"""Tests for the genome layer: splines, schema, JSON/XML round-trips.
+
+Covers the reference's implicit contracts (SURVEY.md §4): convert.py
+round-trips real flam3 genomes; SplEval semantics checked against an
+independent reference implementation on sample points.
+"""
+
+import numpy as np
+import pytest
+
+from cuburn_tpu.genome.spline import Spline
+from cuburn_tpu.genome.specs import Genome, XForm
+from cuburn_tpu.genome import convert, palette
+
+
+class TestSpline:
+    def test_constant(self):
+        s = Spline(3.5)
+        assert s(0.0) == 3.5
+        assert s(10.0) == 3.5
+        assert s.is_constant
+
+    def test_flat_list(self):
+        s = Spline([0.0, 1.0, 1.0, 2.0])
+        assert s(0.0) == pytest.approx(1.0)
+        assert s(1.0) == pytest.approx(2.0)
+
+    def test_linear_between_two_knots(self):
+        # Catmull-Rom with only two knots degenerates toward a cubic with
+        # finite-difference tangents; midpoint of two knots is the mean.
+        s = Spline([0.0, 0.0, 1.0, 2.0])
+        assert s(0.5) == pytest.approx(1.0)
+
+    def test_clamp_outside_range(self):
+        s = Spline([0.0, 1.0, 1.0, 5.0])
+        assert s(-3.0) == 1.0
+        assert s(7.0) == 5.0
+
+    def test_interpolates_knots_exactly(self):
+        knots = [0.0, 1.0, 0.5, -2.0, 1.0, 4.0, 2.0, 0.0]
+        s = Spline(knots)
+        ts, vs = knots[0::2], knots[1::2]
+        for t, v in zip(ts, vs):
+            assert s(t) == pytest.approx(v)
+
+    def test_smoothness(self):
+        # Catmull-Rom is C1: check continuity of value and slope across a knot
+        s = Spline([0.0, 0.0, 1.0, 1.0, 2.0, 0.0])
+        eps = 1e-6
+        left = (s(1.0) - s(1.0 - eps)) / eps
+        right = (s(1.0 + eps) - s(1.0)) / eps
+        assert left == pytest.approx(right, abs=1e-3)
+
+    def test_uniform_catmull_rom_matches_closed_form(self):
+        # On uniform knots the tangent is (p2 - p0) / 2; verify against a
+        # manual evaluation at s = 0.5 of segment [1, 2].
+        vals = [0.0, 2.0, 1.0, 3.0]
+        s = Spline(list(zip([0.0, 1.0, 2.0, 3.0], vals)))
+        p0, p1, p2, p3 = vals
+        m1, m2 = (p2 - p0) / 2, (p3 - p1) / 2
+        u = 0.5
+        h = (2*u**3 - 3*u**2 + 1, u**3 - 2*u**2 + u,
+             -2*u**3 + 3*u**2, u**3 - u**2)
+        expect = h[0]*p1 + h[1]*m1 + h[2]*p2 + h[3]*m2
+        assert s(1.5) == pytest.approx(expect)
+
+    def test_vectorized_matches_scalar(self):
+        s = Spline([0.0, 1.0, 1.0, -1.0, 2.0, 2.0])
+        ts = np.linspace(-0.5, 2.5, 17)
+        vec = s.evaluate(ts)
+        for t, v in zip(ts, vec):
+            assert s(float(t)) == pytest.approx(v)
+
+
+class TestGenomeSchema:
+    def make_genome(self):
+        return Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.0,
+                      affine=(0.5, 0, -0.5, 0, 0.5, -0.5),
+                      vars={"linear": 1.0}),
+                XForm(weight=2.0, color=[0.0, 0.2, 1.0, 0.8],
+                      affine=(0.5, 0, 0.5, 0, 0.5, -0.5),
+                      vars={"spherical": 0.7, "julian": 0.3},
+                      params={"julian_power": 3.0}),
+            ],
+            name="test")
+
+    def test_structure_key(self):
+        g = self.make_genome()
+        k = g.structure_key()
+        assert k.n_xforms == 2
+        assert k.variations == ("julian", "linear", "spherical")
+        assert not k.has_post and not k.has_xaos
+        assert k.final_variations is None
+        # julian has 2 params
+        assert ("julian", "julian_power") in k.param_slots
+
+    def test_eval_at_shapes(self):
+        g = self.make_genome()
+        p = g.eval_at(0.5)
+        assert p.weights.shape == (2,)
+        assert p.affine.shape == (2, 6)
+        assert p.var_weights.shape == (2, 3)
+        assert p.xaos.shape == (2, 2)
+        assert p.palette.shape == (256, 3)
+        # slot packing: julian_power default 1 -> xform2 override 3
+        slots = g.structure_key().param_slots
+        i = slots.index(("julian", "julian_power"))
+        assert p.var_params[1, i] == pytest.approx(3.0)
+        assert p.var_params[0, i] == pytest.approx(1.0)  # default
+
+    def test_animated_params_change(self):
+        g = self.make_genome()
+        assert g.xforms[1].color(0.2) != g.xforms[1].color(0.9)
+        p1, p2 = g.eval_at(0.2), g.eval_at(0.9)
+        assert p1.color[1] != p2.color[1]
+
+    def test_json_roundtrip(self):
+        g = self.make_genome()
+        text = g.to_json()
+        g2 = Genome.from_json(text)
+        assert g2.structure_key() == g.structure_key()
+        p1, p2 = g.eval_at(0.3), g2.eval_at(0.3)
+        np.testing.assert_allclose(p1.affine, p2.affine)
+        np.testing.assert_allclose(p1.var_params, p2.var_params)
+        np.testing.assert_allclose(p1.palette, p2.palette)
+
+
+FLAM3_XML = """
+<flame name="xmltest" size="800 600" center="0.1 -0.2" scale="120"
+       rotate="30" brightness="5" gamma="3.5" vibrancy="0.9"
+       background="0 0 0.1">
+  <xform weight="0.5" color="0" symmetry="0.2" linear="0.6" spherical="0.4"
+         coefs="0.5 0.1 -0.1 0.6 0.2 -0.3" chaos="1 0.5"/>
+  <xform weight="1.5" color="1" julian="1" julian_power="4" julian_dist="0.7"
+         coefs="0.7 0 0 0.7 -0.2 0.2"
+         post="1 0 0 1 0.05 0"/>
+  <finalxform color="0.5" bubble="1" coefs="1 0 0 1 0 0"/>
+  <palette count="256" format="RGB">
+""" + "".join(f"{i:02x}{255 - i:02x}40" for i in range(256)) + """
+  </palette>
+</flame>
+"""
+
+
+class TestFlam3Convert:
+    def test_parse(self):
+        [g] = convert.parse_flam3(FLAM3_XML)
+        assert g.name == "xmltest"
+        assert g.size == (800, 600)
+        assert len(g.xforms) == 2
+        assert g.scale(0) == 120
+        assert g.rotate(0) == 30
+        # coefs order: "a d b e c f"
+        a, b, c, d, e, f = [s(0) for s in g.xforms[0].affine]
+        assert (a, d) == (0.5, 0.1)
+        assert (b, e) == (-0.1, 0.6)
+        assert (c, f) == (0.2, -0.3)
+        # symmetry -> color_speed
+        assert g.xforms[0].color_speed(0) == pytest.approx(0.4)
+        # chaos row padded
+        assert [v(0) for v in g.xaos[0]] == [1.0, 0.5]
+        assert [v(0) for v in g.xaos[1]] == [1.0, 1.0]
+        # parametric variation
+        assert g.xforms[1].vars["julian"](0) == 1.0
+        assert g.xforms[1].params["julian_power"](0) == 4.0
+        # post xform
+        assert g.xforms[1].post is not None
+        # final xform
+        assert g.final_xform is not None
+        assert "bubble" in g.final_xform.vars
+        # palette decoded
+        pal = g.palettes[0][1]
+        assert pal.shape == (256, 3)
+        assert pal[0, 0] == pytest.approx(0 / 255)
+        assert pal[16, 0] == pytest.approx(16 / 255)
+        assert pal[16, 1] == pytest.approx((255 - 16) / 255)
+
+    def test_xml_roundtrip(self):
+        [g] = convert.parse_flam3(FLAM3_XML)
+        xml2 = convert.genome_to_flame_xml(g)
+        [g2] = convert.parse_flam3(xml2)
+        assert g2.structure_key() == g.structure_key()
+        p1, p2 = g.eval_at(0.0), g2.eval_at(0.0)
+        np.testing.assert_allclose(p1.affine, p2.affine, atol=1e-6)
+        np.testing.assert_allclose(p1.xaos, p2.xaos, atol=1e-6)
+        np.testing.assert_allclose(p1.palette, p2.palette, atol=1 / 255)
+
+    def test_multi_flame_document(self):
+        doc = f"<flames>{FLAM3_XML}{FLAM3_XML}</flames>"
+        genomes = convert.parse_flam3(doc)
+        assert len(genomes) == 2
+
+
+class TestPalette:
+    def test_hex_roundtrip(self):
+        rng = np.random.RandomState(0)
+        pal = rng.rand(256, 3)
+        dec = palette.decode_hex_block(palette.encode_palette(pal))
+        np.testing.assert_allclose(dec, pal, atol=1 / 255)
+
+    def test_keyframe_interp(self):
+        p0, p1 = np.zeros((256, 3)), np.ones((256, 3))
+        mid = palette.palette_at([(0.0, p0), (1.0, p1)], 0.25)
+        np.testing.assert_allclose(mid, 0.25)
+
+    def test_resize(self):
+        pal = np.linspace(0, 1, 128 * 3).reshape(128, 3)
+        out = palette.resize_palette(pal, 256)
+        assert out.shape == (256, 3)
+        np.testing.assert_allclose(out[0], pal[0])
+        np.testing.assert_allclose(out[-1], pal[-1])
