@@ -30,11 +30,13 @@ VARIATION_PARAMS: Dict[str, Tuple[Tuple[str, float], ...]] = {
     "rays": (), "blade": (), "secant2": (), "twintrian": (), "cross": (),
     "boarders": (), "butterfly": (), "edisc": (), "elliptic": (),
     "foci": (), "loonie": (), "pre_blur": (), "scry": (),
-    "unpolar": (), "polar2": (), "oscilloscope": (),
+    "unpolar": (), "polar2": (),
     "exp": (), "log": (), "sin": (), "cos": (), "tan": (), "sec": (),
     "csc": (), "cot": (), "sinh": (), "cosh": (), "tanh": (),
     "sech": (), "csch": (), "coth": (),
     # -- parametric ------------------------------------------------------
+    "oscilloscope": (("oscope_separation", 1.0), ("oscope_frequency", 3.141592653589793),
+                     ("oscope_amplitude", 1.0), ("oscope_damping", 0.0)),
     "blob": (("blob_low", 0.5), ("blob_high", 1.0), ("blob_waves", 1.0)),
     "pdj": (("pdj_a", 0.0), ("pdj_b", 0.0), ("pdj_c", 0.0), ("pdj_d", 0.0)),
     "fan2": (("fan2_x", 0.0), ("fan2_y", 0.0)),

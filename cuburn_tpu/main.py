@@ -1,0 +1,132 @@
+"""CLI front end.
+
+Equivalent of the reference's main.py (SURVEY.md §2 layer 6): load or
+convert a genome, pick a profile, drive the render loop, write outputs.
+
+    cuburn-tpu genome.flam3 -o out.png --profile preview
+    cuburn-tpu gallery:sierpinski -o out.png
+    cuburn-tpu anim.json -o out.y4m --animate --profile 720p
+    cuburn-tpu genome.flam3 --convert            # flam3 XML -> JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cuburn-tpu",
+        description="TPU-native fractal flame renderer "
+                    "(flam3/cuburn-compatible)")
+    p.add_argument("genome",
+                   help="genome file (.flam3/.flame XML or .json), or "
+                        "gallery:<name>")
+    p.add_argument("-o", "--output", default="out.png",
+                   help="output path (.png/.jpg still, .y4m/.mp4 video)")
+    p.add_argument("--profile", default="preview",
+                   help="render profile name")
+    p.add_argument("--width", type=int, help="override profile width")
+    p.add_argument("--height", type=int, help="override profile height")
+    p.add_argument("--quality", type=int,
+                   help="override samples per output pixel")
+    p.add_argument("--ss", type=int, help="override supersampling")
+    p.add_argument("--time", type=float, default=0.0,
+                   help="genome time for stills")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--animate", action="store_true",
+                   help="render the full time range as video")
+    p.add_argument("--temporal-samples", type=int,
+                   help="genome evaluations per frame (motion blur)")
+    p.add_argument("--hist-backend",
+                   choices=["auto", "scatter", "sortcum", "pallas"],
+                   help="histogram accumulation backend")
+    p.add_argument("--no-de", action="store_true",
+                   help="disable density-estimation filtering")
+    p.add_argument("--convert", action="store_true",
+                   help="convert genome to cuburn-tpu JSON and exit")
+    p.add_argument("--flame-index", type=int, default=0,
+                   help="which <flame> to use from a multi-flame file")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame render statistics")
+    return p
+
+
+def load_genome(spec: str, index: int):
+    from cuburn_tpu.genome.convert import load_genomes
+    from cuburn_tpu.models import get_genome
+    if spec.startswith("gallery:"):
+        return get_genome(spec.split(":", 1)[1])
+    genomes = load_genomes(spec)
+    if not genomes:
+        raise SystemExit(f"no genomes found in {spec}")
+    if index >= len(genomes):
+        raise SystemExit(
+            f"flame index {index} out of range ({len(genomes)} found)")
+    return genomes[index]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    genome = load_genome(args.genome, args.flame_index)
+
+    if args.convert:
+        print(genome.to_json())
+        return 0
+
+    from cuburn_tpu import output as output_mod
+    from cuburn_tpu.profile import get_profile
+    from cuburn_tpu.render import Renderer
+
+    overrides = {}
+    for field in ("width", "height", "quality", "ss"):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    if args.temporal_samples is not None:
+        overrides["temporal_samples"] = args.temporal_samples
+    if args.hist_backend is not None:
+        overrides["hist_backend"] = args.hist_backend
+    if args.no_de:
+        overrides["de_enabled"] = False
+    prof = get_profile(args.profile, **overrides)
+
+    renderer = Renderer(genome, prof)
+
+    if args.animate:
+        sink = output_mod.make_video_sink(
+            args.output, prof.width, prof.height, prof.fps)
+        n = 0
+        t0 = time.time()
+        try:
+            for img, stats in renderer.frames(seed=args.seed):
+                sink.write_frame(img)
+                n += 1
+                if args.stats:
+                    print(f"frame {n}: {stats.samples_per_sec/1e6:.1f} "
+                          f"Msamples/s, retention "
+                          f"{stats.retention:.2f}", file=sys.stderr)
+        finally:
+            sink.close()
+        dt = time.time() - t0
+        print(f"wrote {n} frames to {args.output} in {dt:.1f}s "
+              f"({n / max(dt, 1e-9):.2f} fps)")
+    else:
+        img, stats = renderer.render_frame(args.time, seed=args.seed)
+        output_mod.write_image(args.output, img)
+        if args.stats:
+            print(f"iterate {stats.iterate_s*1e3:.1f} ms "
+                  f"({stats.samples_per_sec/1e6:.1f} Msamples/s, "
+                  f"retention {stats.retention:.2f}); "
+                  f"filters {stats.filter_s*1e3:.1f} ms",
+                  file=sys.stderr)
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Camera: world coordinates -> supersampled accumulator addresses.
+
+Equivalent of the camera transform inside the reference's iter kernel
+(cuburn/code/iter.py plot step, SURVEY.md §3.5): apply the genome camera
+(center, pixels-per-unit, rotation) to a plotted point, test bounds, and
+produce a flat accumulator address.
+
+Conventions (pinned by the golden-image tests):
+  * Image row 0 is the top; world +y maps downward (flame-editor
+    convention).
+  * `rotate` (degrees) rotates the *image* counterclockwise, i.e. world
+    points are rotated clockwise about the camera center before
+    projection.
+  * The accumulator is (H*ss) x (W*ss); address = py * (W*ss) + px.
+    Out-of-bounds points are diverted to a junk bin at index
+    (W*ss)*(H*ss) — branch-free masking, discarded at readout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraSpec:
+    """Static camera geometry (part of the jit trace shape)."""
+    width: int          # output width, pixels
+    height: int         # output height, pixels
+    ss: int = 1         # supersampling factor
+
+    @property
+    def acc_width(self) -> int:
+        return self.width * self.ss
+
+    @property
+    def acc_height(self) -> int:
+        return self.height * self.ss
+
+    @property
+    def n_bins(self) -> int:
+        return self.acc_width * self.acc_height
+
+    @property
+    def junk_bin(self) -> int:
+        return self.n_bins
+
+
+def project(spec: CameraSpec, center, ppu, rotate_deg, x, y):
+    """World point arrays -> (addr (int32), in_bounds (bool)).
+
+    `ppu` is the genome's pixels-per-unit at *nominal* resolution; the
+    caller pre-scales it by (render_width / genome_width) so profiles can
+    re-render at any resolution (reference: profile-applied camera,
+    cuburn/profile.py).
+    """
+    theta = -rotate_deg * np.float32(np.pi / 180.0)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    dx = x - center[0]
+    dy = y - center[1]
+    rx = ct * dx - st * dy
+    ry = st * dx + ct * dy
+    ppu_ss = ppu * np.float32(spec.ss)
+    px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)
+    py = ry * ppu_ss + np.float32(spec.acc_height * 0.5)
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    in_bounds = ((ix >= 0) & (ix < spec.acc_width) &
+                 (iy >= 0) & (iy < spec.acc_height))
+    addr = jnp.where(in_bounds, iy * spec.acc_width + ix, spec.junk_bin)
+    return addr, in_bounds

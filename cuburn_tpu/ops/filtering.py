@@ -1,0 +1,158 @@
+"""Tonemap and color pipeline: logscale, colorclip, downsample.
+
+Equivalent of the reference's cuburn/code/filtering.py kernels
+(SURVEY.md §2b): these are pure elementwise/reduction ops, so they are
+expressed directly in XLA (jit-fused) rather than Pallas — XLA already
+compiles them to fused VPU loops (SURVEY.md §2b checklist items 5/7).
+The adaptive density-estimation filter lives in ops/de.py.
+
+Functional forms follow flam3 (rect.c), with colors kept in [0,1]
+floats instead of flam3's 0..255 integer white levels:
+
+  logscale:  ls(d) = k1 * log(1 + d*k2) / d,
+             k1 = brightness * 268/256,  k2 = ss^2 / quality
+             (quality = plotted samples per output pixel, so d*k2 is
+             density normalized to its uniform-coverage expectation)
+  colorclip: per pixel: alpha = gamma(d) with linear segment below
+             gamma_threshold; vibrancy blends alpha-driven gamma
+             against per-channel gamma; highlight_power controls how
+             >1 channels desaturate toward white; optional background
+             blend and alpha un-premultiply.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = np.float32(1e-9)
+
+
+def logscale(hist, brightness, quality_per_cell):
+    """hist (..., 4) raw accumulator -> log-scaled (premultiplied) rgba.
+
+    quality_per_cell = quality / ss^2: expected samples per accumulator
+    cell; brightness per genome."""
+    d = hist[..., 3:4]
+    k1 = brightness * np.float32(268.0 / 256.0)
+    k2 = 1.0 / jnp.maximum(quality_per_cell, EPS)
+    ls = k1 * jnp.log1p(d * k2) / jnp.maximum(d, EPS)
+    return hist * ls
+
+
+def _calc_alpha(density, inv_gamma, linrange):
+    """flam3_calc_alpha: power curve with a linear segment below
+    gamma_threshold (flam3 rect.c)."""
+    linrange = jnp.maximum(linrange, EPS)
+    funcval = jnp.power(linrange, inv_gamma)
+    frac = density / linrange
+    lin = (1.0 - frac) * density * (funcval / linrange) \
+        + frac * jnp.power(jnp.maximum(density, EPS), inv_gamma)
+    nonlin = jnp.power(jnp.maximum(density, EPS), inv_gamma)
+    alpha = jnp.where(density < linrange, lin, nonlin)
+    return jnp.where(density > 0.0, alpha, 0.0)
+
+
+def _rgb_to_hsv(rgb):
+    return jnp.stack(_rgb_to_hsv_tuple(*(rgb[..., i] for i in range(3))),
+                     axis=-1)
+
+
+def _rgb_to_hsv_tuple(r, g, b):
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, EPS), 0.0)
+    safe_delta = jnp.maximum(delta, EPS)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = (hsv[..., i] for i in range(3))
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def colorclip(img, gamma, vibrancy, highlight_power, gamma_threshold,
+              background, transparent: bool = False):
+    """img (..., 4) log-scaled premultiplied rgba -> (..., 4) in [0,1].
+
+    Follows flam3 rect.c's final accumulation loop (see module
+    docstring).  `background` is (3,)."""
+    inv_gamma = 1.0 / jnp.maximum(gamma, EPS)
+    d = img[..., 3]
+    rgb = img[..., :3]
+
+    alpha = _calc_alpha(d, inv_gamma, gamma_threshold)
+    alpha = jnp.clip(alpha, 0.0, 1.0)
+    ls = vibrancy * alpha / jnp.maximum(d, EPS)
+
+    # highlight handling (flam3_calc_newrgb, with 255 -> 1.0 white level)
+    maxa = jnp.max(rgb, axis=-1) * ls
+    maxc = jnp.max(rgb, axis=-1)
+    newls = 1.0 / jnp.maximum(maxc, EPS)
+    hp = highlight_power
+
+    # case 1: highpow >= 0 and maxa > 1: rescale to white then desaturate
+    lsratio = jnp.power(jnp.maximum(newls / jnp.maximum(ls, EPS), EPS),
+                        jnp.maximum(hp, 0.0))
+    rgb_hi = rgb * newls[..., None]
+    hsv = _rgb_to_hsv(rgb_hi)
+    hsv = hsv.at[..., 1].multiply(lsratio)
+    rgb_hi = _hsv_to_rgb(hsv)
+
+    # case 2: highpow < 0 (or maxa <= 1): blend of newls and ls
+    adjhlp = jnp.clip(-hp, 0.0, 1.0)
+    adjhlp = jnp.where(maxa <= 1.0, 1.0, adjhlp)
+    k = (1.0 - adjhlp) * newls + adjhlp * ls
+    rgb_lo = rgb * k[..., None]
+
+    use_hi = (hp >= 0.0) & (maxa > 1.0)
+    newrgb = jnp.where(use_hi[..., None], rgb_hi, rgb_lo)
+
+    # vibrancy blend: add (1 - vib) * per-channel gamma
+    newrgb = newrgb + (1.0 - vibrancy) * \
+        jnp.power(jnp.maximum(rgb, 0.0) + EPS, inv_gamma)
+
+    if transparent:
+        newrgb = newrgb / jnp.maximum(alpha[..., None], EPS)
+        out_a = alpha
+    else:
+        newrgb = newrgb + (1.0 - alpha[..., None]) * background
+        out_a = jnp.ones_like(alpha)
+    out = jnp.concatenate(
+        [jnp.clip(newrgb, 0.0, 1.0), out_a[..., None]], axis=-1)
+    return out
+
+
+def downsample(img, ss: int):
+    """Average ss x ss supersample blocks: (H*ss, W*ss, C) -> (H, W, C)."""
+    if ss == 1:
+        return img
+    hs, ws, c = img.shape
+    h, w = hs // ss, ws // ss
+    return img.reshape(h, ss, w, ss, c).mean(axis=(1, 3))
+
+
+def to_u8(img):
+    """float [0,1] -> uint8 with rounding."""
+    return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)

@@ -1,0 +1,100 @@
+"""Output sinks: PNG/JPEG stills and raw/y4m video pipes.
+
+Equivalent of the reference's cuburn/output.py (SURVEY.md §2 layer 5):
+PIL-based still writer plus a frame pipe suitable for feeding ffmpeg /
+x264 downstream.  The y4m writer is dependency-free so animations work
+even without an encoder installed.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import sys
+from typing import IO, Optional
+
+import numpy as np
+
+
+def write_image(path: str, img: np.ndarray):
+    """Write a (H, W, 4) u8 frame as PNG/JPEG by extension."""
+    from PIL import Image
+    arr = np.asarray(img)
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".jpg", ".jpeg"):
+        Image.fromarray(arr[..., :3], "RGB").save(path, quality=95)
+    else:
+        Image.fromarray(arr, "RGBA").save(path)
+
+
+class Y4MSink:
+    """Stream frames as yuv4mpeg2 (mono-convertible by any encoder).
+
+    Writes 4:4:4 YCbCr; plays with `mpv file.y4m` or pipes into
+    `ffmpeg -i - out.mp4`."""
+
+    def __init__(self, stream_or_path, width: int, height: int,
+                 fps: float = 24.0):
+        if isinstance(stream_or_path, (str, os.PathLike)):
+            self.stream: IO[bytes] = open(stream_or_path, "wb")
+            self._own = True
+        else:
+            self.stream = stream_or_path
+            self._own = False
+        num = int(round(fps * 1000))
+        self.stream.write(
+            f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 C444\n"
+            .encode())
+
+    def write_frame(self, img: np.ndarray):
+        rgb = np.asarray(img[..., :3], dtype=np.float32) / 255.0
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 0.5 + (b - y) * 0.564
+        cr = 0.5 + (r - y) * 0.713
+        self.stream.write(b"FRAME\n")
+        for plane in (y, cb, cr):
+            self.stream.write(
+                np.clip(plane * 255.0 + 0.5, 0, 255)
+                .astype(np.uint8).tobytes())
+
+    def close(self):
+        if self._own:
+            self.stream.close()
+
+
+class FFmpegSink:
+    """Pipe frames into ffmpeg if available (H.264 etc.).
+
+    Equivalent of the reference's encoder pipe (SURVEY.md §3.1 process
+    boundary at output)."""
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: float = 24.0, codec: str = "libx264"):
+        self.proc = subprocess.Popen(
+            ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgba",
+             "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
+             "-an", "-c:v", codec, "-pix_fmt", "yuv420p", path],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def write_frame(self, img: np.ndarray):
+        self.proc.stdin.write(np.asarray(img, np.uint8).tobytes())
+
+    def close(self):
+        self.proc.stdin.close()
+        self.proc.wait()
+
+
+def make_video_sink(path: str, width: int, height: int, fps: float):
+    if path.endswith(".y4m"):
+        return Y4MSink(path, width, height, fps)
+    try:
+        subprocess.run(["ffmpeg", "-version"], capture_output=True,
+                       timeout=10)
+        return FFmpegSink(path, width, height, fps)
+    except (OSError, subprocess.TimeoutExpired):
+        y4m = os.path.splitext(path)[0] + ".y4m"
+        print(f"ffmpeg unavailable; writing {y4m}", file=sys.stderr)
+        return Y4MSink(y4m, width, height, fps)

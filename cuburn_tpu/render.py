@@ -1,0 +1,196 @@
+"""The frame pipeline: genome + profile -> rendered frames.
+
+Equivalent of the reference's cuburn/render.py Renderer/RenderManager
+(SURVEY.md §2 layer 4, §3.1 call stack).  Where cuburn compiles a CUDA
+module per genome and drives kernel launches over streams, this builds
+one jitted XLA program per (StructureKey, CameraSpec, chunk geometry)
+and drives it over chunks; JAX's async dispatch provides the
+compute/transfer overlap that cuburn got from CUDA streams (SURVEY.md
+§2b pipeline-overlap row).
+
+Per frame (mirroring §3.1):
+  eval genome splines at frame time(s)      [host, cheap]
+  for each temporal sample: chunked { iterate + accumulate }  [device]
+  logscale -> density estimation -> colorclip -> downsample   [device]
+  u8 readback                                                  [host]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuburn_tpu.genome.specs import Genome, GenomeParams, StructureKey
+from cuburn_tpu.ops import histogram as hist_mod
+from cuburn_tpu.ops.camera import CameraSpec
+from cuburn_tpu.ops import de as de_mod
+from cuburn_tpu.ops.filtering import (colorclip, downsample, logscale,
+                                      to_u8)
+from cuburn_tpu.ops.iterate import (IterState, init_state, iterate_chunk,
+                                    xform_cdf_rows)
+from cuburn_tpu.profile import RenderProfile
+
+
+@dataclass
+class FrameStats:
+    """Per-frame observability record (SURVEY.md §5 metrics row)."""
+    plotted_samples: int = 0
+    total_iters: int = 0
+    iterate_s: float = 0.0
+    filter_s: float = 0.0
+
+    @property
+    def retention(self) -> float:
+        return self.plotted_samples / max(self.total_iters, 1)
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self.plotted_samples / max(self.iterate_s, 1e-9)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("key", "cam", "n_iters", "fuse", "backend"))
+def _chunk_step(key: StructureKey, cam: CameraSpec, backend: str,
+                params, cdf_rows, state, hist, ppu,
+                n_iters: int, fuse: int):
+    """One fused device step: iterate a chunk and flush it into the
+    histogram; also counts plotted (non-junk) records."""
+    state, addrs, rgbas = iterate_chunk(
+        key, cam, params, cdf_rows, state, ppu, n_iters, fuse)
+    accumulate = hist_mod.get_backend(backend)
+    hist = accumulate(hist, addrs, rgbas)
+    plotted = jnp.sum(addrs != cam.junk_bin)
+    return state, hist, plotted
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "transparent", "de_on"))
+def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
+                  hist, params: GenomeParams, quality_per_cell):
+    """logscale -> DE -> colorclip -> downsample -> u8, one fused jit."""
+    img = hist.reshape(cam.acc_height, cam.acc_width, 4)
+    img = logscale(img, params.brightness, quality_per_cell)
+    if de_on:
+        img = de_mod.density_filter(
+            img, hist.reshape(cam.acc_height, cam.acc_width, 4)[..., 3],
+            params.estimator_radius * cam.ss,
+            params.estimator_minimum * cam.ss,
+            params.estimator_curve)
+    img = colorclip(
+        img, params.gamma, params.vibrancy, params.highlight_power,
+        params.gamma_threshold, params.background, transparent)
+    img = downsample(img, cam.ss)
+    return to_u8(img)
+
+
+def _to_device(params: GenomeParams) -> GenomeParams:
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+class Renderer:
+    """Renders frames of one genome under one profile.
+
+    Compiled programs are cached by JAX on (structure key, camera,
+    chunk geometry) — re-rendering at new times / seeds / spline values
+    never recompiles (SURVEY.md §7: trace-time specialization)."""
+
+    def __init__(self, genome: Genome, profile: RenderProfile):
+        self.genome = genome
+        self.profile = profile
+        self.key = genome.structure_key()
+        self.cam = CameraSpec(profile.width, profile.height, profile.ss)
+        backend = profile.hist_backend
+        if backend == "auto":
+            backend = "sortcum" if jax.default_backend() == "tpu" \
+                else "scatter"
+        self.backend = backend
+
+    # -- frame rendering -------------------------------------------------
+
+    def render_frame(self, t: float = 0.0, seed: int = 0,
+                     ) -> Tuple[np.ndarray, FrameStats]:
+        """Render one frame at genome time t.  Returns (u8 image
+        (H, W, 4), FrameStats)."""
+        prof, cam = self.profile, self.cam
+        stats = FrameStats()
+
+        hist = hist_mod.alloc(cam.n_bins)
+        t0 = time.perf_counter()
+        ts_times, ts_weight = self._temporal_times(t)
+        for i, tt in enumerate(ts_times):
+            params = _to_device(self.genome.eval_at(tt))
+            hist, n_plot, n_iter = self._accumulate_sample(
+                params, hist, seed=seed * 7919 + i,
+                iters=prof.total_iters * ts_weight)
+            stats.plotted_samples += int(n_plot)
+            stats.total_iters += n_iter
+        hist.block_until_ready()
+        stats.iterate_s = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        params = _to_device(self.genome.eval_at(t))
+        q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
+        img = _filter_frame(
+            cam, prof.transparent, self._de_on(params),
+            hist_mod.finalize(hist), params, q_cell)
+        img = np.asarray(img)
+        stats.filter_s = time.perf_counter() - t1
+        return img, stats
+
+    def _de_on(self, params) -> bool:
+        return (self.profile.de_enabled and
+                float(params.estimator_radius) > 0.0)
+
+    def _temporal_times(self, t: float):
+        n = self.profile.temporal_samples
+        if n <= 1:
+            return [t], 1.0
+        # spread genome evaluations across the shutter interval
+        # (one frame period), flam3-style motion blur (SURVEY.md §1.7)
+        dt = 1.0 / (self.profile.fps * max(
+            self.genome.time_range[1] - self.genome.time_range[0], 1e-9))
+        offs = (np.arange(n) + 0.5) / n - 0.5
+        return [t + float(o) * dt for o in offs], 1.0 / n
+
+    def _accumulate_sample(self, params, hist, seed: int, iters: float):
+        """Run the chaos game for ~`iters` iterations into hist."""
+        prof, cam, key = self.profile, self.cam, self.key
+        cdf_rows = xform_cdf_rows(params)
+        state = init_state(jax.random.PRNGKey(seed), prof.batch)
+        ppu = params.ppu * jnp.float32(
+            prof.width / self.genome.size[0])
+        per_chunk = prof.batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters / per_chunk)))
+        plotted = jnp.int32(0)
+        for _ in range(n_chunks):
+            state, hist, n = _chunk_step(
+                key, cam, self.backend, params, cdf_rows, state, hist,
+                ppu, prof.iters_per_chunk, prof.fuse)
+            plotted = plotted + n
+        return hist, plotted, n_chunks * per_chunk
+
+    # -- animation -------------------------------------------------------
+
+    def frames(self, seed: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                      FrameStats]]:
+        """Yield frames across the genome's time range at profile fps.
+
+        cuburn's RenderManager analog: one compile serves every frame
+        (SURVEY.md §3.2)."""
+        prof = self.profile
+        t0, t1 = self.genome.time_range
+        if prof.duration is not None:
+            n_frames = int(round(prof.duration * prof.fps))
+        else:
+            n_frames = max(1, int(round((t1 - t0) * prof.fps)))
+        for i in range(0, n_frames, prof.skip):
+            t = t0 + (t1 - t0) * (i / max(n_frames - 1, 1)) \
+                if n_frames > 1 else t0
+            yield self.render_frame(t, seed=seed + i)

@@ -12,3 +12,17 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS via the
+# config API, so env vars alone don't stick — force CPU the same way.
+# Set CUBURN_TEST_TPU=1 to run the suite against the real chip instead.
+if not os.environ.get("CUBURN_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: repeated test runs skip recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_cuburn_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")

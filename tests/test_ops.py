@@ -1,0 +1,209 @@
+"""Ops-layer tests: RNG, histogram backends, xform math, iteration.
+
+Follows SURVEY.md §4's "do better, cheaply" plan: the reference only had
+an MWC self-test kernel and a sort validator; JAX on CPU gives us exact
+differential tests for every kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuburn_tpu.ops import histogram as hist_mod
+from cuburn_tpu.ops import rng as rng_mod
+from cuburn_tpu.ops.camera import CameraSpec, project
+from cuburn_tpu.ops.iterate import (init_state, iterate_chunk,
+                                    xform_cdf_rows)
+from cuburn_tpu.models import sierpinski, full_feature
+
+
+class TestRng:
+    def test_device_matches_host(self):
+        """MWCTest equivalent (SURVEY.md §4): device streams reproduce
+        an independent host implementation bit-exactly."""
+        state = np.asarray(rng_mod.seed(jax.random.PRNGKey(7), 64))
+        dev_state = jnp.asarray(state)
+        host_state = state.copy()
+        for _ in range(100):
+            dev_state, dev_bits = rng_mod.next_bits(dev_state)
+            host_state, host_bits = rng_mod.host_next_bits(host_state)
+            np.testing.assert_array_equal(np.asarray(dev_bits), host_bits)
+
+    def test_uniform_range_and_mean(self):
+        state = rng_mod.seed(jax.random.PRNGKey(0), 10000)
+        total = []
+        for _ in range(20):
+            state, u = rng_mod.uniform(state)
+            total.append(np.asarray(u))
+        u = np.concatenate(total)
+        assert u.min() >= 0.0 and u.max() < 1.0
+        assert abs(u.mean() - 0.5) < 0.01
+        assert abs(u.var() - 1 / 12) < 0.01
+
+    def test_streams_independent(self):
+        """Adjacent lanes should be uncorrelated."""
+        state = rng_mod.seed(jax.random.PRNGKey(3), 1000)
+        draws = []
+        for _ in range(50):
+            state, u = rng_mod.uniform(state)
+            draws.append(np.asarray(u))
+        d = np.stack(draws)          # (50, 1000)
+        corr = np.corrcoef(d[:, :-1].ravel(), d[:, 1:].ravel())[0, 1]
+        assert abs(corr) < 0.05
+
+    def test_zero_state_guard(self):
+        # force a key that could give zeros — the guard must make all
+        # lanes produce nonzero output eventually
+        state = rng_mod.seed(jax.random.PRNGKey(0), 8)
+        state = state.at[:, 0].set(0)  # manually zero a lane
+        state = np.asarray(state)
+        # after the guard in seed() lanes are nonzero; this manual zero
+        # lane tests that next_bits itself doesn't NaN/crash
+        _, bits = rng_mod.host_next_bits(state)
+        assert bits.shape == (8,)
+
+
+class TestHistogram:
+    @pytest.mark.parametrize("n_bins,n_pts", [(64, 1000), (1000, 64),
+                                              (4096, 30000)])
+    def test_backends_agree(self, n_bins, n_pts):
+        """Differential test: sortcum vs scatter (SURVEY.md §5 race
+        detection row: exact-equality differential test instead).
+
+        Tolerance reflects sortcum's documented prefix-sum roundoff
+        bound (~ulp of flush mass); the Pallas backend is exact."""
+        rng = np.random.RandomState(0)
+        addr = jnp.asarray(
+            rng.randint(0, n_bins + 1, n_pts), jnp.int32)  # incl junk
+        rgba = jnp.asarray(rng.rand(n_pts, 4).astype(np.float32))
+        h0 = hist_mod.alloc(n_bins)
+        a = hist_mod.accumulate_scatter(h0, addr, rgba)
+        b = hist_mod.accumulate_sortcum(h0, addr, rgba)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=0.02)
+
+    def test_hot_bin(self):
+        """Everything lands on one pixel (the contention case the
+        reference built its sort pipeline for)."""
+        addr = jnp.zeros(10000, jnp.int32)
+        rgba = jnp.ones((10000, 4), jnp.float32)
+        for backend in ("scatter", "sortcum"):
+            h = hist_mod.get_backend(backend)(hist_mod.alloc(16), addr,
+                                              rgba)
+            np.testing.assert_allclose(np.asarray(h[0]), 10000.0,
+                                       rtol=1e-5)
+            assert float(jnp.abs(h[1:]).max()) == 0.0
+
+    def test_empty_and_all_junk(self):
+        h = hist_mod.alloc(16)
+        addr = jnp.full((100,), 16, jnp.int32)   # all junk
+        rgba = jnp.ones((100, 4), jnp.float32)
+        for backend in ("scatter", "sortcum"):
+            out = hist_mod.get_backend(backend)(h, addr, rgba)
+            assert float(jnp.abs(hist_mod.finalize(out)).max()) == 0.0
+
+    def test_multidim_input(self):
+        """(n_iters, B) shaped chunks flatten correctly."""
+        rng = np.random.RandomState(1)
+        addr = jnp.asarray(rng.randint(0, 32, (4, 25)), jnp.int32)
+        rgba = jnp.asarray(rng.rand(4, 25, 4).astype(np.float32))
+        a = hist_mod.accumulate_scatter(hist_mod.alloc(32), addr, rgba)
+        b = hist_mod.accumulate_sortcum(hist_mod.alloc(32), addr, rgba)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+
+class TestCamera:
+    def test_center_maps_to_middle(self):
+        spec = CameraSpec(100, 100, 1)
+        addr, inb = project(spec, jnp.array([0.5, -0.5]),
+                            jnp.float32(10.0), jnp.float32(0.0),
+                            jnp.array([0.5]), jnp.array([-0.5]))
+        assert bool(inb[0])
+        assert int(addr[0]) == 50 * 100 + 50
+
+    def test_out_of_bounds_junk(self):
+        spec = CameraSpec(10, 10, 2)
+        addr, inb = project(spec, jnp.array([0.0, 0.0]),
+                            jnp.float32(1.0), jnp.float32(0.0),
+                            jnp.array([1e6]), jnp.array([0.0]))
+        assert not bool(inb[0])
+        assert int(addr[0]) == spec.junk_bin
+
+    def test_rotation(self):
+        """+90deg rotate maps world +x direction to up in the image."""
+        spec = CameraSpec(100, 100, 1)
+        a0, _ = project(spec, jnp.zeros(2), jnp.float32(20.0),
+                        jnp.float32(0.0), jnp.array([1.0]),
+                        jnp.array([0.0]))
+        a90, _ = project(spec, jnp.zeros(2), jnp.float32(20.0),
+                         jnp.float32(90.0), jnp.array([1.0]),
+                         jnp.array([0.0]))
+        y0, x0 = divmod(int(a0[0]), 100)
+        y90, x90 = divmod(int(a90[0]), 100)
+        assert x0 > 50 and abs(y0 - 50) <= 1   # +x is right...
+        assert y90 < 50 and abs(x90 - 50) <= 1  # ...rotates to up
+
+    def test_supersample_addressing(self):
+        spec = CameraSpec(8, 8, 2)
+        assert spec.n_bins == 256
+        assert spec.acc_width == 16
+
+
+class TestIterate:
+    def _run(self, genome, batch=512, n_iters=64, seed=0):
+        key = genome.structure_key()
+        params = jax.tree_util.tree_map(
+            jnp.asarray, genome.eval_at(0.0))
+        cam = CameraSpec(64, 64, 1)
+        cdf = xform_cdf_rows(params)
+        state = init_state(jax.random.PRNGKey(seed), batch)
+        return iterate_chunk(key, cam, params, cdf, state,
+                             params.ppu * (64 / genome.size[0]),
+                             n_iters, 16)
+
+    def test_deterministic(self):
+        g = sierpinski()
+        _, a1, r1 = self._run(g, seed=5)
+        _, a2, r2 = self._run(g, seed=5)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_seed_changes_output(self):
+        g = sierpinski()
+        _, a1, _ = self._run(g, seed=1)
+        _, a2, _ = self._run(g, seed=2)
+        assert not np.array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_fuse_suppresses_early_plots(self):
+        g = sierpinski()
+        _, addrs, _ = self._run(g, n_iters=8)   # all iters < fuse=16
+        cam = CameraSpec(64, 64, 1)
+        assert np.all(np.asarray(addrs) == cam.junk_bin)
+
+    def test_points_stay_finite_full_feature(self):
+        g = full_feature()
+        state, addrs, rgbas = self._run(g, batch=256, n_iters=128)
+        assert np.isfinite(np.asarray(state.x)).all()
+        assert np.isfinite(np.asarray(state.y)).all()
+        assert np.isfinite(np.asarray(rgbas)).all()
+
+    def test_sierpinski_attractor_support(self):
+        """Post-fuse points must lie inside the attractor's bounding
+        triangle (chaos-game correctness)."""
+        g = sierpinski()
+        state, _, _ = self._run(g, batch=1024, n_iters=128)
+        x = np.asarray(state.x)
+        y = np.asarray(state.y)
+        assert x.min() >= -1.001 and x.max() <= 1.001
+        assert y.min() >= -0.867 and y.max() <= 0.867
+
+    def test_xaos_changes_distribution(self):
+        g = full_feature()
+        params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+        cdf = xform_cdf_rows(params)
+        c = np.asarray(cdf)
+        # xaos row 1 forbids xform 2 (weight 0): rows must differ
+        assert not np.allclose(c[0], c[1])
+        assert c[1, 1] == pytest.approx(c[1, 2])  # p(xf2 | xf1) = 0
