@@ -20,9 +20,11 @@ cuburn's intra-warp point shuffle is unnecessary here — there is no
 warp divergence on SIMD; per-lane independent RNG streams provide the
 decorrelation instead (SURVEY.md §2b parallelism table).
 
-The scan *collects* (addr, rgba) chunks; histogram accumulation is a
-separate pluggable stage (ops/histogram.py), mirroring the reference's
-deferred-writeback split (iter -> sort -> write).
+Two drivers over the step body:
+  * iterate_accumulate — flushes records into the histogram inside the
+    scan body (no HBM round-trip of point records; the rendering path).
+  * iterate_chunk     — collects (addr, rgba) chunks for tests and for
+    accumulators that want bigger flushes.
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ import numpy as np
 from cuburn_tpu.genome.specs import GenomeParams, StructureKey
 from cuburn_tpu.ops import rng as rng_mod
 from cuburn_tpu.ops.camera import CameraSpec, project
-from cuburn_tpu.ops.xform import apply_final_xform, apply_xforms
+from cuburn_tpu.ops.xform import (apply_final_xform, apply_xforms,
+                                  build_xform_table, select_and_fetch)
 
 BADVALUE_LIMIT = np.float32(1e10)
 
@@ -83,26 +86,108 @@ def xform_cdf_rows(params: GenomeParams) -> jnp.ndarray:
     return cdf / total
 
 
-def _select_xform(key: StructureKey, cdf_rows, last_xf, u):
-    n = key.n_xforms
-    if key.has_xaos:
-        rows = jnp.take(cdf_rows, last_xf, axis=0)       # (B, N)
-        idx = jnp.sum(u[:, None] >= rows, axis=1)
-    else:
-        cdf = cdf_rows[0]                                # (N,)
-        idx = jnp.sum(u[:, None] >= cdf[None, :], axis=1)
-    return jnp.minimum(idx, n - 1).astype(jnp.int32)
-
-
 def _palette_rgb(palette, color):
-    """Linear-interp palette lookup; palette (256, 3), color (B,) in
-    [0,1].  Equivalent of cuburn's palette texture fetch."""
+    """Linear-interp palette lookup; palette (256, 3), color in [0,1].
+    Equivalent of cuburn's palette texture fetch."""
     f = jnp.clip(color, 0.0, 1.0) * np.float32(255.0)
     i0 = jnp.floor(f).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, 255)
-    frac = (f - i0.astype(jnp.float32))[:, None]
+    frac = (f - i0.astype(jnp.float32))[..., None]
     return (jnp.take(palette, i0, axis=0) * (1.0 - frac) +
             jnp.take(palette, i1, axis=0) * frac)
+
+
+def color_bits_for(n_bins: int) -> int:
+    """Palette-coordinate bits available when packing (addr, color)
+    into one uint32 log record; 0 if packing is impossible."""
+    addr_bits = int(np.ceil(np.log2(n_bins + 2)))
+    bits = min(10, 32 - addr_bits)
+    return bits if bits >= 8 else 0
+
+
+def pack_records(cam: CameraSpec, color_bits: int, addr, pcolor):
+    """(addr, color) -> one uint32 per plotted sample: cuburn's packed
+    writeback-log entry, TPU edition.  Color is quantized to
+    2^color_bits palette samples (>= the 256 native flam3 entries, so
+    no fidelity loss beyond the reference's own storage)."""
+    levels = np.float32((1 << color_bits) - 1)
+    q = jnp.clip(pcolor, 0.0, 1.0) * levels + 0.5
+    return (addr.astype(jnp.uint32) << np.uint32(color_bits)) \
+        | q.astype(jnp.uint32)
+
+
+def unpack_records(cam: CameraSpec, color_bits: int, palette_hi, packed):
+    """Packed records -> (addr (int32), rgba (..., 4)).
+
+    palette_hi is the palette pre-resampled to 2^color_bits entries
+    (exact linear interpolation baked in)."""
+    addr = (packed >> np.uint32(color_bits)).astype(jnp.int32)
+    q = (packed & np.uint32((1 << color_bits) - 1)).astype(jnp.int32)
+    rgb = jnp.take(palette_hi, q, axis=0)
+    ones = jnp.ones(rgb.shape[:-1] + (1,), rgb.dtype)
+    return addr, jnp.concatenate([rgb, ones], axis=-1)
+
+
+def expand_palette(palette, color_bits: int):
+    """Resample the (256, 3) palette to 2^color_bits entries with the
+    same linear interpolation _palette_rgb applies."""
+    n = 1 << color_bits
+    coords = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
+    return _palette_rgb(palette, coords)
+
+
+def iterate_step(
+    key: StructureKey,
+    cam: CameraSpec,
+    fuse: int,
+    params: GenomeParams,
+    cdf_rows: jnp.ndarray,
+    ppu: jnp.ndarray,
+    state: IterState,
+):
+    """One chaos-game iteration for every trajectory (SURVEY.md §3.5).
+
+    Returns (new_state, addr (B,) int32, pcolor (B,), opacity (B,));
+    non-plottable records carry the junk-bin address.  Palette lookup
+    happens at flush time (ops/iterate.py records_to_rgba), not here —
+    mirroring cuburn's packed log records, which store a palette
+    coordinate rather than resolved colors (SURVEY.md §1 deferred
+    writeback)."""
+    stream = rng_mod.RngStream(state.rng)
+    u = stream.uniform()
+    table = build_xform_table(key, params)   # loop-invariant, hoisted
+    idx, prow = select_and_fetch(key, cdf_rows, table, state.last_xf, u)
+
+    nx, ny, ncolor, opacity = apply_xforms(
+        key, params, prow, state.x, state.y, state.color, stream)
+
+    bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny)) \
+        | (jnp.abs(nx) > BADVALUE_LIMIT) \
+        | (jnp.abs(ny) > BADVALUE_LIMIT)
+    # Respawn coordinates from one fresh uniform (v) plus a cheap
+    # decorrelating fold; full-entropy draws are wasted on the common
+    # (no-badvalue) path, and respawned points re-fuse before plotting.
+    v = stream.uniform()
+    rx = v * 2.0 - 1.0
+    vy = v * np.float32(997.0)
+    ry = (vy - jnp.floor(vy)) * 2.0 - 1.0
+    nx = jnp.where(bad, rx, nx)
+    ny = jnp.where(bad, ry, ny)
+    ncolor = jnp.where(bad, u, ncolor)
+    age = jnp.where(bad, 0, state.age + 1)
+
+    # plot (display-only final xform on a copy)
+    px, py, pcolor = apply_final_xform(
+        key, params, nx, ny, ncolor, stream)
+    addr, in_bounds = project(
+        cam, params.center, ppu, params.rotate, px, py)
+    visible = (age >= fuse) & in_bounds & (opacity > 0.0)
+    addr = jnp.where(visible, addr, cam.junk_bin)
+
+    new_state = IterState(
+        x=nx, y=ny, color=ncolor, last_xf=idx, age=age,
+        rng=stream.state)
+    return new_state, addr, pcolor, opacity
 
 
 @partial(jax.jit, static_argnames=("key", "cam", "n_iters", "fuse"))
@@ -116,50 +201,127 @@ def iterate_chunk(
     n_iters: int,
     fuse: int,
 ):
-    """Advance every trajectory n_iters steps, emitting plot records.
+    """Advance every trajectory n_iters steps, collecting plot records.
 
-    `ppu` is the profile-scaled pixels-per-unit (see ops/camera.py).
     Returns (new_state, addr (n_iters, B) int32, rgba (n_iters, B, 4)).
-    Non-plottable records carry the junk-bin address.
-    """
+    NOTE: materializes n_iters x B full records in HBM; prefer
+    iterate_accumulate (packed records) for rendering."""
 
-    def body(state: IterState, _):
-        stream = rng_mod.RngStream(state.rng)
-        u = stream.uniform()
-        idx = _select_xform(key, cdf_rows, state.last_xf, u)
-
-        nx, ny, ncolor = apply_xforms(
-            key, params, idx, state.x, state.y, state.color, stream)
-
-        bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny)) \
-            | (jnp.abs(nx) > BADVALUE_LIMIT) \
-            | (jnp.abs(ny) > BADVALUE_LIMIT)
-        rx = stream.uniform() * 2.0 - 1.0
-        ry = stream.uniform() * 2.0 - 1.0
-        rc = stream.uniform()
-        nx = jnp.where(bad, rx, nx)
-        ny = jnp.where(bad, ry, ny)
-        ncolor = jnp.where(bad, rc, ncolor)
-        age = jnp.where(bad, 0, state.age + 1)
-
-        # plot (display-only final xform on a copy)
-        px, py, pcolor = apply_final_xform(
-            key, params, nx, ny, ncolor, stream)
-        addr, in_bounds = project(
-            cam, params.center, ppu, params.rotate, px, py)
-        opacity = jnp.take(params.opacity, idx, axis=0)
-        visible = (age >= fuse) & in_bounds & (opacity > 0.0)
-        addr = jnp.where(visible, addr, cam.junk_bin)
-
+    def body(state, _):
+        state, addr, pcolor, opacity = iterate_step(
+            key, cam, fuse, params, cdf_rows, ppu, state)
         rgb = _palette_rgb(params.palette, pcolor)
         rgba = jnp.concatenate(
             [rgb * opacity[:, None], opacity[:, None]], axis=1)
-
-        new_state = IterState(
-            x=nx, y=ny, color=ncolor, last_xf=idx, age=age,
-            rng=stream.state)
-        return new_state, (addr, rgba)
+        return state, (addr, rgba)
 
     new_state, (addrs, rgbas) = jax.lax.scan(
         body, state, None, length=n_iters)
     return new_state, addrs, rgbas
+
+
+@partial(jax.jit,
+         static_argnames=("key", "cam", "iters_per_flush", "fuse",
+                          "backend", "packed"))
+def iterate_accumulate(
+    key: StructureKey,
+    cam: CameraSpec,
+    backend: str,
+    params: GenomeParams,
+    cdf_rows: jnp.ndarray,
+    state: IterState,
+    hist: jnp.ndarray,
+    ppu: jnp.ndarray,
+    n_chunks,
+    iters_per_flush: int,
+    fuse: int,
+    packed: bool = True,
+):
+    """Advance n_chunks * iters_per_flush steps, flushing the histogram
+    once per chunk — the rendering path.
+
+    Mirrors the reference's deferred-writeback amortization
+    (cuburn/code/iter.py log buffer, SURVEY.md §1): the histogram is
+    touched once per iters_per_flush * B samples instead of per
+    iteration (per-step flushes measured ~3x slower: scan-carry traffic
+    on the multi-MB histogram dominates), and with `packed=True` each
+    log record is ONE uint32 (address + quantized palette coordinate)
+    — cuburn's packed writeback entry — cutting log-buffer HBM traffic
+    5x vs (addr, rgba) records.  `packed` requires every xform opacity
+    to be 1 (the Renderer checks); otherwise full records are used.
+
+    `n_chunks` is a *traced* value (fori_loop, not scan), so one
+    compiled program serves every quality setting.
+
+    Returns (new_state, hist, plotted_count)."""
+    cbits = color_bits_for(cam.n_bins) if packed else 0
+    if backend == "pallas" and not cbits:
+        raise ValueError("pallas backend requires packed records "
+                         "(unit opacities and <= 2^24 bins)")
+
+    if cbits:
+        palette_hi = expand_palette(params.palette, cbits)
+
+        def chunk_body(_, carry):
+            state, hist, n = carry
+
+            def body(state, __):
+                state, addr, pcolor, opacity = iterate_step(
+                    key, cam, fuse, params, cdf_rows, ppu, state)
+                return state, pack_records(cam, cbits, addr, pcolor)
+
+            state, packed_recs = jax.lax.scan(
+                body, state, None, length=iters_per_flush)
+            if backend == "pallas":
+                from cuburn_tpu.ops import pallas_hist as ph
+                hist = ph.accumulate_packed_pallas(
+                    hist, packed_recs, palette_hi, cam.n_bins, cbits,
+                    interpret=jax.default_backend() != "tpu")
+                n = n + jnp.sum(
+                    (packed_recs >> np.uint32(cbits)).astype(jnp.int32)
+                    != cam.junk_bin)
+            else:
+                accumulate = _get_accumulate(backend)
+                addrs, rgbas = unpack_records(cam, cbits, palette_hi,
+                                              packed_recs)
+                hist = accumulate(hist, addrs, rgbas)
+                n = n + jnp.sum(addrs != cam.junk_bin)
+            return state, hist, n
+    else:
+        accumulate = _get_accumulate(backend)
+
+        def chunk_body(_, carry):
+            state, hist, n = carry
+            state, addrs, rgbas = iterate_chunk(
+                key, cam, params, cdf_rows, state, ppu,
+                iters_per_flush, fuse)
+            hist = accumulate(hist, addrs, rgbas)
+            n = n + jnp.sum(addrs != cam.junk_bin)
+            return state, hist, n
+
+    return jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (state, hist, jnp.int32(0)))
+
+
+def _get_accumulate(backend: str):
+    from cuburn_tpu.ops import histogram as hist_mod
+    return hist_mod.get_backend(backend)
+
+
+def hist_alloc_for(backend: str, n_bins: int):
+    """Allocate the histogram in the layout the backend accumulates
+    into (lane-packed for pallas, logical (bins+1, 4) otherwise)."""
+    from cuburn_tpu.ops import histogram as hist_mod
+    hist = hist_mod.alloc(n_bins)
+    if backend == "pallas":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.to_packed_layout(hist)
+    return hist
+
+
+def hist_to_logical(backend: str, hist, n_bins: int):
+    """Convert a backend-layout histogram to logical (bins+1, 4)."""
+    if backend == "pallas":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.from_packed_layout(hist, n_bins)
+    return hist

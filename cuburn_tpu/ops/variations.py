@@ -49,24 +49,54 @@ M_1_PI = np.float32(1.0 / np.pi)
 M_2_PI = np.float32(2.0 / np.pi)
 
 
-@dataclass
 class VarCtx:
-    tx: jnp.ndarray
-    ty: jnp.ndarray
-    r2: jnp.ndarray
-    r: jnp.ndarray
-    atan: jnp.ndarray      # atan2(tx, ty)
-    atanyx: jnp.ndarray    # atan2(ty, tx)
-    affine: Tuple[jnp.ndarray, ...]  # (a, b, c, d, e, f)
-    rng: RngStream
+    """Lazy precalc context (flam3's precalc_sqrt / precalc_atan /
+    precalc_atanyx).  Values are computed on first access *at trace
+    time*, so a genome whose variation union never touches e.g. atan
+    pays nothing for it — the equivalent of cuburn emitting precalc
+    code only when a used variation's template references it
+    (cuburn/code/iter.py DataPacker-driven codegen)."""
+
+    __slots__ = ("tx", "ty", "affine", "rng", "_r2", "_r", "_atan",
+                 "_atanyx")
+
+    def __init__(self, tx, ty, affine, rng: RngStream):
+        self.tx = tx
+        self.ty = ty
+        self.affine = affine
+        self.rng = rng
+        self._r2 = None
+        self._r = None
+        self._atan = None
+        self._atanyx = None
+
+    @property
+    def r2(self):
+        if self._r2 is None:
+            self._r2 = self.tx * self.tx + self.ty * self.ty
+        return self._r2
+
+    @property
+    def r(self):
+        if self._r is None:
+            self._r = jnp.sqrt(self.r2)
+        return self._r
+
+    @property
+    def atan(self):          # atan2(tx, ty) — flam3 arg order
+        if self._atan is None:
+            self._atan = jnp.arctan2(self.tx, self.ty)
+        return self._atan
+
+    @property
+    def atanyx(self):        # atan2(ty, tx)
+        if self._atanyx is None:
+            self._atanyx = jnp.arctan2(self.ty, self.tx)
+        return self._atanyx
 
 
 def make_ctx(tx, ty, affine, rng: RngStream) -> VarCtx:
-    r2 = tx * tx + ty * ty
-    return VarCtx(
-        tx=tx, ty=ty, r2=r2, r=jnp.sqrt(r2),
-        atan=jnp.arctan2(tx, ty), atanyx=jnp.arctan2(ty, tx),
-        affine=affine, rng=rng)
+    return VarCtx(tx, ty, affine, rng)
 
 
 VARIATION_IMPLS: Dict[str, Callable] = {}

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,33 +81,80 @@ def apply_variation_stack(
     return ox, oy
 
 
+def build_xform_table(key: StructureKey, params):
+    """Assemble every per-xform parameter into one (N, K) matrix so a
+    single one-hot matmul fetches ALL of a point's parameters at once.
+
+    Column layout: [affine 0:6][color][speed][opacity]
+                   [post 9:15 when has_post][var_weights][var_params].
+    The concat is loop-invariant — XLA hoists it out of the iteration
+    loop — and the fetch runs on the MXU instead of N scalar gathers
+    (the TPU-native answer to cuburn's per-thread parameter reads)."""
+    cols = [params.affine,
+            params.color[:, None], params.color_speed[:, None],
+            params.opacity[:, None]]
+    if key.has_post:
+        cols.append(params.post)
+    cols.append(params.var_weights)
+    cols.append(params.var_params)
+    return jnp.concatenate(cols, axis=1)
+
+
+def select_and_fetch(key: StructureKey, cdf_rows, table, last_xf, u):
+    """Branch-free xform selection + parameter fetch, fused.
+
+    Builds the step matrix S[b, j] = (u_b >= cdf_j), derives both the
+    selected index (for xaos conditioning next step) and the one-hot
+    row (S_{j-1} - S_j), and fetches the point's parameter row with one
+    (B, N) @ (N, K) matmul.  Returns (xf_idx, row (B, K))."""
+    n = key.n_xforms
+    if key.has_xaos:
+        rows_oh = jax.nn.one_hot(last_xf, n, dtype=u.dtype)   # (B, N)
+        cdf = rows_oh @ cdf_rows                              # (B, N)
+        step = (u[:, None] >= cdf).astype(u.dtype)
+    else:
+        step = (u[:, None] >= cdf_rows[0][None, :]).astype(u.dtype)
+    idx = jnp.minimum(jnp.sum(step, axis=1).astype(jnp.int32), n - 1)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(step[:, :1]), step[:, :-1]], axis=1)
+    onehot = shifted - step          # exactly one 1.0 per row
+    row = onehot @ table             # (B, K) — MXU
+    return idx, row
+
+
 def apply_xforms(
     key: StructureKey,
     params,            # GenomeParams
-    xf_idx,            # (B,) int32 chosen xform per point
+    row,               # (B, K) fetched parameter rows
     x, y, color,       # (B,) point state
     rng: RngStream,
 ):
     """One chaos-game step body: affine -> variations -> post -> color.
 
-    Returns (nx, ny, ncolor)."""
-    take = lambda tbl: jnp.take(tbl, xf_idx, axis=0)
-    aff = take(params.affine)              # (B, 6)
-    vw = take(params.var_weights)          # (B, V)
-    vp = take(params.var_params)           # (B, P)
+    `row` comes from select_and_fetch (column layout of
+    build_xform_table).  Returns (nx, ny, ncolor, opacity)."""
+    V = len(key.variations)
+    P = max(len(key.param_slots), 1)
+    aff = row[:, 0:6]
+    xf_color = row[:, 6]
+    speed = row[:, 7]
+    opacity = row[:, 8]
+    off = 9
+    if key.has_post:
+        post = row[:, off:off + 6]
+        off += 6
+    vw = row[:, off:off + V]
+    vp = row[:, off + V:off + V + P]
 
     tx, ty = _apply_affine(aff, x, y)
     ox, oy = apply_variation_stack(
         key.variations, key.param_slots, tx, ty, vw, vp, aff, rng)
 
     if key.has_post:
-        post = take(params.post)
         ox, oy = _apply_affine(post, ox, oy)
 
-    speed = take(params.color_speed)
-    xf_color = take(params.color)
     ncolor = color * (1.0 - speed) + xf_color * speed
-    return ox, oy, ncolor
+    return ox, oy, ncolor, opacity
 
 
 def apply_final_xform(key: StructureKey, params, x, y, color,

@@ -29,8 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cuburn_tpu.genome.specs import Genome, StructureKey
 from cuburn_tpu.ops import histogram as hist_mod
 from cuburn_tpu.ops.camera import CameraSpec
-from cuburn_tpu.ops.iterate import (IterState, init_state, iterate_chunk,
-                                    xform_cdf_rows)
+from cuburn_tpu.ops.iterate import (IterState, init_state,
+                                    iterate_accumulate, xform_cdf_rows)
 from cuburn_tpu.profile import RenderProfile
 
 BATCH_AXIS = "batch"
@@ -72,32 +72,25 @@ def sharded_accumulate(
     Returns (state', hist', plotted_count) with hist' fully reduced
     (replicated) — the one ICI collective per call.
     """
-    accumulate = hist_mod.get_backend(backend)
-
     def device_body(params, cdf_rows, state, hist, ppu):
-        # the replicated zero histogram becomes device-varying once each
-        # shard accumulates into it; mark it varying up front so the
-        # scan carry types line up (JAX shard_map vma rules).
-        hist = jax.lax.pcast(hist, BATCH_AXIS, to="varying")
-
-        def chunk(carry, _):
-            st, h = carry
-            st, addrs, rgbas = iterate_chunk(
-                key, cam, params, cdf_rows, st, ppu, n_iters, fuse)
-            h = accumulate(h, addrs, rgbas)
-            n = jnp.sum(addrs != cam.junk_bin)
-            return (st, h), n
-        (state, hist), ns = jax.lax.scan(
-            chunk, (state, hist), None, length=n_chunks)
+        state, hist, n = iterate_accumulate(
+            key, cam, backend, params, cdf_rows, state, hist, ppu,
+            jnp.int32(n_chunks), n_iters, fuse)
         # the single collective: reduce partial histograms over ICI
         hist = jax.lax.psum(hist, BATCH_AXIS)
-        plotted = jax.lax.psum(jnp.sum(ns), BATCH_AXIS)
+        plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
+    # check_vma=False: the replicated zero histogram and plot counter
+    # become device-varying inside iterate_accumulate's private loop
+    # carries; the explicit psums above restore replication on the way
+    # out, which the static vma checker can't see through the shared
+    # single-chip code path.
     shard = jax.shard_map(
         device_body, mesh=mesh,
         in_specs=(P(), P(), P(BATCH_AXIS), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
+        check_vma=False,
     )
     return shard(params, cdf_rows, state, hist, ppu)
 

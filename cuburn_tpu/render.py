@@ -33,7 +33,9 @@ from cuburn_tpu.ops.camera import CameraSpec
 from cuburn_tpu.ops import de as de_mod
 from cuburn_tpu.ops.filtering import (colorclip, downsample, logscale,
                                       to_u8)
-from cuburn_tpu.ops.iterate import (IterState, init_state, iterate_chunk,
+from cuburn_tpu.ops.iterate import (IterState, color_bits_for,
+                                    hist_alloc_for, hist_to_logical,
+                                    init_state, iterate_accumulate,
                                     xform_cdf_rows)
 from cuburn_tpu.profile import RenderProfile
 
@@ -55,20 +57,11 @@ class FrameStats:
         return self.plotted_samples / max(self.iterate_s, 1e-9)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("key", "cam", "n_iters", "fuse", "backend"))
-def _chunk_step(key: StructureKey, cam: CameraSpec, backend: str,
-                params, cdf_rows, state, hist, ppu,
-                n_iters: int, fuse: int):
-    """One fused device step: iterate a chunk and flush it into the
-    histogram; also counts plotted (non-junk) records."""
-    state, addrs, rgbas = iterate_chunk(
-        key, cam, params, cdf_rows, state, ppu, n_iters, fuse)
-    accumulate = hist_mod.get_backend(backend)
-    hist = accumulate(hist, addrs, rgbas)
-    plotted = jnp.sum(addrs != cam.junk_bin)
-    return state, hist, plotted
+# The whole per-frame accumulation is ONE device program: the chunk
+# loop lives inside iterate_accumulate's scan, the histogram flush
+# inside the scan body.  One dispatch per temporal sample — essential
+# both for HBM traffic (no materialized point records) and for remote
+# dispatch latency (SURVEY.md §2b pipeline-overlap row).
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "transparent", "de_on"))
@@ -108,9 +101,19 @@ class Renderer:
         self.cam = CameraSpec(profile.width, profile.height, profile.ss)
         backend = profile.hist_backend
         if backend == "auto":
-            backend = "sortcum" if jax.default_backend() == "tpu" \
-                else "scatter"
+            backend = "scatter"
         self.backend = backend
+        # packed single-u32 log records need unit opacity everywhere
+        # (opacity is then implicit); quantized color needs >= 8 bits.
+        self.packed = (
+            all(xf.opacity.is_constant and xf.opacity(0.0) == 1.0
+                for xf in genome.xforms)
+            and color_bits_for(self.cam.n_bins) > 0)
+        if self.backend == "pallas" and not self.packed:
+            import warnings
+            warnings.warn("pallas histogram backend needs packed "
+                          "records (unit opacities); using scatter")
+            self.backend = "scatter"
 
     # -- frame rendering -------------------------------------------------
 
@@ -121,7 +124,7 @@ class Renderer:
         prof, cam = self.profile, self.cam
         stats = FrameStats()
 
-        hist = hist_mod.alloc(cam.n_bins)
+        hist = hist_alloc_for(self.backend, cam.n_bins)
         t0 = time.perf_counter()
         ts_times, ts_weight = self._temporal_times(t)
         for i, tt in enumerate(ts_times):
@@ -137,6 +140,7 @@ class Renderer:
         t1 = time.perf_counter()
         params = _to_device(self.genome.eval_at(t))
         q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
+        hist = hist_to_logical(self.backend, hist, cam.n_bins)
         img = _filter_frame(
             cam, prof.transparent, self._de_on(params),
             hist_mod.finalize(hist), params, q_cell)
@@ -163,17 +167,22 @@ class Renderer:
         """Run the chaos game for ~`iters` iterations into hist."""
         prof, cam, key = self.profile, self.cam, self.key
         cdf_rows = xform_cdf_rows(params)
-        state = init_state(jax.random.PRNGKey(seed), prof.batch)
+        # Cap the trajectory batch so every point lives >= ~8x fuse
+        # iterations; otherwise warmup dominates and retention craters
+        # (cuburn equivalent: ntemporal/npoints balancing in render.py).
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while batch > 1024 and iters / batch < min_life:
+            batch //= 2
+        state = init_state(jax.random.PRNGKey(seed), batch)
         ppu = params.ppu * jnp.float32(
             prof.width / self.genome.size[0])
-        per_chunk = prof.batch * prof.iters_per_chunk
+        per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters / per_chunk)))
-        plotted = jnp.int32(0)
-        for _ in range(n_chunks):
-            state, hist, n = _chunk_step(
-                key, cam, self.backend, params, cdf_rows, state, hist,
-                ppu, prof.iters_per_chunk, prof.fuse)
-            plotted = plotted + n
+        state, hist, plotted = iterate_accumulate(
+            key, cam, self.backend, params, cdf_rows, state, hist,
+            ppu, jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
+            packed=self.packed)
         return hist, plotted, n_chunks * per_chunk
 
     # -- animation -------------------------------------------------------

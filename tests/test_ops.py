@@ -5,6 +5,7 @@ an MWC self-test kernel and a sort validator; JAX on CPU gives us exact
 differential tests for every kernel.
 """
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -207,3 +208,56 @@ class TestIterate:
         # xaos row 1 forbids xform 2 (weight 0): rows must differ
         assert not np.allclose(c[0], c[1])
         assert c[1, 1] == pytest.approx(c[1, 2])  # p(xf2 | xf1) = 0
+
+
+class TestPallasHistogram:
+    """Differential tests for the Pallas accumulation kernel
+    (interpret mode on CPU — SURVEY.md §5: exact-equality differential
+    test replaces GPU race detection)."""
+
+    def test_matches_scatter(self):
+        from cuburn_tpu.ops import pallas_hist as ph
+        from cuburn_tpu.ops.iterate import (expand_palette,
+                                            pack_records,
+                                            unpack_records)
+        rng = np.random.RandomState(0)
+        n_bins, cbits = 2000, 10
+        cam = CameraSpec(50, 40, 1)
+        M = 5000
+        addr = jnp.asarray(rng.randint(0, n_bins + 1, M), jnp.int32)
+        color = jnp.asarray(rng.rand(M).astype(np.float32))
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        pal_hi = expand_palette(palette, cbits)
+        packed = pack_records(cam, cbits, addr, color)
+        a2, rgba = unpack_records(cam, cbits, pal_hi, packed)
+        ref = hist_mod.accumulate_scatter(hist_mod.alloc(n_bins), a2,
+                                          rgba)
+        hp = ph.to_packed_layout(hist_mod.alloc(n_bins))
+        out = ph.accumulate_packed_pallas(hp, packed, pal_hi, n_bins,
+                                          cbits, interpret=True)
+        got = ph.from_packed_layout(out, n_bins)
+        # junk bin differs by design (BLOCK padding lands there)
+        np.testing.assert_allclose(np.asarray(got[:n_bins]),
+                                   np.asarray(ref[:n_bins]), atol=1e-4)
+
+    def test_layout_roundtrip(self):
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(1)
+        h = jnp.asarray(rng.rand(1001, 4).astype(np.float32))
+        back = ph.from_packed_layout(ph.to_packed_layout(h), 1000)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(h))
+
+    def test_render_with_pallas_backend(self):
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g = sierpinski()
+        prof_s = RenderProfile(width=64, height=64, quality=30,
+                               batch=1024, iters_per_chunk=8,
+                               hist_backend="scatter", de_enabled=False)
+        prof_p = dataclasses.replace(prof_s, hist_backend="pallas")
+        img_s, _ = Renderer(g, prof_s).render_frame(0.0, seed=7)
+        img_p, _ = Renderer(g, prof_p).render_frame(0.0, seed=7)
+        # same seed, same trajectory stream -> images should agree to
+        # quantization (identical except junk-bin padding artifacts)
+        np.testing.assert_allclose(
+            img_s.astype(np.int32), img_p.astype(np.int32), atol=1)
