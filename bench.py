@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.md north star): IFS samples/sec/chip — plotted,
+post-fuse, in-bounds samples per wall second, measured with hard device
+syncs (utils/timing.py) and warm-compiled programs, on the benchmark
+config-3 genome (full variation features: parametric variations, final
+xform, xaos) at the largest resolution that fits the time budget.
+
+vs_baseline: ratio against 400e6 samples/s — the recalled
+cuburn-on-GTX-580-class figure (BASELINE.md marks all reference numbers
+*recalled, unverified*; BASELINE.json `published` was empty).  Treat the
+ratio as indicative, the absolute value as the measurement.
+
+Extra fields record per-stage breakdown incl. the DE+colorize
+latency target (<50 ms/frame) and the secondary configs.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RECALLED_BASELINE_SAMPLES_PER_SEC = 400e6
+
+
+def main():
+    from cuburn_tpu.models import full_feature, sierpinski
+    from cuburn_tpu.ops import histogram as hist_mod
+    from cuburn_tpu.ops.camera import CameraSpec
+    from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
+                                        iterate_accumulate,
+                                        xform_cdf_rows)
+    from cuburn_tpu.render import _filter_frame
+    from cuburn_tpu.utils.timing import hard_sync
+
+    backend_name = jax.default_backend()
+    extra = {"jax_backend": backend_name,
+             "device": str(jax.devices()[0])}
+
+    # ---- headline: iterate+accumulate throughput, config-3 genome ----
+    g = full_feature()
+    key = g.structure_key()
+    params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+    if backend_name == "tpu":
+        W = H = 512
+        B, K = 1 << 15, 64
+        target_iters = 1 << 25
+    else:  # CPU smoke fallback
+        W = H = 128
+        B, K = 1 << 12, 16
+        target_iters = 1 << 19
+    cam = CameraSpec(W, H, 1)
+    cdf = xform_cdf_rows(params)
+    ppu = params.ppu * jnp.float32(W / g.size[0])
+    hist_backend = "scatter"
+
+    state = init_state(jax.random.PRNGKey(0), B)
+    hist = hist_alloc_for(hist_backend, cam.n_bins)
+    # warm compile
+    state, hist, n = iterate_accumulate(
+        key, cam, hist_backend, params, cdf, state, hist, ppu,
+        jnp.int32(1), K, 32)
+    hard_sync(hist)
+    n_chunks = max(1, target_iters // (B * K))
+    t0 = time.perf_counter()
+    state, hist, n = iterate_accumulate(
+        key, cam, hist_backend, params, cdf, state, hist, ppu,
+        jnp.int32(n_chunks), K, 32)
+    hard_sync(hist)
+    dt = time.perf_counter() - t0
+    plotted = int(n)
+    samples_per_sec = plotted / dt
+    extra["iterate_ms"] = round(dt * 1e3, 1)
+    extra["total_iters"] = n_chunks * B * K
+    extra["plotted"] = plotted
+    extra["retention"] = round(plotted / (n_chunks * B * K), 3)
+    extra["config"] = f"full_feature {W}x{H} B={B} backend={hist_backend}"
+
+    # ---- secondary: DE + colorclip latency (north star < 50 ms) ----
+    try:
+        from cuburn_tpu.ops.iterate import hist_to_logical
+        h_log = hist_to_logical(hist_backend, hist, cam.n_bins)
+        q_cell = jnp.float32(1000.0)
+        img = _filter_frame(cam, False, True, h_log[:-1], params, q_cell)
+        hard_sync(img)
+        t0 = time.perf_counter()
+        img = _filter_frame(cam, False, True, h_log[:-1], params, q_cell)
+        hard_sync(img)
+        extra["de_colorize_ms"] = round((time.perf_counter() - t0) * 1e3,
+                                        1)
+    except Exception as e:  # pragma: no cover
+        extra["de_colorize_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps({
+        "metric": "ifs_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(
+            samples_per_sec / RECALLED_BASELINE_SAMPLES_PER_SEC, 4),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -303,6 +303,44 @@ def iterate_accumulate(
         0, n_chunks, chunk_body, (state, hist, jnp.int32(0)))
 
 
+@partial(jax.jit,
+         static_argnames=("key", "cam", "iters_per_flush", "fuse",
+                          "backend", "packed"))
+def iterate_accumulate_temporal(
+    key: StructureKey,
+    cam: CameraSpec,
+    backend: str,
+    params_T: GenomeParams,   # every leaf has leading temporal axis T
+    state: IterState,
+    hist: jnp.ndarray,
+    ppu_T: jnp.ndarray,       # (T,)
+    n_chunks_per_sample,
+    iters_per_flush: int,
+    fuse: int,
+    packed: bool = True,
+):
+    """Accumulate all temporal samples of a motion-blurred frame in ONE
+    device program (SURVEY.md §2b temporal-sample parallelism row: fold
+    samples into the device-side loop instead of cuburn's sequential
+    kernel launches).  Genome parameters per sample come from the
+    packed-knot interpolator (ops/interp.py).  Trajectories carry over
+    between samples (the attractor moves smoothly within a shutter
+    interval; no re-fuse needed)."""
+
+    def sample_body(carry, inputs):
+        state, hist, n = carry
+        params_t, ppu = inputs
+        cdf_rows = xform_cdf_rows(params_t)
+        state, hist, dn = iterate_accumulate(
+            key, cam, backend, params_t, cdf_rows, state, hist, ppu,
+            n_chunks_per_sample, iters_per_flush, fuse, packed=packed)
+        return (state, hist, n + dn), None
+
+    (state, hist, n), _ = jax.lax.scan(
+        sample_body, (state, hist, jnp.int32(0)), (params_T, ppu_T))
+    return state, hist, n
+
+
 def _get_accumulate(backend: str):
     from cuburn_tpu.ops import histogram as hist_mod
     return hist_mod.get_backend(backend)

@@ -127,13 +127,19 @@ class Renderer:
         hist = hist_alloc_for(self.backend, cam.n_bins)
         t0 = time.perf_counter()
         ts_times, ts_weight = self._temporal_times(t)
-        for i, tt in enumerate(ts_times):
-            params = _to_device(self.genome.eval_at(tt))
+        if len(ts_times) == 1:
+            params = _to_device(self.genome.eval_at(ts_times[0]))
             hist, n_plot, n_iter = self._accumulate_sample(
-                params, hist, seed=seed * 7919 + i,
+                params, hist, seed=seed * 7919,
                 iters=prof.total_iters * ts_weight)
-            stats.plotted_samples += int(n_plot)
-            stats.total_iters += n_iter
+        else:
+            # motion blur: every temporal sample inside one dispatch,
+            # parameters interpolated by the packed-knot evaluator
+            hist, n_plot, n_iter = self._accumulate_temporal(
+                ts_times, hist, seed=seed * 7919,
+                iters_per_sample=prof.total_iters * ts_weight)
+        stats.plotted_samples += int(n_plot)
+        stats.total_iters += n_iter
         hist.block_until_ready()
         stats.iterate_s = time.perf_counter() - t0
 
@@ -184,6 +190,32 @@ class Renderer:
             ppu, jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
             packed=self.packed)
         return hist, plotted, n_chunks * per_chunk
+
+    def _accumulate_temporal(self, ts_times, hist, seed: int,
+                             iters_per_sample: float):
+        from cuburn_tpu.ops.interp import pack_genome
+        from cuburn_tpu.ops.iterate import iterate_accumulate_temporal
+        prof, cam, key = self.profile, self.cam, self.key
+        if not hasattr(self, "_packed_genome"):
+            self._packed_genome = pack_genome(self.genome)
+        params_T = self._packed_genome.eval_params(
+            np.asarray(ts_times, np.float32))
+        factor = jnp.float32(prof.width / self.genome.size[0])
+        ppu_T = params_T.ppu * factor
+
+        total = iters_per_sample * len(ts_times)
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while batch > 1024 and total / batch < min_life:
+            batch //= 2
+        state = init_state(jax.random.PRNGKey(seed), batch)
+        per_chunk = batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
+        state, hist, plotted = iterate_accumulate_temporal(
+            key, cam, self.backend, params_T, state, hist, ppu_T,
+            jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
+            packed=self.packed)
+        return hist, plotted, n_chunks * per_chunk * len(ts_times)
 
     # -- animation -------------------------------------------------------
 

@@ -1,0 +1,47 @@
+"""Timing harness with *hard* device synchronization.
+
+The reference timed kernels with CUDA events (cuburn/render.py,
+SURVEY.md §5).  JAX's `block_until_ready` is the usual analog, but on
+tunneled/experimental PJRT backends (the axon plugin in this
+environment) it can return before device work completes, producing
+timings that are off by orders of magnitude.  `hard_sync` forces a
+device-to-host readback of a value that data-depends on the computation
+— a sync that cannot lie.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import numpy as np
+
+
+def hard_sync(x) -> float:
+    """Force completion of everything `x` depends on; returns one
+    element as a float (the readback is the synchronization)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
+            chain: Callable = None) -> Tuple[float, object]:
+    """Time fn(*args) with hard syncs.
+
+    If `chain` is given, it maps (prev_output, args) -> next args so
+    successive calls are data-dependent (defeats any execution caching
+    in the backend).  Returns (seconds_per_call, last_output)."""
+    out = fn(*args)
+    for _ in range(max(warmup - 1, 0)):
+        if chain is not None:
+            args = chain(out, args)
+        out = fn(*args)
+    hard_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        if chain is not None:
+            args = chain(out, args)
+        out = fn(*args)
+    hard_sync(out)
+    return (time.perf_counter() - t0) / iters, out
