@@ -1,0 +1,164 @@
+"""Keyframe blending: build animated "edge" genomes between two stills.
+
+Equivalent of the reference's cuburn/genome/blend.py (SURVEY.md §2b
+"Keyframe blending"): given two node genomes, produce one animated
+genome whose splines sweep from A (t=0) to B (t=1):
+
+  * xform alignment: both ends padded to the same xform count with
+    identity xforms of weight 0 (flam3's padding rule), so every xform
+    interpolates against a partner
+  * variation union per aligned pair: a variation present at only one
+    end fades in/out through a weight-0 knot at the other end
+  * affine interpolation knot-by-knot; rotation sweeps are expressed by
+    the caller via `spin` (extra full turns on the `rotate` camera
+    parameter, flam3's edge spin)
+  * palettes become two keyframes (device-side lerp handles the sweep)
+
+The reference's matching heuristics (which xform of A pairs with which
+of B) are index-order here, with an optional weight-sorted mode [M
+confidence vs the reference's exact algorithm, SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cuburn_tpu.genome.palette import palette_at
+from cuburn_tpu.genome.specs import Genome, XForm, IDENTITY_AFFINE
+from cuburn_tpu.genome.spline import Spline
+from cuburn_tpu.genome.variations import VARIATION_PARAMS
+
+
+def _identity_xform() -> XForm:
+    return XForm(weight=0.0, color=0.0, color_speed=0.0, opacity=1.0,
+                 affine=IDENTITY_AFFINE, vars={"linear": 1.0})
+
+
+def _edge_spline(va: float, vb: float, ease: float = 0.0) -> Spline:
+    """Two-knot spline from va at t=0 to vb at t=1.  `ease` adds
+    interior knots for smoother starts/stops."""
+    if va == vb:
+        return Spline(va)
+    if ease > 0:
+        return Spline([0.0, va, ease, va, 1.0 - ease, vb, 1.0, vb])
+    return Spline([0.0, va, 1.0, vb])
+
+
+def _blend_xform(xa: XForm, xb: XForm, t_a: float, t_b: float) -> XForm:
+    def v(sa: Spline, sb: Spline) -> Spline:
+        return _edge_spline(sa(t_a), sb(t_b))
+
+    vars_union = sorted(set(xa.vars) | set(xb.vars))
+    vars_out: Dict[str, Spline] = {}
+    params_out: Dict[str, Spline] = {}
+    for name in vars_union:
+        wa = xa.vars[name](t_a) if name in xa.vars else 0.0
+        wb = xb.vars[name](t_b) if name in xb.vars else 0.0
+        vars_out[name] = _edge_spline(wa, wb)
+        for attr, _default in VARIATION_PARAMS[name]:
+            pa = xa.param(attr, t_a)
+            pb = xb.param(attr, t_b)
+            params_out[attr] = _edge_spline(pa, pb)
+
+    return XForm(
+        weight=v(xa.weight, xb.weight),
+        color=v(xa.color, xb.color),
+        color_speed=v(xa.color_speed, xb.color_speed),
+        opacity=v(xa.opacity, xb.opacity),
+        affine=tuple(_edge_spline(sa(t_a), sb(t_b))
+                     for sa, sb in zip(xa.affine, xb.affine)),
+        post=(tuple(_edge_spline(
+            (xa.post[i] if xa.post else Spline(IDENTITY_AFFINE[i]))(t_a),
+            (xb.post[i] if xb.post else Spline(IDENTITY_AFFINE[i]))(t_b))
+            for i in range(6))
+            if (xa.post is not None or xb.post is not None) else None),
+        vars=vars_out,
+        params=params_out,
+    )
+
+
+def align_xforms(a: Genome, b: Genome, sort_by_weight: bool = False):
+    """Pad both genomes' xform lists to equal length with identity
+    xforms (flam3 padding); optionally pair by descending weight."""
+    xa = list(a.xforms)
+    xb = list(b.xforms)
+    n = max(len(xa), len(xb))
+    while len(xa) < n:
+        xa.append(_identity_xform())
+    while len(xb) < n:
+        xb.append(_identity_xform())
+    if sort_by_weight:
+        xa.sort(key=lambda x: -x.weight(0.0))
+        xb.sort(key=lambda x: -x.weight(0.0))
+    return xa, xb, n
+
+
+def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
+                  t_b: float = 0.0, spin: float = 0.0,
+                  sort_by_weight: bool = False,
+                  name: Optional[str] = None) -> Genome:
+    """Build the edge genome sweeping from a@t_a to b@t_b over t in
+    [0, 1].  `spin` adds that many extra full camera rotations across
+    the edge (flam3's edge spin)."""
+    xa, xb, n = align_xforms(a, b, sort_by_weight)
+    xforms = [_blend_xform(xa[i], xb[i], t_a, t_b) for i in range(n)]
+
+    # xaos: pad both to n x n with 1.0 and blend entrywise
+    def xaos_at(g: Genome, t: float) -> np.ndarray:
+        m = np.ones((n, n))
+        if g.xaos is not None:
+            k = len(g.xforms)
+            for i in range(k):
+                for j in range(k):
+                    m[i, j] = g.xaos[i][j](t)
+        return m
+
+    xaos = None
+    if a.xaos is not None or b.xaos is not None:
+        ma, mb = xaos_at(a, t_a), xaos_at(b, t_b)
+        xaos = [[_edge_spline(ma[i, j], mb[i, j]) for j in range(n)]
+                for i in range(n)]
+
+    final = None
+    if a.final_xform is not None or b.final_xform is not None:
+        fa = a.final_xform or _identity_xform()
+        fb = b.final_xform or _identity_xform()
+        final = _blend_xform(fa, fb, t_a, t_b)
+
+    # camera rotation takes the short way plus requested spins
+    rot_a = a.rotate(t_a)
+    rot_b = b.rotate(t_b)
+    delta = (rot_b - rot_a + 180.0) % 360.0 - 180.0
+    rot_spline = _edge_spline(rot_a, rot_a + delta + spin * 360.0)
+
+    return Genome(
+        xforms=xforms, final_xform=final, xaos=xaos,
+        palettes=[(0.0, palette_at(a.palettes, t_a)),
+                  (1.0, palette_at(b.palettes, t_b))],
+        center=(_edge_spline(a.center[0](t_a), b.center[0](t_b)),
+                _edge_spline(a.center[1](t_a), b.center[1](t_b))),
+        scale=_edge_spline(a.scale(t_a), b.scale(t_b)),
+        rotate=rot_spline,
+        brightness=_edge_spline(a.brightness(t_a), b.brightness(t_b)),
+        gamma=_edge_spline(a.gamma(t_a), b.gamma(t_b)),
+        gamma_threshold=_edge_spline(a.gamma_threshold(t_a),
+                                     b.gamma_threshold(t_b)),
+        vibrancy=_edge_spline(a.vibrancy(t_a), b.vibrancy(t_b)),
+        highlight_power=_edge_spline(a.highlight_power(t_a),
+                                     b.highlight_power(t_b)),
+        background=tuple(
+            _edge_spline(sa(t_a), sb(t_b))
+            for sa, sb in zip(a.background, b.background)),
+        estimator_radius=_edge_spline(a.estimator_radius(t_a),
+                                      b.estimator_radius(t_b)),
+        estimator_minimum=_edge_spline(a.estimator_minimum(t_a),
+                                       b.estimator_minimum(t_b)),
+        estimator_curve=_edge_spline(a.estimator_curve(t_a),
+                                     b.estimator_curve(t_b)),
+        size=a.size,
+        name=name or f"{a.name}=>{b.name}",
+        time_range=(0.0, 1.0),
+    )

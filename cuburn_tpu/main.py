@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="histogram accumulation backend")
     p.add_argument("--no-de", action="store_true",
                    help="disable density-estimation filtering")
+    p.add_argument("--blend", metavar="GENOME2",
+                   help="build an animated edge genome sweeping from "
+                        "GENOME to GENOME2 (use with --animate)")
+    p.add_argument("--blend-spin", type=float, default=0.0,
+                   help="extra full camera rotations across the edge")
     p.add_argument("--convert", action="store_true",
                    help="convert genome to cuburn-tpu JSON and exit")
     p.add_argument("--flame-index", type=int, default=0,
@@ -73,6 +78,10 @@ def load_genome(spec: str, index: int):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     genome = load_genome(args.genome, args.flame_index)
+    if args.blend:
+        from cuburn_tpu.genome.blend import blend_genomes
+        target = load_genome(args.blend, 0)
+        genome = blend_genomes(genome, target, spin=args.blend_spin)
 
     if args.convert:
         print(genome.to_json())

@@ -16,15 +16,29 @@ from typing import IO, Optional
 
 import numpy as np
 
+try:  # native encoders (cuburn_tpu/native/fastout.c); optional
+    from cuburn_tpu.native import fastout as _fastout
+except ImportError:  # pragma: no cover
+    _fastout = None
+
 
 def write_image(path: str, img: np.ndarray):
-    """Write a (H, W, 4) u8 frame as PNG/JPEG by extension."""
-    from PIL import Image
-    arr = np.asarray(img)
+    """Write a (H, W, 4) u8 frame as PNG/JPEG by extension.
+
+    PNG goes through the native zlib encoder when built (the per-frame
+    host hot path); JPEG and the fallback use PIL."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
     ext = os.path.splitext(path)[1].lower()
     if ext in (".jpg", ".jpeg"):
+        from PIL import Image
         Image.fromarray(arr[..., :3], "RGB").save(path, quality=95)
+        return
+    h, w = arr.shape[:2]
+    if _fastout is not None:
+        with open(path, "wb") as f:
+            f.write(_fastout.encode_png(arr.tobytes(), w, h))
     else:
+        from PIL import Image
         Image.fromarray(arr, "RGBA").save(path)
 
 
@@ -48,12 +62,18 @@ class Y4MSink:
             .encode())
 
     def write_frame(self, img: np.ndarray):
-        rgb = np.asarray(img[..., :3], dtype=np.float32) / 255.0
+        arr = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w = arr.shape[:2]
+        self.stream.write(b"FRAME\n")
+        if _fastout is not None:
+            self.stream.write(
+                _fastout.rgb_to_ycbcr444(arr.tobytes(), w, h))
+            return
+        rgb = arr[..., :3].astype(np.float32) / 255.0
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 0.5 + (b - y) * 0.564
         cr = 0.5 + (r - y) * 0.713
-        self.stream.write(b"FRAME\n")
         for plane in (y, cb, cr):
             self.stream.write(
                 np.clip(plane * 255.0 + 0.5, 0, 255)

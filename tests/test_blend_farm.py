@@ -1,0 +1,164 @@
+"""Tests: keyframe blending (genome/blend.py) and the frame farm
+(parallel/farm.py) — reference layers 3 (blend) and 7 (dist/)."""
+
+import dataclasses
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from cuburn_tpu.genome.blend import align_xforms, blend_genomes
+from cuburn_tpu.models import classic_swirl, full_feature, sierpinski
+from cuburn_tpu.profile import RenderProfile
+
+
+class TestBlend:
+    def test_endpoints_match_sources(self):
+        a, b = sierpinski(), classic_swirl()
+        edge = blend_genomes(a, b)
+        pa = edge.eval_at(0.0)
+        pb = edge.eval_at(1.0)
+        n = len(edge.xforms)
+        assert n == max(len(a.xforms), len(b.xforms))
+        # endpoint affines match source values (padded rows identity)
+        src_a = a.eval_at(0.0)
+        src_b = b.eval_at(0.0)
+        np.testing.assert_allclose(pa.affine[:len(a.xforms)],
+                                   src_a.affine, atol=1e-5)
+        np.testing.assert_allclose(pb.affine[:len(b.xforms)],
+                                   src_b.affine, atol=1e-5)
+        np.testing.assert_allclose(pa.palette, src_a.palette, atol=1e-6)
+        np.testing.assert_allclose(pb.palette, src_b.palette, atol=1e-6)
+
+    def test_variation_union_fades(self):
+        a, b = sierpinski(), classic_swirl()    # linear vs swirl etc.
+        edge = blend_genomes(a, b)
+        key = edge.structure_key()
+        assert "linear" in key.variations
+        assert "swirl" in key.variations
+        # a-only variations have zero weight at t=1 on a's xforms:
+        p_mid = edge.eval_at(0.5)
+        assert p_mid.var_weights.shape[1] == len(key.variations)
+
+    def test_padding_xforms_have_zero_weight(self):
+        a, b = sierpinski(), classic_swirl()   # 3 vs 3; force pad
+        b2 = classic_swirl()
+        b2.xforms = b2.xforms[:2]
+        edge = blend_genomes(a, b2)
+        pb = edge.eval_at(1.0)
+        assert pb.weights[2] == 0.0   # padded end fades to nothing
+
+    def test_spin(self):
+        a, b = sierpinski(), sierpinski()
+        edge = blend_genomes(a, b, spin=1.0)
+        assert edge.rotate(1.0) - edge.rotate(0.0) == pytest.approx(360.0)
+
+    def test_edge_renders(self):
+        from cuburn_tpu.render import Renderer
+        edge = blend_genomes(sierpinski(), classic_swirl())
+        prof = RenderProfile(width=64, height=64, quality=30,
+                             batch=1024, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        img0, _ = Renderer(edge, prof).render_frame(0.0, 1)
+        img5, _ = Renderer(edge, prof).render_frame(0.5, 1)
+        img1, _ = Renderer(edge, prof).render_frame(1.0, 1)
+        assert img0[..., :3].max() > 0
+        assert not np.array_equal(img0, img1)
+        assert not np.array_equal(img0, img5)
+
+    def test_xaos_blending(self):
+        a, b = full_feature(), sierpinski()
+        edge = blend_genomes(a, b)
+        p0 = edge.eval_at(0.0)
+        p1 = edge.eval_at(1.0)
+        src = full_feature().eval_at(0.0)
+        k = len(a.xforms)
+        np.testing.assert_allclose(p0.xaos[:k, :k], src.xaos, atol=1e-5)
+        np.testing.assert_allclose(p1.xaos, 1.0, atol=1e-5)
+
+
+class TestFarm:
+    def _profile(self):
+        return RenderProfile(width=48, height=48, quality=20,
+                             batch=1024, iters_per_chunk=8, fuse=8,
+                             hist_backend="scatter", de_enabled=False)
+
+    def test_end_to_end(self):
+        from cuburn_tpu.parallel.farm import (FarmClient, FarmServer,
+                                              run_worker)
+        server = FarmServer()
+        server.serve_background()
+        try:
+            client = FarmClient(server.address)
+            ids = client.submit_animation(
+                sierpinski(), self._profile(), [0.0, 0.0, 0.0], seed=3)
+            assert len(ids) == 3
+            workers = [threading.Thread(
+                target=run_worker, args=(server.address,),
+                kwargs={"max_tasks": 2}) for _ in range(2)]
+            for w in workers:
+                w.start()
+            frames = [client.fetch(i, timeout=180) for i in ids]
+            for w in workers:
+                w.join(timeout=60)
+            for f in frames:
+                assert f.shape == (48, 48, 4)
+                assert f[..., :3].max() > 0
+            # same genome+seed policy: determinism per job seed
+            client.close()
+        finally:
+            server.shutdown()
+
+    def test_lease_requeue_on_worker_loss(self):
+        from cuburn_tpu.parallel.farm import FarmState
+        st = FarmState(lease_seconds=0.1)
+        [tid] = st.submit("{}", {}, [0.0])
+        t1 = st.get_task()
+        assert t1 is not None and t1.job_id == tid
+        assert st.get_task() is None            # leased, not available
+        time.sleep(0.15)
+        t2 = st.get_task()                      # lease expired: requeued
+        assert t2 is not None and t2.job_id == tid
+        st.put_result(tid, b"xx", (1, 2))
+        assert st.get_task() is None            # done: never re-issued
+
+
+class TestNativeOutput:
+    def test_native_png_matches_pil_decode(self, tmp_path):
+        fastout = pytest.importorskip("cuburn_tpu.native.fastout")
+        from PIL import Image
+        rng = np.random.RandomState(3)
+        img = (rng.rand(33, 47, 4) * 255).astype(np.uint8)
+        png = fastout.encode_png(img.tobytes(), 47, 33)
+        import io
+        back = np.asarray(Image.open(io.BytesIO(png)))
+        np.testing.assert_array_equal(back, img)
+
+    def test_native_ycbcr_matches_python(self):
+        fastout = pytest.importorskip("cuburn_tpu.native.fastout")
+        rng = np.random.RandomState(4)
+        img = (rng.rand(16, 16, 4) * 255).astype(np.uint8)
+        ycc = np.frombuffer(
+            fastout.rgb_to_ycbcr444(img.tobytes(), 16, 16), np.uint8
+        ).reshape(3, 16, 16).astype(np.float64)
+        rgb = img[..., :3].astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 + (b - y) * 0.564
+        cr = 128 + (r - y) * 0.713
+        assert np.abs(ycc[0] - y).max() <= 1.5
+        assert np.abs(ycc[1] - cb).max() <= 1.5
+        assert np.abs(ycc[2] - cr).max() <= 1.5
+
+    def test_write_image_uses_native(self, tmp_path):
+        from cuburn_tpu import output as om
+        if om._fastout is None:
+            pytest.skip("extension not built")
+        img = np.zeros((8, 8, 4), np.uint8)
+        img[..., 1] = 200
+        p = tmp_path / "n.png"
+        om.write_image(str(p), img)
+        from PIL import Image
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, img)
