@@ -58,7 +58,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which <flame> to use from a multi-flame file")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame render statistics")
+    p.add_argument("--metrics-json",
+                   help="append one JSON metrics record per frame to "
+                        "this file (SURVEY.md §5 observability)")
+    p.add_argument("--devices", type=int,
+                   help="shard the frame across N local chips "
+                        "(trajectory DP + ICI histogram reduce)")
+    p.add_argument("--save-hist",
+                   help="write the raw f32 accumulation histogram to "
+                        "this .npy (checkpoint for high-quality stills)")
+    p.add_argument("--resume-hist",
+                   help="resume accumulation from a saved histogram")
+    p.add_argument("--trace-dir",
+                   help="capture a jax.profiler trace (Perfetto) of the "
+                        "render into this directory")
     return p
+
+
+def _append_metrics(path, record):
+    import json as _json
+    with open(path, "a") as f:
+        f.write(_json.dumps(record) + "\n")
+
+
+def _stats_record(frame_idx, t, stats):
+    return {
+        "frame": frame_idx, "time": t,
+        "plotted_samples": stats.plotted_samples,
+        "total_iters": stats.total_iters,
+        "retention": round(stats.retention, 4),
+        "samples_per_sec": round(stats.samples_per_sec, 1),
+        "iterate_ms": round(stats.iterate_s * 1e3, 2),
+        "filter_ms": round(stats.filter_s * 1e3, 2),
+    }
 
 
 def load_genome(spec: str, index: int):
@@ -104,7 +136,18 @@ def main(argv=None) -> int:
         overrides["de_enabled"] = False
     prof = get_profile(args.profile, **overrides)
 
-    renderer = Renderer(genome, prof)
+    if args.devices and args.devices > 1:
+        from cuburn_tpu.parallel import ShardedRenderer, make_mesh
+        renderer = ShardedRenderer(genome, prof,
+                                   mesh=make_mesh(args.devices))
+    else:
+        renderer = Renderer(genome, prof)
+
+    trace_ctx = None
+    if args.trace_dir:
+        import jax
+        jax.profiler.start_trace(args.trace_dir)
+        trace_ctx = args.trace_dir
 
     if args.animate:
         sink = output_mod.make_video_sink(
@@ -119,13 +162,28 @@ def main(argv=None) -> int:
                     print(f"frame {n}: {stats.samples_per_sec/1e6:.1f} "
                           f"Msamples/s, retention "
                           f"{stats.retention:.2f}", file=sys.stderr)
+                if args.metrics_json:
+                    _append_metrics(args.metrics_json,
+                                    _stats_record(n, None, stats))
         finally:
             sink.close()
         dt = time.time() - t0
         print(f"wrote {n} frames to {args.output} in {dt:.1f}s "
               f"({n / max(dt, 1e-9):.2f} fps)")
     else:
-        img, stats = renderer.render_frame(args.time, seed=args.seed)
+        import numpy as np
+        hist0 = None
+        if args.resume_hist:
+            hist0 = np.load(args.resume_hist)
+        if args.save_hist or args.resume_hist:
+            hist, stats = renderer.accumulate(args.time, args.seed,
+                                              hist0=hist0)
+            if args.save_hist:
+                np.save(args.save_hist, np.asarray(hist))
+            img = renderer.finalize_frame(hist, args.time, stats)
+        else:
+            img, stats = renderer.render_frame(args.time,
+                                               seed=args.seed)
         output_mod.write_image(args.output, img)
         if args.stats:
             print(f"iterate {stats.iterate_s*1e3:.1f} ms "
@@ -133,7 +191,15 @@ def main(argv=None) -> int:
                   f"retention {stats.retention:.2f}); "
                   f"filters {stats.filter_s*1e3:.1f} ms",
                   file=sys.stderr)
+        if args.metrics_json:
+            _append_metrics(args.metrics_json,
+                            _stats_record(0, args.time, stats))
         print(f"wrote {args.output}")
+
+    if trace_ctx:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"trace written to {trace_ctx}", file=sys.stderr)
     return 0
 
 

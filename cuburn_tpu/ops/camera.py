@@ -26,10 +26,16 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CameraSpec:
-    """Static camera geometry (part of the jit trace shape)."""
+    """Static camera geometry (part of the jit trace shape).
+
+    `no_rotation=True` statically elides the rotation math (set by the
+    Renderer when the genome's rotate spline is constantly zero — the
+    common case; the trace-time equivalent of cuburn not emitting
+    rotation code when unused)."""
     width: int          # output width, pixels
     height: int         # output height, pixels
     ss: int = 1         # supersampling factor
+    no_rotation: bool = False
 
     @property
     def acc_width(self) -> int:
@@ -56,12 +62,15 @@ def project(spec: CameraSpec, center, ppu, rotate_deg, x, y):
     re-render at any resolution (reference: profile-applied camera,
     cuburn/profile.py).
     """
-    theta = -rotate_deg * np.float32(np.pi / 180.0)
-    ct, st = jnp.cos(theta), jnp.sin(theta)
     dx = x - center[0]
     dy = y - center[1]
-    rx = ct * dx - st * dy
-    ry = st * dx + ct * dy
+    if spec.no_rotation:
+        rx, ry = dx, dy
+    else:
+        theta = -rotate_deg * np.float32(np.pi / 180.0)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        rx = ct * dx - st * dy
+        ry = st * dx + ct * dy
     ppu_ss = ppu * np.float32(spec.ss)
     px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)
     py = ry * ppu_ss + np.float32(spec.acc_height * 0.5)

@@ -154,7 +154,9 @@ def iterate_step(
     coordinate rather than resolved colors (SURVEY.md §1 deferred
     writeback)."""
     stream = rng_mod.RngStream(state.rng)
-    u = stream.uniform()
+    bits = stream.bits()
+    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24))
     table = build_xform_table(key, params)   # loop-invariant, hoisted
     idx, prow = select_and_fetch(key, cdf_rows, table, state.last_xf, u)
 
@@ -164,10 +166,12 @@ def iterate_step(
     bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny)) \
         | (jnp.abs(nx) > BADVALUE_LIMIT) \
         | (jnp.abs(ny) > BADVALUE_LIMIT)
-    # Respawn coordinates from one fresh uniform (v) plus a cheap
-    # decorrelating fold; full-entropy draws are wasted on the common
-    # (no-badvalue) path, and respawned points re-fuse before plotting.
-    v = stream.uniform()
+    # Respawn coordinates from a cheap remix of the selection draw's
+    # bits; full-entropy draws are wasted on the common (no-badvalue)
+    # path, and respawned points re-fuse before plotting anyway.
+    mixed = bits * jnp.uint32(0x9E3779B9)
+    v = (mixed >> jnp.uint32(8)).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24))
     rx = v * 2.0 - 1.0
     vy = v * np.float32(997.0)
     ry = (vy - jnp.floor(vy)) * 2.0 - 1.0

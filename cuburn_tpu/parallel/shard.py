@@ -51,7 +51,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
-                     "n_iters", "fuse"))
+                     "n_iters", "fuse", "packed"))
 def sharded_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -65,6 +65,7 @@ def sharded_accumulate(
     n_chunks: int,
     n_iters: int,
     fuse: int,
+    packed: bool = True,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
 
@@ -75,7 +76,7 @@ def sharded_accumulate(
     def device_body(params, cdf_rows, state, hist, ppu):
         state, hist, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state, hist, ppu,
-            jnp.int32(n_chunks), n_iters, fuse)
+            jnp.int32(n_chunks), n_iters, fuse, packed=packed)
         # the single collective: reduce partial histograms over ICI
         hist = jax.lax.psum(hist, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
@@ -95,8 +96,13 @@ def sharded_accumulate(
     return shard(params, cdf_rows, state, hist, ppu)
 
 
-class ShardedRenderer:
-    """Multi-chip version of render.Renderer (same output contract).
+from cuburn_tpu.render import Renderer
+
+
+class ShardedRenderer(Renderer):
+    """Multi-chip render.Renderer: same API and output contract, but
+    the per-frame accumulation shards trajectories across every chip of
+    the mesh and reduces partial histograms with one psum over ICI.
 
     Scaling model per SURVEY.md §5 long-context row: each chip owns a
     full histogram replica (HBM-resident), trajectories shard across
@@ -104,53 +110,48 @@ class ShardedRenderer:
 
     def __init__(self, genome: Genome, profile: RenderProfile,
                  mesh: Optional[Mesh] = None):
-        self.genome = genome
-        self.profile = profile
+        super().__init__(genome, profile)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_devices = self.mesh.devices.size
+        self.n_devices = int(self.mesh.devices.size)
         if profile.batch % self.n_devices:
             raise ValueError(
                 f"batch {profile.batch} must divide over "
                 f"{self.n_devices} devices")
-        self.key = genome.structure_key()
-        self.cam = CameraSpec(profile.width, profile.height, profile.ss)
-        backend = profile.hist_backend
-        if backend == "auto":
-            backend = "sortcum" if jax.default_backend() == "tpu" \
-                else "scatter"
-        self.backend = backend
+        if self.backend == "pallas":
+            # pallas layout conversion is single-device for now
+            self.backend = "scatter"
 
-    def render_frame(self, t: float = 0.0, seed: int = 0):
-        import time as _time
-        from cuburn_tpu.render import (FrameStats, _filter_frame,
-                                       _to_device)
-        prof, cam = self.profile, self.cam
-        stats = FrameStats()
-        params = _to_device(self.genome.eval_at(t))
+    def _accumulate_sample(self, params, hist, seed: int, iters: float):
+        prof, cam, key = self.profile, self.cam, self.key
         cdf_rows = xform_cdf_rows(params)
-        ppu = params.ppu * jnp.float32(prof.width / self.genome.size[0])
-
-        state = init_state(jax.random.PRNGKey(seed), prof.batch)
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while (batch > 1024 * self.n_devices
+               and iters / batch < min_life):
+            batch //= 2
+        state = init_state(jax.random.PRNGKey(seed), batch)
         state = jax.device_put(
             state, NamedSharding(self.mesh, P(BATCH_AXIS)))
-        hist = hist_mod.alloc(cam.n_bins)
-
-        per_chunk = prof.batch * prof.iters_per_chunk
-        n_chunks = max(1, int(np.ceil(prof.total_iters / per_chunk)))
-        t0 = _time.perf_counter()
+        ppu = params.ppu * jnp.float32(
+            prof.width / self.genome.size[0])
+        per_chunk = batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters / per_chunk)))
         state, hist, plotted = sharded_accumulate(
-            self.key, cam, self.backend, self.mesh, params, cdf_rows,
-            state, hist, ppu, n_chunks, prof.iters_per_chunk, prof.fuse)
-        hist.block_until_ready()
-        stats.iterate_s = _time.perf_counter() - t0
-        stats.plotted_samples = int(plotted)
-        stats.total_iters = n_chunks * per_chunk
+            key, cam, self.backend, self.mesh, params, cdf_rows,
+            state, hist, ppu, n_chunks, prof.iters_per_chunk,
+            prof.fuse, packed=self.packed)
+        return hist, plotted, n_chunks * per_chunk
 
-        t1 = _time.perf_counter()
-        q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
-        de_on = prof.de_enabled and float(params.estimator_radius) > 0
-        img = _filter_frame(cam, prof.transparent, de_on,
-                            hist_mod.finalize(hist), params, q_cell)
-        img = np.asarray(img)
-        stats.filter_s = _time.perf_counter() - t1
-        return img, stats
+    def _accumulate_temporal(self, ts_times, hist, seed, iters_per_sample):
+        # multi-chip temporal path: sequential per-sample accumulation
+        # (each sample still shards across the mesh)
+        from cuburn_tpu.render import _to_device
+        total_plotted = 0
+        total_iters = 0
+        for i, tt in enumerate(ts_times):
+            params = _to_device(self.genome.eval_at(tt))
+            hist, n, it = self._accumulate_sample(
+                params, hist, seed + i, iters_per_sample)
+            total_plotted += int(n)
+            total_iters += it
+        return hist, total_plotted, total_iters

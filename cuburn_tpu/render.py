@@ -98,7 +98,9 @@ class Renderer:
         self.genome = genome
         self.profile = profile
         self.key = genome.structure_key()
-        self.cam = CameraSpec(profile.width, profile.height, profile.ss)
+        no_rot = genome.rotate.is_constant and genome.rotate(0.0) == 0.0
+        self.cam = CameraSpec(profile.width, profile.height, profile.ss,
+                              no_rotation=no_rot)
         backend = profile.hist_backend
         if backend == "auto":
             backend = "scatter"
@@ -118,13 +120,39 @@ class Renderer:
     # -- frame rendering -------------------------------------------------
 
     def render_frame(self, t: float = 0.0, seed: int = 0,
+                     hist0: Optional[np.ndarray] = None,
                      ) -> Tuple[np.ndarray, FrameStats]:
         """Render one frame at genome time t.  Returns (u8 image
-        (H, W, 4), FrameStats)."""
+        (H, W, 4), FrameStats).
+
+        `hist0`: optional logical (n_bins+1, 4) histogram to resume
+        accumulation from (checkpoint/resume for very-high-quality
+        stills, SURVEY.md §5); pair with `last_hist`."""
+        hist, stats = self.accumulate(t, seed, hist0)
+        img = self.finalize_frame(hist, t, stats)
+        return img, stats
+
+    def accumulate(self, t: float = 0.0, seed: int = 0,
+                   hist0: Optional[np.ndarray] = None,
+                   ) -> Tuple[np.ndarray, FrameStats]:
+        """Run the chaos game for one frame's quality budget; returns
+        the *logical* (n_bins+1, 4) histogram and stats."""
         prof, cam = self.profile, self.cam
         stats = FrameStats()
 
-        hist = hist_alloc_for(self.backend, cam.n_bins)
+        if hist0 is not None:
+            hist0 = jnp.asarray(hist0, jnp.float32)
+            if hist0.shape != (cam.n_bins + 1, 4):
+                raise ValueError(
+                    f"resume histogram shape {hist0.shape} != "
+                    f"{(cam.n_bins + 1, 4)}")
+            if self.backend == "pallas":
+                from cuburn_tpu.ops import pallas_hist as ph
+                hist = ph.to_packed_layout(hist0)
+            else:
+                hist = hist0
+        else:
+            hist = hist_alloc_for(self.backend, cam.n_bins)
         t0 = time.perf_counter()
         ts_times, ts_weight = self._temporal_times(t)
         if len(ts_times) == 1:
@@ -142,17 +170,23 @@ class Renderer:
         stats.total_iters += n_iter
         hist.block_until_ready()
         stats.iterate_s = time.perf_counter() - t0
+        return hist_to_logical(self.backend, hist, cam.n_bins), stats
 
+    def finalize_frame(self, hist, t: float = 0.0,
+                       stats: Optional[FrameStats] = None) -> np.ndarray:
+        """logscale -> DE -> colorclip -> downsample a logical
+        histogram into a u8 frame."""
+        prof, cam = self.profile, self.cam
         t1 = time.perf_counter()
         params = _to_device(self.genome.eval_at(t))
         q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
-        hist = hist_to_logical(self.backend, hist, cam.n_bins)
         img = _filter_frame(
             cam, prof.transparent, self._de_on(params),
-            hist_mod.finalize(hist), params, q_cell)
+            hist_mod.finalize(jnp.asarray(hist)), params, q_cell)
         img = np.asarray(img)
-        stats.filter_s = time.perf_counter() - t1
-        return img, stats
+        if stats is not None:
+            stats.filter_s = time.perf_counter() - t1
+        return img
 
     def _de_on(self, params) -> bool:
         return (self.profile.de_enabled and

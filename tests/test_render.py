@@ -176,3 +176,62 @@ class TestCLI:
                    "--quality", "20"])
         assert rc == 0
         assert out.exists()
+
+
+class TestCheckpointResume:
+    def test_resume_accumulation_doubles_mass(self):
+        r = Renderer(sierpinski(), FAST)
+        h1, s1 = r.accumulate(0.0, seed=1)
+        h2, s2 = r.accumulate(0.0, seed=2, hist0=np.asarray(h1))
+        m1 = float(np.asarray(h1)[:-1, 3].sum())
+        m2 = float(np.asarray(h2)[:-1, 3].sum())
+        assert m2 == pytest.approx(2 * m1, rel=0.05)
+        img = r.finalize_frame(h2, 0.0)
+        assert img[..., :3].max() > 0
+
+    def test_resume_shape_validation(self):
+        r = Renderer(sierpinski(), FAST)
+        with pytest.raises(ValueError):
+            r.accumulate(0.0, hist0=np.zeros((7, 4), np.float32))
+
+    def test_cli_save_and_resume(self, tmp_path):
+        from cuburn_tpu.main import main
+        hist_file = str(tmp_path / "ckpt.npy")
+        out1 = str(tmp_path / "a.png")
+        out2 = str(tmp_path / "b.png")
+        base = ["gallery:sierpinski", "--profile", "preview",
+                "--width", "64", "--height", "64", "--quality", "20"]
+        assert main(base + ["-o", out1, "--save-hist", hist_file]) == 0
+        assert main(base + ["-o", out2, "--resume-hist", hist_file,
+                            "--seed", "5"]) == 0
+        a = np.load(hist_file)
+        assert a.shape == (64 * 64 + 1, 4)
+
+
+class TestShardedCLI:
+    def test_devices_flag(self, tmp_path):
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        from cuburn_tpu.main import main
+        out = str(tmp_path / "s.png")
+        rc = main(["gallery:sierpinski", "-o", out, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "20", "--devices", "4"])
+        assert rc == 0
+        from PIL import Image
+        img = np.asarray(Image.open(out))
+        assert img[..., :3].max() > 0
+
+    def test_metrics_json(self, tmp_path):
+        import json
+        from cuburn_tpu.main import main
+        out = str(tmp_path / "m.png")
+        metrics = str(tmp_path / "metrics.jsonl")
+        rc = main(["gallery:sierpinski", "-o", out, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "20", "--metrics-json", metrics])
+        assert rc == 0
+        rec = json.loads(open(metrics).readline())
+        assert rec["plotted_samples"] > 0
+        assert "iterate_ms" in rec and "retention" in rec
