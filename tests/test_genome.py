@@ -211,3 +211,48 @@ class TestPalette:
         assert out.shape == (256, 3)
         np.testing.assert_allclose(out[0], pal[0])
         np.testing.assert_allclose(out[-1], pal[-1])
+
+
+class TestWildFixture:
+    """Parse + render a realistic Apophysis-style multi-flame file
+    (tests/fixtures/wild_sheep.flam3): the flam3-compat regression
+    corpus pattern of SURVEY.md §4."""
+
+    def _load(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "wild_sheep.flam3")
+        return convert.load_genomes(path)
+
+    def test_parse_all_features(self):
+        g1, g2 = self._load()
+        assert g1.name == "wild_sheep_001"
+        assert len(g1.xforms) == 4
+        assert g1.final_xform is not None
+        assert "bipolar" in g1.final_xform.vars
+        assert g1.xaos is not None                 # chaos row on xf 1
+        assert [v(0) for v in g1.xaos[0]] == [1.0, 1.0, 0.5, 1.0]
+        assert g1.xforms[1].color_speed(0) == pytest.approx(0.05)
+        assert g1.xforms[2].color_speed(0) == pytest.approx(0.15)
+        assert g1.xforms[2].post is not None
+        assert g1.xforms[3].opacity(0) == 0.5
+        assert g1.rotate(0) == 23.5
+        key = g1.structure_key()
+        for v in ("spherical", "julian", "bubble", "pre_blur",
+                  "waves2", "elliptic", "linear"):
+            assert v in key.variations
+        # second flame uses per-index <color> entries
+        pal = g2.palettes[0][1]
+        assert pal[0, 0] == pytest.approx(1.0)
+        assert pal[255, 2] == pytest.approx(1.0)
+
+    def test_renders(self):
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g1, _ = self._load()
+        prof = RenderProfile(width=64, height=64, quality=40,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        img, stats = Renderer(g1, prof).render_frame(0.0, seed=11)
+        assert img[..., :3].max() > 0
+        assert stats.plotted_samples > 0
