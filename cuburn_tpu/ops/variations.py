@@ -689,12 +689,18 @@ def v_lazysusan(c, w, P):
     rr = jnp.sqrt(x * x + y * y)
     inside = rr < w
     a = jnp.arctan2(y, x) + spin + twist * (w - rr)
+    # flam3 adds the +-lx/ly offsets unscaled, but it only evaluates
+    # ACTIVE variations; under union evaluation (ops/xform.py) every
+    # point sees every variation with gathered weight, so the
+    # weight-independent terms must be gated on w != 0 to preserve
+    # flam3 semantics.
+    active = (w != 0.0).astype(x.dtype)
     r_in = w * rr
-    dx_in = r_in * jnp.cos(a) + lx
-    dy_in = r_in * jnp.sin(a) - ly
+    dx_in = r_in * jnp.cos(a) + active * lx
+    dy_in = r_in * jnp.sin(a) - active * ly
     r_out = w * (1.0 + space / (rr + EPS))
-    dx_out = r_out * x + lx
-    dy_out = r_out * y - ly
+    dx_out = r_out * x + active * lx
+    dy_out = r_out * y - active * ly
     return (jnp.where(inside, dx_in, dx_out),
             jnp.where(inside, dy_in, dy_out))
 

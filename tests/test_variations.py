@@ -1,0 +1,267 @@
+"""Per-variation unit tests (SURVEY.md §4: pure functions compared
+against closed-form flam3 formulas on a point grid, CPU only).
+
+Two layers:
+  * every variation: finiteness + zero-weight annihilation on a grid
+    that avoids singular points
+  * spot checks: ~20 variations with independently written closed-form
+    expectations (not shared code with the implementation)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuburn_tpu.genome.variations import (ALL_VARIATIONS,
+                                          VARIATION_PARAMS,
+                                          STOCHASTIC_VARIATIONS)
+from cuburn_tpu.ops import rng as rng_mod
+from cuburn_tpu.ops.variations import VARIATION_IMPLS, make_ctx
+
+
+def _grid(n=64):
+    # avoid exact zeros/axis points where flam3 formulas are singular
+    xs = np.linspace(-1.9, 2.1, n) + 0.0137
+    ys = np.linspace(-2.1, 1.9, n) + 0.0291
+    gx, gy = np.meshgrid(xs, ys)
+    return (jnp.asarray(gx.ravel(), jnp.float32),
+            jnp.asarray(gy.ravel(), jnp.float32))
+
+
+def _eval(name, tx, ty, w=0.7, params=None, affine=None, seed=0):
+    B = tx.shape[0]
+    if affine is None:
+        affine = (1.1, 0.2, 0.3, -0.2, 0.9, 0.15)
+    aff = tuple(jnp.full((B,), v, jnp.float32) for v in affine)
+    stream = rng_mod.RngStream(rng_mod.seed(jax.random.PRNGKey(seed), B))
+    ctx = make_ctx(tx, ty, aff, stream)
+    defaults = dict(VARIATION_PARAMS[name])
+    if params:
+        defaults.update(params)
+
+    def P(attr):
+        return jnp.full((B,), defaults[attr], jnp.float32)
+
+    wv = jnp.full((B,), w, jnp.float32)
+    dx, dy = VARIATION_IMPLS[name](ctx, wv, P)
+    return np.asarray(dx), np.asarray(dy)
+
+
+@pytest.mark.parametrize("name", ALL_VARIATIONS)
+def test_finite_on_grid(name):
+    tx, ty = _grid(32)
+    dx, dy = _eval(name, tx, ty)
+    assert np.isfinite(dx).all(), f"{name} produced non-finite x"
+    assert np.isfinite(dy).all(), f"{name} produced non-finite y"
+
+
+@pytest.mark.parametrize("name", ALL_VARIATIONS)
+def test_zero_weight_is_zero(name):
+    """w=0 must contribute nothing (the union-evaluation design relies
+    on this: xforms not using a variation gather weight 0) — checked
+    with NONZERO parameter values, since weight-independent additive
+    terms (flam3 never evaluates inactive variations) are exactly the
+    way this design can break."""
+    tx, ty = _grid(16)
+    params = {attr: d + 0.37 for attr, d in VARIATION_PARAMS[name]}
+    dx, dy = _eval(name, tx, ty, w=0.0, params=params)
+    assert np.abs(dx).max() < 1e-4, f"{name}: nonzero at w=0"
+    assert np.abs(dy).max() < 1e-4, f"{name}: nonzero at w=0"
+
+
+class TestClosedForms:
+    """Independent closed-form expectations (flam3 paper formulas)."""
+
+    W = 0.7
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(24)
+        self.x = np.asarray(self.tx, np.float64)
+        self.y = np.asarray(self.ty, np.float64)
+        self.r2 = self.x**2 + self.y**2
+        self.r = np.sqrt(self.r2)
+        self.theta = np.arctan2(self.x, self.y)
+
+    def check(self, name, ex, ey, tol=1e-4, **kw):
+        dx, dy = _eval(name, self.tx, self.ty, w=self.W, **kw)
+        np.testing.assert_allclose(dx, self.W * ex, rtol=tol, atol=tol,
+                                   err_msg=f"{name} x")
+        np.testing.assert_allclose(dy, self.W * ey, rtol=tol, atol=tol,
+                                   err_msg=f"{name} y")
+
+    def test_linear(self):
+        self.check("linear", self.x, self.y)
+
+    def test_sinusoidal(self):
+        self.check("sinusoidal", np.sin(self.x), np.sin(self.y))
+
+    def test_spherical(self):
+        self.check("spherical", self.x / self.r2, self.y / self.r2,
+                   tol=1e-3)
+
+    def test_swirl(self):
+        s, c = np.sin(self.r2), np.cos(self.r2)
+        self.check("swirl", self.x * s - self.y * c,
+                   self.x * c + self.y * s, tol=1e-3)
+
+    def test_horseshoe(self):
+        self.check("horseshoe",
+                   (self.x - self.y) * (self.x + self.y) / self.r,
+                   2 * self.x * self.y / self.r, tol=1e-3)
+
+    def test_polar(self):
+        self.check("polar", self.theta / np.pi, self.r - 1.0)
+
+    def test_handkerchief(self):
+        self.check("handkerchief",
+                   self.r * np.sin(self.theta + self.r),
+                   self.r * np.cos(self.theta - self.r), tol=1e-3)
+
+    def test_heart(self):
+        self.check("heart", self.r * np.sin(self.theta * self.r),
+                   -self.r * np.cos(self.theta * self.r), tol=1e-3)
+
+    def test_disc(self):
+        a = self.theta / np.pi
+        self.check("disc", a * np.sin(np.pi * self.r),
+                   a * np.cos(np.pi * self.r), tol=1e-3)
+
+    def test_fisheye_swaps(self):
+        s = 2.0 / (self.r + 1.0)
+        self.check("fisheye", s * self.y, s * self.x, tol=1e-3)
+
+    def test_eyefish(self):
+        s = 2.0 / (self.r + 1.0)
+        self.check("eyefish", s * self.x, s * self.y, tol=1e-3)
+
+    def test_bubble(self):
+        s = 4.0 / (self.r2 + 4.0)
+        self.check("bubble", s * self.x, s * self.y, tol=1e-3)
+
+    def test_cylinder(self):
+        self.check("cylinder", np.sin(self.x), self.y)
+
+    def test_exponential(self):
+        e = np.exp(self.x - 1.0)
+        self.check("exponential", e * np.cos(np.pi * self.y),
+                   e * np.sin(np.pi * self.y), tol=1e-3)
+
+    def test_cosine(self):
+        self.check("cosine",
+                   np.cos(np.pi * self.x) * np.cosh(self.y),
+                   -np.sin(np.pi * self.x) * np.sinh(self.y), tol=1e-3)
+
+    def test_pdj(self):
+        p = {"pdj_a": 0.9, "pdj_b": -0.3, "pdj_c": 1.2, "pdj_d": 0.7}
+        self.check("pdj",
+                   np.sin(p["pdj_a"] * self.y) - np.cos(
+                       p["pdj_b"] * self.x),
+                   np.sin(p["pdj_c"] * self.x) - np.cos(
+                       p["pdj_d"] * self.y),
+                   params=p, tol=1e-3)
+
+    def test_curl_with_c2_zero(self):
+        # c2=0: (x', y') = ((x re + y im), (y re - x im)) / (re^2+im^2)
+        c1 = 0.5
+        re = 1.0 + c1 * self.x
+        im = c1 * self.y
+        d = re * re + im * im
+        self.check("curl", (self.x * re + self.y * im) / d,
+                   (self.y * re - self.x * im) / d,
+                   params={"curl_c1": c1, "curl_c2": 0.0}, tol=1e-3)
+
+    def test_waves_uses_affine(self):
+        aff = (1.0, 0.5, 0.25, -0.3, 0.8, 0.6)   # b=0.5 c=0.25 e=0.8 f=0.6
+        b, c, e, f = 0.5, 0.25, 0.8, 0.6
+        dx, dy = _eval("waves", self.tx, self.ty, w=self.W, affine=aff)
+        ex = self.x + b * np.sin(self.y / (c * c))
+        ey = self.y + e * np.sin(self.x / (f * f))
+        np.testing.assert_allclose(dx, self.W * ex, atol=1e-3)
+        np.testing.assert_allclose(dy, self.W * ey, atol=1e-3)
+
+    def test_popcorn_uses_affine(self):
+        aff = (1.0, 0.0, 0.25, 0.0, 1.0, 0.6)
+        c, f = 0.25, 0.6
+        dx, dy = _eval("popcorn", self.tx, self.ty, w=self.W,
+                       affine=aff)
+        ex = self.x + c * np.sin(np.tan(3 * self.y))
+        ey = self.y + f * np.sin(np.tan(3 * self.x))
+        np.testing.assert_allclose(dx, self.W * ex, atol=2e-3)
+        np.testing.assert_allclose(dy, self.W * ey, atol=2e-3)
+
+    def test_julian_power_one_deterministic(self):
+        # power=1, dist=2: r^2/1... formula reduces to
+        # r^(dist/power) * (cos(phi), sin(phi)) with phi = atan2(y,x)
+        phi = np.arctan2(self.y, self.x)
+        rr = (self.r2) ** (2.0 / 1.0 / 2.0)
+        self.check("julian", rr * np.cos(phi), rr * np.sin(phi),
+                   params={"julian_power": 1.0, "julian_dist": 2.0},
+                   tol=2e-3)
+
+    def test_mobius_identity(self):
+        # a=1, d=1 (b=c=0): the identity Mobius map
+        p = {"mobius_re_a": 1.0, "mobius_re_d": 1.0}
+        self.check("mobius", self.x, self.y, params=p, tol=1e-3)
+
+    def test_complex_sin(self):
+        self.check("sin", np.sin(self.x) * np.cosh(self.y),
+                   np.cos(self.x) * np.sinh(self.y), tol=2e-3)
+
+    def test_complex_exp(self):
+        e = np.exp(self.x)
+        self.check("exp", e * np.cos(self.y), e * np.sin(self.y),
+                   tol=2e-3)
+
+    def test_complex_log(self):
+        self.check("log", 0.5 * np.log(self.r2),
+                   np.arctan2(self.y, self.x), tol=1e-3)
+
+    def test_tangent(self):
+        self.check("tangent", np.sin(self.x) / np.cos(self.y),
+                   np.tan(self.y), tol=2e-3)
+
+    def test_scry_weight_nonlinear(self):
+        # scry deliberately breaks the w-linear pattern: its output is
+        # NOT proportional to w (weight sits inside the denominator)
+        tx, ty = self.tx, self.ty
+        d1x, _ = _eval("scry", tx, ty, w=0.4)
+        d2x, _ = _eval("scry", tx, ty, w=0.8)
+        ratio = np.abs(d2x / d1x)
+        assert not np.allclose(ratio, 2.0, atol=0.2)
+
+
+class TestStochastic:
+    def test_blur_disc_support(self):
+        """blur scatters inside a w-radius disc regardless of input."""
+        tx, ty = _grid(32)
+        dx, dy = _eval("blur", tx, ty, w=0.5, seed=3)
+        r = np.sqrt(dx**2 + dy**2)
+        assert r.max() <= 0.5 + 1e-5
+        assert r.mean() > 0.05
+
+    def test_gaussian_blur_centered(self):
+        tx, ty = _grid(40)
+        dx, dy = _eval("gaussian_blur", tx, ty, w=1.0, seed=4)
+        assert abs(dx.mean()) < 0.05 and abs(dy.mean()) < 0.05
+        assert dx.std() > 0.1
+
+    def test_square_support(self):
+        tx, ty = _grid(32)
+        dx, dy = _eval("square", tx, ty, w=1.0, seed=5)
+        assert dx.min() >= -0.5 and dx.max() <= 0.5
+        assert dy.min() >= -0.5 and dy.max() <= 0.5
+
+    def test_julia_two_branches(self):
+        tx = jnp.full((4096,), 0.8, jnp.float32)
+        ty = jnp.full((4096,), 0.6, jnp.float32)
+        dx, dy = _eval("julia", tx, ty, w=1.0, seed=6)
+        # sqrt(r)*[cos/sin](theta/2 + {0, pi}): two antipodal clusters
+        uniq = np.unique(np.round(dx, 3))
+        assert len(uniq) == 2
+        np.testing.assert_allclose(uniq[0], -uniq[1], atol=1e-3)
+
+    def test_noise_bounded_by_input(self):
+        tx, ty = _grid(16)
+        dx, dy = _eval("noise", tx, ty, w=1.0, seed=7)
+        assert (np.abs(dx) <= np.abs(np.asarray(tx)) + 1e-5).all()
