@@ -16,9 +16,16 @@ exactly equivalent in structure and maps onto dense convs:
 
 Each source pixel contributes through its own radius band, preserving
 flam3's scatter semantics (per-SOURCE radius, not per-dest), while all
-the work is K separable convolutions — dense, fusable, MXU/VPU-friendly
+the work is K separable convolutions — dense, fusable, VPU/MXU-friendly
 (SURVEY.md §7 "hard parts" item 2 names this fallback; here it is the
-primary implementation, with kernel LUT rows computed at trace time).
+primary implementation).
+
+The band *ladder* (radii and per-band kernel tap counts) is built from
+a STATIC max radius — the Renderer samples the genome's
+estimator_radius once — so each band's kernel length is exactly what
+its radius needs (the sharp bands cost almost nothing) and nothing
+retraces when the traced estimator parameters animate; those still
+drive the per-pixel band assignment.
 
 Radius is measured in accumulator (supersampled) pixels; callers
 pre-scale genome estimator_radius by ss.
@@ -26,52 +33,54 @@ pre-scale genome estimator_radius by ss.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Static geometry of the band decomposition (compile-time).
 N_BANDS = 8
-MAX_TAP_RADIUS = 16          # kernel half-width; radii clamp to this
+MAX_RADIUS_CAP = 24          # absolute clamp on DE radius, px
 MIN_BAND_RADIUS = 0.5        # radii below this are effectively identity
 
 
-def _band_radii(max_radius):
-    """Traced (N_BANDS,) geometric radius ladder from max_radius down to
-    MIN_BAND_RADIUS."""
-    max_r = jnp.clip(max_radius, MIN_BAND_RADIUS, MAX_TAP_RADIUS)
+@functools.lru_cache(maxsize=None)
+def band_ladder(static_max_radius: float):
+    """Static geometric radius ladder + per-band tap counts.
+
+    Returns (radii tuple, taps tuple); band 0 is the widest."""
+    max_r = float(np.clip(static_max_radius, MIN_BAND_RADIUS,
+                          MAX_RADIUS_CAP))
     g = (MIN_BAND_RADIUS / max_r) ** (1.0 / (N_BANDS - 1))
-    k = jnp.arange(N_BANDS, dtype=jnp.float32)
-    return max_r * g ** k     # r_0 = max_r ... r_{K-1} = MIN_BAND_RADIUS
+    radii = tuple(max_r * g ** k for k in range(N_BANDS))
+    # Gaussian sigma = r/2, support to 3 sigma = 1.5 r
+    taps = tuple(int(np.ceil(1.5 * r)) for r in radii)
+    return radii, taps
 
 
-def _gaussian_taps(radius):
-    """Normalized (2*MAX_TAP_RADIUS+1,) Gaussian for a traced radius.
-    sigma = r/2 so the kernel is ~0 beyond r; r -> 0 degenerates to a
-    delta (identity blur), which is how the sharpest band stays sharp."""
-    x = jnp.arange(-MAX_TAP_RADIUS, MAX_TAP_RADIUS + 1,
-                   dtype=jnp.float32)
-    sigma = jnp.maximum(radius * 0.5, np.float32(1e-3))
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+def _gaussian_taps(radius: float, half: int):
+    x = np.arange(-half, half + 1, dtype=np.float32)
+    sigma = max(radius * 0.5, 1e-3)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
 
 
-def _sep_blur(img, taps):
-    """Separable blur of (H, W, C) with 1-D taps along both axes."""
+def _sep_blur(img, taps, half: int):
+    """Separable blur of (H, W, C) with static 1-D taps on both axes."""
+    if half == 0:
+        return img
     H, W, C = img.shape
     x = img.transpose(2, 0, 1)[None]          # (1, C, H, W)
-    kh = jnp.broadcast_to(taps[None, None, :, None],
-                          (C, 1, taps.shape[0], 1))
-    kw = jnp.broadcast_to(taps[None, None, None, :],
-                          (C, 1, 1, taps.shape[0]))
+    n = 2 * half + 1
+    kh = jnp.broadcast_to(taps[None, None, :, None], (C, 1, n, 1))
+    kw = jnp.broadcast_to(taps[None, None, None, :], (C, 1, 1, n))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    pad = MAX_TAP_RADIUS
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        x, kh, (1, 1), [(half, half), (0, 0)], dimension_numbers=dn,
         feature_group_count=C)
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        x, kw, (1, 1), [(0, 0), (half, half)], dimension_numbers=dn,
         feature_group_count=C)
     return x[0].transpose(1, 2, 0)
 
@@ -83,26 +92,37 @@ def radius_for_density(density, max_radius, min_radius, curve):
     return jnp.clip(r, min_radius, jnp.maximum(max_radius, min_radius))
 
 
-def density_filter(img, density, max_radius, min_radius, curve):
+def density_filter(img, density, max_radius, min_radius, curve,
+                   static_max_radius: float = None):
     """Banded adaptive DE blur.
 
     img     (H, W, 4) log-scaled premultiplied rgba
     density (H, W)    raw accumulator counts (pre-logscale)
-    radii in accumulator pixels (already ss-scaled by the caller).
+    max_radius/min_radius/curve: traced flam3 estimator params (drive
+        the per-pixel band assignment)
+    static_max_radius: compile-time radius that fixes the band ladder;
+        defaults to MAX_RADIUS_CAP-clamped 9 (flam3 default) when the
+        caller doesn't supply one.
     """
-    radii = _band_radii(max_radius)
-    r_px = radius_for_density(density, jnp.clip(max_radius, 0.0,
-                                                MAX_TAP_RADIUS),
-                              min_radius, curve)
-    # nearest band in log space
+    if static_max_radius is None:
+        static_max_radius = 9.0
+    radii, taps = band_ladder(static_max_radius)
+
+    r_px = radius_for_density(
+        density, jnp.clip(max_radius, 0.0, MAX_RADIUS_CAP),
+        min_radius, curve)
+    log_bands = jnp.asarray(np.log(radii), jnp.float32)   # (K,)
     logr = jnp.log(jnp.maximum(r_px, MIN_BAND_RADIUS))
-    log_bands = jnp.log(radii)                          # (K,)
     band = jnp.argmin(
         jnp.abs(logr[..., None] - log_bands[None, None, :]), axis=-1)
 
     out = jnp.zeros_like(img)
     for k in range(N_BANDS):
         mask = (band == k)[..., None].astype(img.dtype)
-        taps = _gaussian_taps(radii[k])
-        out = out + _sep_blur(img * mask, taps)
+        masked = img * mask
+        if taps[k] == 0:
+            out = out + masked      # identity band: stays sharp
+        else:
+            out = out + _sep_blur(
+                masked, _gaussian_taps(radii[k], taps[k]), taps[k])
     return out

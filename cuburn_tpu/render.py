@@ -64,18 +64,22 @@ class FrameStats:
 # dispatch latency (SURVEY.md §2b pipeline-overlap row).
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "transparent", "de_on"))
+@functools.partial(jax.jit, static_argnames=("cam", "transparent",
+                                             "de_on", "de_static_r"))
 def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
-                  hist, params: GenomeParams, quality_per_cell):
+                  hist, params: GenomeParams, quality_per_cell,
+                  de_static_r: float = 9.0):
     """logscale -> DE -> colorclip -> downsample -> u8, one fused jit."""
     img = hist.reshape(cam.acc_height, cam.acc_width, 4)
+    raw_density = img[..., 3]
     img = logscale(img, params.brightness, quality_per_cell)
     if de_on:
         img = de_mod.density_filter(
-            img, hist.reshape(cam.acc_height, cam.acc_width, 4)[..., 3],
+            img, raw_density,
             params.estimator_radius * cam.ss,
             params.estimator_minimum * cam.ss,
-            params.estimator_curve)
+            params.estimator_curve,
+            static_max_radius=de_static_r)
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
@@ -180,9 +184,11 @@ class Renderer:
         t1 = time.perf_counter()
         params = _to_device(self.genome.eval_at(t))
         q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
+        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
         img = _filter_frame(
             cam, prof.transparent, self._de_on(params),
-            hist_mod.finalize(jnp.asarray(hist)), params, q_cell)
+            hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
+            de_static_r=de_r if de_r > 0 else 9.0)
         img = np.asarray(img)
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1
