@@ -31,19 +31,24 @@ class CameraSpec:
     `no_rotation=True` statically elides the rotation math (set by the
     Renderer when the genome's rotate spline is constantly zero — the
     common case; the trace-time equivalent of cuburn not emitting
-    rotation code when unused)."""
+    rotation code when unused).
+
+    `gutter` is a border margin (in accumulator pixels) around the
+    image so density-estimation blur doesn't clip at the frame edge —
+    flam3's gutter (rect.c); the filter stage crops it after DE."""
     width: int          # output width, pixels
     height: int         # output height, pixels
     ss: int = 1         # supersampling factor
     no_rotation: bool = False
+    gutter: int = 0
 
     @property
     def acc_width(self) -> int:
-        return self.width * self.ss
+        return self.width * self.ss + 2 * self.gutter
 
     @property
     def acc_height(self) -> int:
-        return self.height * self.ss
+        return self.height * self.ss + 2 * self.gutter
 
     @property
     def n_bins(self) -> int:

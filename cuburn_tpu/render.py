@@ -80,10 +80,18 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
             params.estimator_minimum * cam.ss,
             params.estimator_curve,
             static_max_radius=de_static_r)
+    if cam.gutter:
+        g = cam.gutter
+        img = img[g:g + cam.height * cam.ss,
+                  g:g + cam.width * cam.ss]
+    # flam3 order: the supersample downsample happens BEFORE colorclip
+    # (rect.c folds the spatial filter into DE accumulation, then
+    # colorclips output-res pixels) — and it's cheaper: gamma at 1/ss^2
+    # the pixels.
+    img = downsample(img, cam.ss)
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
-    img = downsample(img, cam.ss)
     return to_u8(img)
 
 
@@ -103,8 +111,13 @@ class Renderer:
         self.profile = profile
         self.key = genome.structure_key()
         no_rot = genome.rotate.is_constant and genome.rotate(0.0) == 0.0
+        # gutter: DE blur must not clip at the frame border (flam3's
+        # gutter margin); sized to the static DE radius at acc scale.
+        de_r0 = float(genome.estimator_radius(0.0)) * profile.ss
+        gutter = (int(np.ceil(min(de_r0, de_mod.MAX_RADIUS_CAP)))
+                  if (profile.de_enabled and de_r0 > 0) else 0)
         self.cam = CameraSpec(profile.width, profile.height, profile.ss,
-                              no_rotation=no_rot)
+                              no_rotation=no_rot, gutter=gutter)
         backend = profile.hist_backend
         if backend == "auto":
             backend = "scatter"
