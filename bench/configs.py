@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark suite: the five binding configurations of BASELINE.md.
+
+Runs each config end-to-end (accumulate + filters) with hard-sync
+timing and prints one JSON record per config plus a summary line.
+Sizes scale down automatically off-TPU (CI smoke).
+
+  1. sierpinski 512^2, 1M samples, log tonemap (affine-only)
+  2. classic variations + palette + gamma/vibrancy, 720p
+  3. full variation set + parametric + final xform + xaos, 1080p
+  4. adaptive DE + 2x supersampling at quality 2000
+  5. animated spline sequence with temporal-sample motion blur
+
+Usage: python bench/configs.py [--quick] [--config N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+
+def run_config(idx, quick):
+    import jax
+    from cuburn_tpu.models import (animated_spark, classic_swirl,
+                                   full_feature, sierpinski)
+    from cuburn_tpu.profile import RenderProfile
+    from cuburn_tpu.render import Renderer
+    from cuburn_tpu.utils.timing import hard_sync
+
+    on_tpu = jax.default_backend() == "tpu"
+    scale = 1.0 if (on_tpu and not quick) else 0.1
+
+    def sz(x, lo=64):
+        return max(lo, int(x * (scale ** 0.5)) // 16 * 16)
+
+    B = 1 << 15 if on_tpu else 1 << 12
+    common = dict(batch=B, iters_per_chunk=32, fuse=32,
+                  hist_backend="scatter")
+
+    if idx == 1:
+        g = sierpinski()
+        prof = RenderProfile(width=sz(512), height=sz(512),
+                             quality=max(4, int(1_000_000 * scale)
+                                         // (sz(512) ** 2) + 1),
+                             de_enabled=False, **common)
+    elif idx == 2:
+        g = classic_swirl()
+        prof = RenderProfile(width=sz(1280), height=sz(720),
+                             quality=max(8, int(500 * scale)),
+                             de_enabled=False, **common)
+    elif idx == 3:
+        g = full_feature()
+        prof = RenderProfile(width=sz(1920), height=sz(1080),
+                             quality=max(8, int(1000 * scale)),
+                             de_enabled=False, **common)
+    elif idx == 4:
+        g = classic_swirl()
+        prof = RenderProfile(width=sz(1920), height=sz(1080), ss=2,
+                             quality=max(8, int(2000 * scale)),
+                             de_enabled=True, **common)
+    elif idx == 5:
+        g = animated_spark()
+        prof = RenderProfile(width=sz(1280), height=sz(720),
+                             quality=max(8, int(200 * scale)),
+                             temporal_samples=4, de_enabled=False,
+                             **common)
+    else:
+        raise ValueError(idx)
+
+    r = Renderer(g, prof)
+    # warm compile
+    img, _ = r.render_frame(0.2, seed=1)
+    t0 = time.perf_counter()
+    img, stats = r.render_frame(0.2, seed=2)
+    wall = time.perf_counter() - t0
+    rec = {
+        "config": idx, "genome": g.name,
+        "size": f"{prof.width}x{prof.height}", "ss": prof.ss,
+        "quality": prof.quality,
+        "temporal_samples": prof.temporal_samples,
+        "plotted_samples": stats.plotted_samples,
+        "samples_per_sec": round(stats.samples_per_sec, 1),
+        "retention": round(stats.retention, 3),
+        "iterate_ms": round(stats.iterate_s * 1e3, 1),
+        "filter_ms": round(stats.filter_s * 1e3, 1),
+        "frame_wall_s": round(wall, 2),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small sizes even on TPU")
+    ap.add_argument("--config", type=int,
+                    help="run only config N (1-5)")
+    args = ap.parse_args()
+    configs = [args.config] if args.config else [1, 2, 3, 4, 5]
+    recs = [run_config(i, args.quick) for i in configs]
+    best = max(r["samples_per_sec"] for r in recs)
+    print(json.dumps({"summary": "best_samples_per_sec", "value": best,
+                      "configs_run": configs}))
+
+
+if __name__ == "__main__":
+    main()
