@@ -97,8 +97,17 @@ def load_genome(spec: str, index: int):
     from cuburn_tpu.genome.convert import load_genomes
     from cuburn_tpu.models import get_genome
     if spec.startswith("gallery:"):
-        return get_genome(spec.split(":", 1)[1])
-    genomes = load_genomes(spec)
+        try:
+            return get_genome(spec.split(":", 1)[1])
+        except ValueError as e:
+            raise SystemExit(str(e))
+    try:
+        genomes = load_genomes(spec)
+    except FileNotFoundError:
+        raise SystemExit(f"genome file not found: {spec}")
+    except Exception as e:
+        raise SystemExit(f"could not parse {spec}: "
+                         f"{type(e).__name__}: {e}")
     if not genomes:
         raise SystemExit(f"no genomes found in {spec}")
     if index >= len(genomes):
