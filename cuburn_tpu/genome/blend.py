@@ -21,8 +21,8 @@ confidence vs the reference's exact algorithm, SURVEY.md §0].
 
 from __future__ import annotations
 
-import copy
-from typing import Dict, List, Optional
+
+from typing import Dict, Optional
 
 import numpy as np
 

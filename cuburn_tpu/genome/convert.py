@@ -17,7 +17,7 @@ flam3 attribute conventions honored here:
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

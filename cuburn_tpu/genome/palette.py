@@ -10,7 +10,7 @@ GenomeParams and sampled there with a gather + lerp.
 from __future__ import annotations
 
 import re
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

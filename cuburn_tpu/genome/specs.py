@@ -28,7 +28,6 @@ from cuburn_tpu.genome.spline import Spline, spline
 from cuburn_tpu.genome.variations import (
     VARIATION_PARAMS,
     is_variation,
-    param_names,
 )
 from cuburn_tpu.genome import palette as palette_mod
 

@@ -16,7 +16,7 @@ differential-tested against this implementation).
 from __future__ import annotations
 
 import numbers
-from typing import Sequence, Tuple, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -22,7 +22,7 @@ floats instead of flam3's 0..255 integer white levels:
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

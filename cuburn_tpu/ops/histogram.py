@@ -30,7 +30,7 @@ unbiased.  The golden tests bound the end-to-end visual impact.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

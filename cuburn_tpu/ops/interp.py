@@ -16,7 +16,7 @@ Catmull-Rom, end clamping) and are differential-tested against it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,7 @@ f32 on device — tests use tolerances accordingly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+
 from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp

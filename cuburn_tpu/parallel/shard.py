@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuburn_tpu.genome.specs import Genome, StructureKey
-from cuburn_tpu.ops import histogram as hist_mod
+
 from cuburn_tpu.ops.camera import CameraSpec
 from cuburn_tpu.ops.iterate import (IterState, init_state,
                                     iterate_accumulate, xform_cdf_rows)

@@ -17,7 +17,7 @@ Per frame (mirroring §3.1):
 
 from __future__ import annotations
 
-import dataclasses
+
 import functools
 import time
 from dataclasses import dataclass
