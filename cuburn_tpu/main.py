@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temporal-samples", type=int,
                    help="genome evaluations per frame (motion blur)")
     p.add_argument("--hist-backend",
-                   choices=["auto", "scatter", "sortcum", "pallas"],
+                   choices=["auto", "scatter", "sortcum", "pallas",
+                            "pallas_merged"],
                    help="histogram accumulation backend")
     p.add_argument("--no-de", action="store_true",
                    help="disable density-estimation filtering")

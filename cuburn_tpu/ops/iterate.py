@@ -259,7 +259,7 @@ def iterate_accumulate(
 
     Returns (new_state, hist, plotted_count)."""
     cbits = color_bits_for(cam.n_bins) if packed else 0
-    if backend == "pallas" and not cbits:
+    if backend.startswith("pallas") and not cbits:
         raise ValueError("pallas backend requires packed records "
                          "(unit opacities and <= 2^24 bins)")
 
@@ -276,9 +276,12 @@ def iterate_accumulate(
 
             state, packed_recs = jax.lax.scan(
                 body, state, None, length=iters_per_flush)
-            if backend == "pallas":
+            if backend in ("pallas", "pallas_merged"):
                 from cuburn_tpu.ops import pallas_hist as ph
-                hist = ph.accumulate_packed_pallas(
+                acc = (ph.accumulate_merged_pallas
+                       if backend == "pallas_merged"
+                       else ph.accumulate_packed_pallas)
+                hist = acc(
                     hist, packed_recs, palette_hi, cam.n_bins, cbits,
                     interpret=jax.default_backend() != "tpu")
                 n = n + jnp.sum(
@@ -355,7 +358,7 @@ def hist_alloc_for(backend: str, n_bins: int):
     into (lane-packed for pallas, logical (bins+1, 4) otherwise)."""
     from cuburn_tpu.ops import histogram as hist_mod
     hist = hist_mod.alloc(n_bins)
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.to_packed_layout(hist)
     return hist
@@ -363,7 +366,7 @@ def hist_alloc_for(backend: str, n_bins: int):
 
 def hist_to_logical(backend: str, hist, n_bins: int):
     """Convert a backend-layout histogram to logical (bins+1, 4)."""
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.from_packed_layout(hist, n_bins)
     return hist

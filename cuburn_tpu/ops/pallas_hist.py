@@ -93,6 +93,93 @@ def _hist_kernel(log_ref, pal_ref, hist_ref):
     jax.lax.fori_loop(0, BLOCK, body, 0)
 
 
+def _hist_kernel_counted(log_ref, cnt_ref, pal_ref, hist_ref):
+    """Like _hist_kernel but each record carries a multiplicity
+    (the merged-run flush: cuburn's sorted segmented write).  Records
+    with count 0 are skipped via predication."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    cbits = int(np.log2(pal_ref.shape[0]))
+    cmask = (1 << cbits) - 1
+
+    def body(i, _):
+        rec = log_ref[i]
+        cnt = cnt_ref[i]
+
+        @pl.when(cnt > 0)
+        def _():
+            addr = jax.lax.shift_right_logical(rec, cbits)
+            cq = rec & cmask
+            row = addr // BINS_PER_ROW
+            slot = (addr % BINS_PER_ROW) * 4
+            add = pltpu.roll(
+                pal_ref[pl.ds(cq, 1), :] * cnt.astype(jnp.float32),
+                slot, axis=1)
+            hist_ref[pl.ds(row, 1), :] = \
+                hist_ref[pl.ds(row, 1), :] + add
+        return 0
+
+    jax.lax.fori_loop(0, BLOCK, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "color_bits", "interpret"))
+def accumulate_merged_pallas(hist_packed, packed_records, palette_hi,
+                             n_bins: int, color_bits: int,
+                             interpret: bool = False):
+    """Sort + run-merge + count-weighted Pallas flush: the full
+    'key-sort + segment-sum flushes' design named by BASELINE.json.
+
+    Duplicate records (hot pixels hit repeatedly with the same palette
+    coordinate — the heavy tail of flame density distributions)
+    collapse into one weighted VMEM update each."""
+    from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
+
+    rows = hist_packed.shape[0]
+    junk_rec = jnp.uint32(n_bins << color_bits)
+    sorted_recs = sort_records(packed_records)
+    uniq, counts = merge_sorted_records(sorted_recs, junk_rec)
+    m = uniq.shape[0]
+    n_blocks = -(-m // BLOCK)
+    pad = n_blocks * BLOCK - m
+    if pad:
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((pad,), junk_rec, jnp.uint32)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad,), jnp.int32)])
+
+    pal128 = _pal128(palette_hi)
+    delta = pl.pallas_call(
+        _hist_kernel_counted,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((palette_hi.shape[0], 128),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        interpret=interpret,
+    )(uniq.astype(jnp.int32), counts, pal128)
+    return hist_packed + delta
+
+
+def _pal128(palette_hi):
+    """Palette rows with density=1 appended, padded to 128 lanes."""
+    pal = jnp.concatenate(
+        [palette_hi, jnp.ones((palette_hi.shape[0], 1),
+                              palette_hi.dtype)], axis=1)
+    pal128 = jnp.zeros((palette_hi.shape[0], 128), jnp.float32)
+    return pal128.at[:, :4].set(pal)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "color_bits", "interpret"))
 def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,
@@ -116,13 +203,7 @@ def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,
         recs = jnp.concatenate(
             [recs, jnp.full((pad,), junk_rec, jnp.int32)])
 
-    # palette rows with density=1 appended, padded to 128 lanes
-    pal = jnp.concatenate(
-        [palette_hi, jnp.ones((palette_hi.shape[0], 1),
-                              palette_hi.dtype)], axis=1)
-    pal128 = jnp.zeros((palette_hi.shape[0], 128), jnp.float32)
-    pal128 = pal128.at[:, :4].set(pal)
-
+    pal128 = _pal128(palette_hi)
     delta = pl.pallas_call(
         _hist_kernel,
         grid=(n_blocks,),

@@ -1,0 +1,101 @@
+"""Vectorized bitonic sort for packed log records.
+
+TPU-native replacement for the reference's custom GPU radix sort
+(cuburn/code/sort.py, SURVEY.md §2b): cuburn sorted writeback-log keys
+so its write kernel could aggregate runs; here a roll-based bitonic
+network sorts packed u32 records so the histogram flush can merge
+duplicate records (hot pixels — the exact contention the reference
+engineered against) before touching memory.
+
+Why not `jax.lax.sort`?  On TPU it lowers to a scalar-heavy path
+measured ~2 M elem/s in this environment — ~100x below what the VPU can
+do.  The XOR-partner bitonic network below uses only `jnp.roll`,
+compares and selects (~14 element-ops per substage), runs entirely on
+vector lanes, and the identical code works inside Pallas kernels (roll
+and select are Mosaic-supported), which is where round-2's fully fused
+iterate+sort+flush kernel will host it.
+
+The XOR-partner trick: for power-of-two stride k, element i's partner
+is i^k.  For the half with (i & k) == 0 the partner sits at i + k =
+roll(-k); for the other half at i - k = roll(+k); adding k to an index
+whose k-bit is clear never carries past higher bits, so the circular
+wrap of roll never lies.
+
+Keys only — the histogram use packs everything (address + quantized
+palette coordinate) into one u32, so records that compare equal are
+identical and no payload permutation is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bitonic_sort_u32(keys: jnp.ndarray) -> jnp.ndarray:
+    """Ascending sort of a (N,) uint32 array, N a power of two."""
+    n = keys.shape[0]
+    if n & (n - 1):
+        raise ValueError(f"N must be a power of two, got {n}")
+    log_n = n.bit_length() - 1
+    x = keys.astype(jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+
+    for stage in range(1, log_n + 1):
+        size = 1 << stage            # bitonic block size
+        # descending blocks where (i & size) != 0 — after the final
+        # stage there is a single ascending block
+        desc = (idx & jnp.uint32(size)) != 0
+        for sub in range(stage - 1, -1, -1):
+            k = 1 << sub
+            bit = (idx & jnp.uint32(k)) != 0
+            partner = jnp.where(bit, jnp.roll(x, k), jnp.roll(x, -k))
+            lo = jnp.minimum(x, partner)
+            hi = jnp.maximum(x, partner)
+            take_hi = bit ^ desc
+            x = jnp.where(take_hi, hi, lo)
+    return x
+
+
+def sort_records(records: jnp.ndarray) -> jnp.ndarray:
+    """Sort a flat array of packed u32 records (any length: pads to the
+    next power of two with 0xFFFFFFFF sentinels that sort to the end;
+    the caller slices them off or lets them land in the junk bin)."""
+    flat = records.reshape(-1).astype(jnp.uint32)
+    n = flat.shape[0]
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pow2 - n,), 0xFFFFFFFF, jnp.uint32)])
+    return bitonic_sort_u32(flat)
+
+
+def merge_sorted_records(sorted_recs: jnp.ndarray, junk_record):
+    """Run-length merge of a SORTED record stream.
+
+    Returns (unique_records (N,), counts (N,) int32) where the first U
+    positions hold each distinct record with its multiplicity and the
+    remainder are `junk_record` with count 0 — fixed shapes, no
+    dynamic sizes, scatter-free (gather at prefix-sum positions).
+
+    This is the segment-sum half of the reference's sorted-writeback
+    design: duplicate (pixel, color) hits — the hot-spot contention
+    case — collapse into one weighted update."""
+    n = sorted_recs.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_recs[1:] != sorted_recs[:-1]])
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1   # (N,)
+    # first position of each segment, gathered at segment rank
+    positions = jnp.arange(n, dtype=jnp.int32)
+    # compact: for each output slot u, find the u-th run start via
+    # searchsorted over seg_id (monotone), then counts by difference
+    starts = jnp.searchsorted(seg_id, positions)          # (N,)
+    valid = positions < seg_id[-1] + 1
+    uniq = jnp.where(valid,
+                     jnp.take(sorted_recs, jnp.minimum(starts, n - 1)),
+                     junk_record)
+    next_start = jnp.concatenate(
+        [starts[1:], jnp.full((1,), n, jnp.int32)])
+    counts = jnp.where(valid, next_start - starts, 0)
+    return uniq, counts.astype(jnp.int32)

@@ -117,7 +117,7 @@ class ShardedRenderer(Renderer):
             raise ValueError(
                 f"batch {profile.batch} must divide over "
                 f"{self.n_devices} devices")
-        if self.backend == "pallas":
+        if self.backend.startswith("pallas"):
             # pallas layout conversion is single-device for now
             self.backend = "scatter"
 

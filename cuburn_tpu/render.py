@@ -128,7 +128,7 @@ class Renderer:
             all(xf.opacity.is_constant and xf.opacity(0.0) == 1.0
                 for xf in genome.xforms)
             and color_bits_for(self.cam.n_bins) > 0)
-        if self.backend == "pallas" and not self.packed:
+        if self.backend.startswith("pallas") and not self.packed:
             import warnings
             warnings.warn("pallas histogram backend needs packed "
                           "records (unit opacities); using scatter")
@@ -163,7 +163,7 @@ class Renderer:
                 raise ValueError(
                     f"resume histogram shape {hist0.shape} != "
                     f"{(cam.n_bins + 1, 4)}")
-            if self.backend == "pallas":
+            if self.backend.startswith("pallas"):
                 from cuburn_tpu.ops import pallas_hist as ph
                 hist = ph.to_packed_layout(hist0)
             else:
