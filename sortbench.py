@@ -81,6 +81,19 @@ def main():
     interp = jax.default_backend() != "tpu"
     run("pallas", lambda *a: ph.accumulate_packed_pallas(
         *a, n_bins, cbits, interpret=interp), hp, packed, pal_hi)
+    run("pallas_merged", lambda *a: ph.accumulate_merged_pallas(
+        *a, n_bins, cbits, interpret=interp), hp, packed, pal_hi)
+
+    # raw sort primitives (the reference's sortbench.py measured its
+    # radix sort; ours compares lax.sort vs the roll-based bitonic)
+    from cuburn_tpu.ops.sort import bitonic_sort_u32
+    u32 = packed.reshape(-1)
+    run("lax.sort keys", jax.jit(jax.lax.sort), u32,
+        validate=lambda out: float(
+            (np.asarray(out) != np.sort(np.asarray(u32))).mean()))
+    run("bitonic (roll)", jax.jit(bitonic_sort_u32), u32,
+        validate=lambda out: float(
+            (np.asarray(out) != np.sort(np.asarray(u32))).mean()))
 
 
 if __name__ == "__main__":
