@@ -105,17 +105,38 @@ def main():
     ap.add_argument("--config", type=int,
                     help="run only config N (1-5)")
     args = ap.parse_args()
-    configs = [args.config] if args.config else [1, 2, 3, 4, 5]
-    recs = []
-    for i in configs:
+    if args.config:
         try:
-            recs.append(run_config(i, args.quick))
+            run_config(args.config, args.quick)
         except Exception as e:
-            print(json.dumps({"config": i, "error":
+            print(json.dumps({"config": args.config, "error":
                               f"{type(e).__name__}: {e}"[:200]}))
+            sys.exit(1)
+        return
+
+    # Each config runs in its own subprocess: a TPU-worker crash (the
+    # dev environment dies on large programs, see CLAUDE.md) poisons
+    # the whole JAX backend in-process, but the next config gets a
+    # fresh one.
+    import subprocess
+    recs = []
+    for i in (1, 2, 3, 4, 5):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--config", str(i)]
+        if args.quick:
+            cmd.append("--quick")
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                rec = json.loads(line)
+                if "samples_per_sec" in rec:
+                    recs.append(rec)
+        if out.returncode:
+            time.sleep(60)   # let the TPU worker come back
     best = max((r["samples_per_sec"] for r in recs), default=0)
     print(json.dumps({"summary": "best_samples_per_sec", "value": best,
-                      "configs_run": configs,
                       "completed": [r["config"] for r in recs]}))
 
 

@@ -37,6 +37,7 @@ _FLAME_SCALAR_ATTRS = {
     "vibrancy": 1.0, "highlight_power": -1.0,
     "estimator_radius": 9.0, "estimator_minimum": 0.0,
     "estimator_curve": 0.4, "scale": 100.0, "rotate": 0.0,
+    "filter": 0.5,
 }
 
 _ALL_PARAM_ATTRS = {
@@ -149,6 +150,7 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         estimator_radius=scalars["estimator_radius"],
         estimator_minimum=scalars["estimator_minimum"],
         estimator_curve=scalars["estimator_curve"],
+        spatial_filter=scalars["filter"],
         size=size, name=attrs.get("name", "untitled"),
     )
 
@@ -198,6 +200,7 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "estimator_minimum": f"{g.estimator_minimum(t):.9g}",
         "estimator_curve": f"{g.estimator_curve(t):.9g}",
         "background": " ".join(f"{s(t):.9g}" for s in g.background),
+        "filter": f"{g.spatial_filter(t):.9g}",
     })
 
     def emit_xform(tag: str, xf: XForm, chaos_row=None):

@@ -179,6 +179,7 @@ class GenomeParams:
     estimator_radius: np.ndarray
     estimator_minimum: np.ndarray
     estimator_curve: np.ndarray
+    spatial_filter: np.ndarray
 
 
 try:  # register as a JAX pytree so it can flow through jit/vmap/scan
@@ -218,6 +219,9 @@ class Genome:
     estimator_radius: Spline = None
     estimator_minimum: Spline = None
     estimator_curve: Spline = None
+    # flam3 `filter`: spatial filter radius for the supersample
+    # reduction (0 = box average)
+    spatial_filter: Spline = None
     size: Tuple[int, int] = (640, 480)   # nominal size `scale` refers to
     name: str = "untitled"
     time_range: Tuple[float, float] = (0.0, 1.0)
@@ -230,6 +234,7 @@ class Genome:
             "background": (0.0, 0.0, 0.0),
             "estimator_radius": 9.0, "estimator_minimum": 0.0,
             "estimator_curve": 0.4,
+            "spatial_filter": 0.5,
         }
         for name, dflt in defaults.items():
             cur = getattr(self, name)
@@ -359,6 +364,7 @@ class Genome:
             estimator_radius=np.array(self.estimator_radius(t), dtype=f32),
             estimator_minimum=np.array(self.estimator_minimum(t), dtype=f32),
             estimator_curve=np.array(self.estimator_curve(t), dtype=f32),
+            spatial_filter=np.array(self.spatial_filter(t), dtype=f32),
         )
 
     # -- serialization ---------------------------------------------------
@@ -403,6 +409,7 @@ class Genome:
                 "minimum": self.estimator_minimum.to_json(),
                 "curve": self.estimator_curve.to_json(),
             },
+            "spatial_filter": self.spatial_filter.to_json(),
             "palettes": [[t, palette_mod.encode_palette(p)]
                          for t, p in self.palettes],
         }
@@ -454,6 +461,7 @@ class Genome:
             estimator_radius=de.get("radius", 9.0),
             estimator_minimum=de.get("minimum", 0.0),
             estimator_curve=de.get("curve", 0.4),
+            spatial_filter=doc.get("spatial_filter", 0.5),
             size=tuple(doc.get("size", (640, 480))),
             name=doc.get("name", "untitled"),
             time_range=tuple(doc.get("time_range", (0.0, 1.0))),

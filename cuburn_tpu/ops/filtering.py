@@ -144,10 +144,20 @@ def colorclip(img, gamma, vibrancy, highlight_power, gamma_threshold,
     return out
 
 
-def downsample(img, ss: int):
-    """Average ss x ss supersample blocks: (H*ss, W*ss, C) -> (H, W, C)."""
+def downsample(img, ss: int, spatial_filter: float = 0.0):
+    """Supersample reduction: (H*ss, W*ss, C) -> (H, W, C).
+
+    `spatial_filter` (static, output-pixel units) is flam3's `filter`
+    attribute: a Gaussian pre-blur at accumulator resolution before
+    block decimation, approximating flam3's filtered reduction.  0 (or
+    ss == 1) gives a plain box average."""
     if ss == 1:
         return img
+    if spatial_filter and spatial_filter > 0.0:
+        from cuburn_tpu.ops.de import _gaussian_taps, _sep_blur
+        sigma = float(spatial_filter) * ss * 0.5
+        half = max(1, int(np.ceil(3.0 * sigma)))
+        img = _sep_blur(img, _gaussian_taps(2 * sigma, half), half)
     hs, ws, c = img.shape
     h, w = hs // ss, ws // ss
     return img.reshape(h, ss, w, ss, c).mean(axis=(1, 3))

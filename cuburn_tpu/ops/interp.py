@@ -195,6 +195,7 @@ def pack_genome(genome: Genome) -> PackedGenome:
     idx["estimator_radius"] = reg(genome.estimator_radius)
     idx["estimator_minimum"] = reg(genome.estimator_minimum)
     idx["estimator_curve"] = reg(genome.estimator_curve)
+    idx["spatial_filter"] = reg(genome.spatial_filter)
 
     # pack knots
     kmax = max(len(s.knots) for s in splines)
@@ -245,6 +246,7 @@ def pack_genome(genome: Genome) -> PackedGenome:
             estimator_radius=a(idx["estimator_radius"]),
             estimator_minimum=a(idx["estimator_minimum"]),
             estimator_curve=a(idx["estimator_curve"]),
+            spatial_filter=a(idx["spatial_filter"]),
         )
 
     return PackedGenome(

@@ -65,10 +65,12 @@ class FrameStats:
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "transparent",
-                                             "de_on", "de_static_r"))
+                                             "de_on", "de_static_r",
+                                             "spatial_filter"))
 def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
                   hist, params: GenomeParams, quality_per_cell,
-                  de_static_r: float = 9.0):
+                  de_static_r: float = 9.0,
+                  spatial_filter: float = 0.0):
     """logscale -> DE -> colorclip -> downsample -> u8, one fused jit."""
     img = hist.reshape(cam.acc_height, cam.acc_width, 4)
     raw_density = img[..., 3]
@@ -88,7 +90,7 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     # (rect.c folds the spatial filter into DE accumulation, then
     # colorclips output-res pixels) — and it's cheaper: gamma at 1/ss^2
     # the pixels.
-    img = downsample(img, cam.ss)
+    img = downsample(img, cam.ss, spatial_filter)
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
@@ -201,7 +203,8 @@ class Renderer:
         img = _filter_frame(
             cam, prof.transparent, self._de_on(params),
             hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
-            de_static_r=de_r if de_r > 0 else 9.0)
+            de_static_r=de_r if de_r > 0 else 9.0,
+            spatial_filter=float(self.genome.spatial_filter(0.0)))
         img = np.asarray(img)
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1

@@ -176,3 +176,26 @@ class TestDE:
         assert r[0] == pytest.approx(9.0)
         assert r[1] == pytest.approx(9.0 / 4.0)
         assert r[2] == pytest.approx(0.5)       # clamped to minimum
+
+
+class TestSpatialFilter:
+    def test_gaussian_reduction_smooths(self):
+        """flam3 `filter`: Gaussian pre-blur before ss decimation."""
+        img = np.zeros((8, 8, 4), np.float32)
+        img[4, 4] = 16.0
+        box = np.asarray(downsample(jnp.asarray(img), 2, 0.0))
+        gauss = np.asarray(downsample(jnp.asarray(img), 2, 0.5))
+        # box: all mass in one output pixel; gauss: spread to neighbors
+        assert (box > 0).sum() == 4        # one px, 4 channels
+        assert (gauss > 0).sum() > 4
+        np.testing.assert_allclose(gauss.sum(), box.sum(), rtol=1e-3)
+
+    def test_flam3_filter_attr_parsed(self):
+        from cuburn_tpu.genome import convert
+        [g] = convert.parse_flam3(
+            '<flame size="10 10" filter="0.8">'
+            '<xform coefs="1 0 0 1 0 0" linear="1"/></flame>')
+        assert g.spatial_filter(0) == 0.8
+        xml = convert.genome_to_flame_xml(g)
+        [g2] = convert.parse_flam3(xml)
+        assert g2.spatial_filter(0) == 0.8
