@@ -30,9 +30,6 @@ class RenderProfile:
     temporal_samples: int = 1    # genome evaluations per frame (motion blur)
     skip: int = 1                # render every skip-th frame
 
-    def scaled_to(self, genome_size) -> "RenderProfile":
-        return self
-
     @property
     def total_iters(self) -> int:
         return self.quality * self.width * self.height

@@ -261,3 +261,34 @@ class TestPallasHistogram:
         # quantization (identical except junk-bin padding artifacts)
         np.testing.assert_allclose(
             img_s.astype(np.int32), img_p.astype(np.int32), atol=1)
+
+
+class TestPackedVsFullRecords:
+    """The packed-u32 log path must agree with the full-record path on
+    unit-opacity genomes (same trajectories, same flush totals)."""
+
+    def test_histograms_agree(self):
+        from cuburn_tpu.ops.iterate import (hist_alloc_for,
+                                            iterate_accumulate)
+        from cuburn_tpu.ops import histogram as hm
+        g = sierpinski()
+        key = g.structure_key()
+        params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+        cam = CameraSpec(64, 64, 1)
+        cdf = xform_cdf_rows(params)
+        state = init_state(jax.random.PRNGKey(4), 1024)
+        ppu = params.ppu * jnp.float32(64 / g.size[0])
+
+        outs = {}
+        for packed in (True, False):
+            h = hm.alloc(cam.n_bins)
+            _, h, n = iterate_accumulate(
+                key, cam, "scatter", params, cdf, state, h, ppu,
+                jnp.int32(4), 16, 16, packed=packed)
+            outs[packed] = (np.asarray(h), int(n))
+        assert outs[True][1] == outs[False][1]          # same plotted
+        a, b = outs[True][0][:-1], outs[False][0][:-1]  # drop junk
+        # density identical; colors differ only by 10-bit quantization
+        np.testing.assert_allclose(a[:, 3], b[:, 3], atol=1e-3)
+        np.testing.assert_allclose(a[:, :3], b[:, :3], atol=2e-3,
+                                   rtol=2e-2)
