@@ -138,6 +138,8 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         xforms=xforms, final_xform=final, xaos=xaos,
         palettes=[(0.0, palette_at(a.palettes, t_a)),
                   (1.0, palette_at(b.palettes, t_b))],
+        spatial_filter=_edge_spline(a.spatial_filter(t_a),
+                                    b.spatial_filter(t_b)),
         center=(_edge_spline(a.center[0](t_a), b.center[0](t_b)),
                 _edge_spline(a.center[1](t_a), b.center[1](t_b))),
         scale=_edge_spline(a.scale(t_a), b.scale(t_b)),
@@ -162,3 +164,22 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         name=name or f"{a.name}=>{b.name}",
         time_range=(0.0, 1.0),
     )
+
+
+def blend_sequence(genomes, spin: float = 0.0,
+                   sort_by_weight: bool = False):
+    """Build the edge list for an animation through a keyframe list —
+    the flam3-animate workflow (SURVEY.md §3.2): a multi-flame file's
+    stills become N-1 edge genomes, each sweeping its own [0, 1].
+
+    Returns [(edge_genome, seg_start, seg_end)] with segment bounds in
+    global time [0, N-1]."""
+    if len(genomes) < 2:
+        raise ValueError("a sequence needs at least two keyframes")
+    out = []
+    for i in range(len(genomes) - 1):
+        edge = blend_genomes(genomes[i], genomes[i + 1], spin=spin,
+                             sort_by_weight=sort_by_weight,
+                             name=f"seq[{i}]")
+        out.append((edge, float(i), float(i + 1)))
+    return out

@@ -120,10 +120,22 @@ def load_genome(spec: str, index: int):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     genome = load_genome(args.genome, args.flame_index)
+    sequence = None
     if args.blend:
         from cuburn_tpu.genome.blend import blend_genomes
         target = load_genome(args.blend, 0)
         genome = blend_genomes(genome, target, spin=args.blend_spin)
+    elif args.animate and not args.genome.startswith("gallery:"):
+        # multi-flame file + --animate = keyframe sequence (the
+        # flam3-animate workflow): blend consecutive stills into edges
+        from cuburn_tpu.genome.convert import load_genomes
+        try:
+            all_genomes = load_genomes(args.genome)
+        except Exception:
+            all_genomes = []
+        if len(all_genomes) > 1:
+            from cuburn_tpu.genome.blend import blend_sequence
+            sequence = blend_sequence(all_genomes, spin=args.blend_spin)
 
     if args.convert:
         print(genome.to_json())
@@ -164,8 +176,23 @@ def main(argv=None) -> int:
             args.output, prof.width, prof.height, prof.fps)
         n = 0
         t0 = time.time()
+
+        def frame_iter():
+            if sequence is None:
+                yield from renderer.frames(seed=args.seed)
+                return
+            import dataclasses as _dc
+            seg_s = ((prof.duration or 2.0 * len(sequence))
+                     / len(sequence))
+            seg_prof = _dc.replace(prof, duration=seg_s)
+            for k, (edge, _s, _e) in enumerate(sequence):
+                seg_renderer = (type(renderer))(edge, seg_prof) \
+                    if not hasattr(renderer, "mesh") else \
+                    type(renderer)(edge, seg_prof, mesh=renderer.mesh)
+                yield from seg_renderer.frames(seed=args.seed + k)
+
         try:
-            for img, stats in renderer.frames(seed=args.seed):
+            for img, stats in frame_iter():
                 sink.write_frame(img)
                 n += 1
                 if args.stats:

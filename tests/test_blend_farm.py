@@ -162,3 +162,41 @@ class TestNativeOutput:
         from PIL import Image
         back = np.asarray(Image.open(p))
         np.testing.assert_array_equal(back, img)
+
+
+class TestSequence:
+    def test_blend_sequence_segments(self):
+        from cuburn_tpu.genome.blend import blend_sequence
+        gs = [sierpinski(), classic_swirl(), full_feature()]
+        seq = blend_sequence(gs)
+        assert len(seq) == 2
+        (e0, s0, t0), (e1, s1, t1) = seq
+        assert (s0, t0, s1, t1) == (0.0, 1.0, 1.0, 2.0)
+        # continuity at the junction: e0@1 and e1@0 both equal genome 1
+        import numpy as np
+        mid_a = e0.eval_at(1.0)
+        mid_b = e1.eval_at(0.0)
+        k = len(classic_swirl().xforms)
+        np.testing.assert_allclose(mid_a.affine[:k], mid_b.affine[:k],
+                                   atol=1e-5)
+
+    def test_single_keyframe_raises(self):
+        from cuburn_tpu.genome.blend import blend_sequence
+        with pytest.raises(ValueError):
+            blend_sequence([sierpinski()])
+
+    def test_cli_sequence_animation(self, tmp_path):
+        from cuburn_tpu.genome.convert import genome_to_flame_xml
+        from cuburn_tpu.main import main
+        xml = "<flames>%s%s</flames>" % (
+            genome_to_flame_xml(sierpinski()),
+            genome_to_flame_xml(classic_swirl()))
+        p = tmp_path / "seq.flam3"
+        p.write_text(xml)
+        out = tmp_path / "seq.y4m"
+        rc = main([str(p), "-o", str(out), "--animate",
+                   "--profile", "preview", "--width", "48",
+                   "--height", "48", "--quality", "10"])
+        assert rc == 0
+        data = out.read_bytes()
+        assert data.count(b"FRAME\n") >= 2
