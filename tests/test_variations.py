@@ -265,3 +265,137 @@ class TestStochastic:
         tx, ty = _grid(16)
         dx, dy = _eval("noise", tx, ty, w=1.0, seed=7)
         assert (np.abs(dx) <= np.abs(np.asarray(tx)) + 1e-5).all()
+
+
+class TestComplexClosedForms:
+    """Independent re-derivations for the error-prone complex formulas
+    (transcribed from the flam3 function definitions; these are the
+    ones most at risk given the empty reference mount, SURVEY.md §0)."""
+
+    W = 0.6
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(20)
+        self.x = np.asarray(self.tx, np.float64)
+        self.y = np.asarray(self.ty, np.float64)
+        self.r2 = self.x**2 + self.y**2
+
+    def check(self, name, ex, ey, tol=2e-3, **kw):
+        dx, dy = _eval(name, self.tx, self.ty, w=self.W, **kw)
+        np.testing.assert_allclose(dx, self.W * ex, rtol=tol, atol=tol,
+                                   err_msg=f"{name} x")
+        np.testing.assert_allclose(dy, self.W * ey, rtol=tol, atol=tol,
+                                   err_msg=f"{name} y")
+
+    def test_bipolar(self):
+        shift = 0.3
+        x2y2 = self.r2
+        t = x2y2 + 1.0
+        x2 = 2.0 * self.x
+        ps = -np.pi / 2 * shift
+        yv = 0.5 * np.arctan2(2.0 * self.y, x2y2 - 1.0) + ps
+        yv = np.where(yv > np.pi / 2,
+                      -np.pi / 2 + np.mod(yv + np.pi / 2, np.pi), yv)
+        yv = np.where(yv < -np.pi / 2,
+                      np.pi / 2 - np.mod(np.pi / 2 - yv, np.pi), yv)
+        ex = 0.25 * (2.0 / np.pi) * np.log((t + x2) / (t - x2))
+        ey = (2.0 / np.pi) * yv
+        self.check("bipolar", ex, ey,
+                   params={"bipolar_shift": shift})
+
+    def test_elliptic(self):
+        tmp = self.r2 + 1.0
+        x2 = 2.0 * self.x
+        xmax = 0.5 * (np.sqrt(tmp + x2) + np.sqrt(tmp - x2))
+        a = self.x / xmax
+        b = np.sqrt(np.maximum(1.0 - a * a, 0.0))
+        ssx = np.sqrt(np.maximum(xmax - 1.0, 0.0))
+        wpi = 2.0 / np.pi
+        ex = wpi * np.arctan2(a, b)
+        ey = np.where(self.y > 0, wpi * np.log(xmax + ssx),
+                      -wpi * np.log(xmax + ssx))
+        self.check("elliptic", ex, ey)
+
+    def test_foci(self):
+        expx = 0.5 * np.exp(self.x)
+        expnx = 0.25 / expx
+        sn, cn = np.sin(self.y), np.cos(self.y)
+        tmp = 1.0 / (expx + expnx - cn)
+        self.check("foci", tmp * (expx - expnx), tmp * sn)
+
+    def test_escher(self):
+        beta = 0.45
+        a = np.arctan2(self.y, self.x)
+        lnr = 0.5 * np.log(self.r2)
+        seb, ceb = np.sin(beta), np.cos(beta)
+        vc, vd = 0.5 * (1.0 + ceb), 0.5 * seb
+        m = np.exp(vc * lnr - vd * a)
+        n = vc * a + vd * lnr
+        self.check("escher", m * np.cos(n), m * np.sin(n),
+                   params={"escher_beta": beta})
+
+    def test_cell(self):
+        size = 0.7
+        inv = 1.0 / size
+        cx = np.floor(self.x * inv)
+        cy = np.floor(self.y * inv)
+        dx_ = self.x - cx * size
+        dy_ = self.y - cy * size
+        cx2 = np.where(cx >= 0, 2 * cx, -(2 * cx + 1))
+        cy2 = np.where(cy >= 0, 2 * cy, -(2 * cy + 1))
+        self.check("cell", dx_ + cx2 * size, -(dy_ + cy2 * size),
+                   params={"cell_size": size})
+
+    def test_modulus(self):
+        mx, my = 0.6, 0.4
+        xr, yr = 2 * mx, 2 * my
+        ex = np.where(self.x > mx, -mx + np.mod(self.x + mx, xr),
+                      np.where(self.x < -mx,
+                               mx - np.mod(mx - self.x, xr), self.x))
+        ey = np.where(self.y > my, -my + np.mod(self.y + my, yr),
+                      np.where(self.y < -my,
+                               my - np.mod(my - self.y, yr), self.y))
+        self.check("modulus", ex, ey,
+                   params={"modulus_x": mx, "modulus_y": my})
+
+    def test_stripes(self):
+        space, warp = 0.35, 0.8
+        rx = np.floor(self.x + 0.5)
+        ox = self.x - rx
+        self.check("stripes", ox * (1 - space) + rx,
+                   self.y + ox * ox * warp,
+                   params={"stripes_space": space,
+                           "stripes_warp": warp})
+
+    def test_wedge(self):
+        angle, hole, count, swirl = 0.4, 0.1, 3.0, 0.2
+        r = np.sqrt(self.r2)
+        a = np.arctan2(self.y, self.x) + swirl * r
+        c = np.floor((count * a + np.pi) / (2 * np.pi))
+        comp = 1.0 - angle * count / (2 * np.pi)
+        a = a * comp + c * angle
+        rr = r + hole
+        self.check("wedge", rr * np.cos(a), rr * np.sin(a),
+                   params={"wedge_angle": angle, "wedge_hole": hole,
+                           "wedge_count": count, "wedge_swirl": swirl})
+
+    def test_ngon(self):
+        sides, power, circle, corners = 5.0, 3.0, 1.0, 2.0
+        csides = 2 * np.pi / sides
+        theta = np.arctan2(self.y, self.x)
+        phi = theta - csides * np.floor(theta / csides)
+        phi = np.where(phi > csides / 2, phi - csides, phi)
+        amp = (corners * (1.0 / np.cos(phi) - 1.0) + circle) \
+            / self.r2 ** (power / 2)
+        self.check("ngon", amp * self.x, amp * self.y, tol=5e-3,
+                   params={"ngon_sides": sides, "ngon_power": power,
+                           "ngon_circle": circle,
+                           "ngon_corners": corners})
+
+    def test_curve(self):
+        xa, ya, xl, yl = 0.7, -0.4, 0.8, 1.2
+        ex = self.x + xa * np.exp(-self.y**2 / xl**2)
+        ey = self.y + ya * np.exp(-self.x**2 / yl**2)
+        self.check("curve", ex, ey,
+                   params={"curve_xamp": xa, "curve_yamp": ya,
+                           "curve_xlength": xl, "curve_ylength": yl})
