@@ -222,6 +222,14 @@ class Genome:
     # flam3 `filter`: spatial filter radius for the supersample
     # reduction (0 = box average)
     spatial_filter: Spline = None
+    # flam3 `filter_shape`: spatial filter kernel family
+    # (gaussian | box | triangle | hermite | mitchell | ...)
+    spatial_filter_shape: str = "gaussian"
+    # flam3 temporal filter: how temporal samples across the shutter
+    # are weighted (box | gaussian | exp) with width/exp knobs
+    temporal_filter_type: str = "box"
+    temporal_filter_width: Spline = None
+    temporal_filter_exp: Spline = None
     size: Tuple[int, int] = (640, 480)   # nominal size `scale` refers to
     name: str = "untitled"
     time_range: Tuple[float, float] = (0.0, 1.0)
@@ -235,6 +243,8 @@ class Genome:
             "estimator_radius": 9.0, "estimator_minimum": 0.0,
             "estimator_curve": 0.4,
             "spatial_filter": 0.5,
+            "temporal_filter_width": 1.0,
+            "temporal_filter_exp": 0.0,
         }
         for name, dflt in defaults.items():
             cur = getattr(self, name)
@@ -410,6 +420,12 @@ class Genome:
                 "curve": self.estimator_curve.to_json(),
             },
             "spatial_filter": self.spatial_filter.to_json(),
+            "spatial_filter_shape": self.spatial_filter_shape,
+            "temporal_filter": {
+                "type": self.temporal_filter_type,
+                "width": self.temporal_filter_width.to_json(),
+                "exp": self.temporal_filter_exp.to_json(),
+            },
             "palettes": [[t, palette_mod.encode_palette(p)]
                          for t, p in self.palettes],
         }
@@ -462,6 +478,14 @@ class Genome:
             estimator_minimum=de.get("minimum", 0.0),
             estimator_curve=de.get("curve", 0.4),
             spatial_filter=doc.get("spatial_filter", 0.5),
+            spatial_filter_shape=doc.get("spatial_filter_shape",
+                                         "gaussian"),
+            temporal_filter_type=doc.get("temporal_filter", {}).get(
+                "type", "box"),
+            temporal_filter_width=doc.get("temporal_filter", {}).get(
+                "width", 1.0),
+            temporal_filter_exp=doc.get("temporal_filter", {}).get(
+                "exp", 0.0),
             size=tuple(doc.get("size", (640, 480))),
             name=doc.get("name", "untitled"),
             time_range=tuple(doc.get("time_range", (0.0, 1.0))),

@@ -136,6 +136,24 @@ def expand_palette(palette, color_bits: int):
     return _palette_rgb(palette, coords)
 
 
+def respawn_xy(bits: jnp.ndarray):
+    """Badvalue respawn position, uniform in the bi-unit square
+    (flam3's rule, SURVEY.md §3.5): two INDEPENDENT murmur-style hashes
+    of the selection draw's word, so (rx, ry) pairs fill the square
+    instead of lying on a 1-D curve (round-1 derived ry from rx).  A
+    remix is used rather than two fresh RNG draws because the draws
+    would be spent every iteration on the SIMD common path; the hashed
+    pair passes 2-D chi-square uniformity (tests/test_ops.py)."""
+    h1 = bits * jnp.uint32(0x9E3779B9)
+    h1 = h1 ^ (h1 >> jnp.uint32(15))
+    h2 = (bits ^ jnp.uint32(0x5BD1E995)) * jnp.uint32(0xC2B2AE35)
+    h2 = h2 ^ (h2 >> jnp.uint32(13))
+    inv24 = np.float32(1.0 / (1 << 24))
+    rx = (h1 >> jnp.uint32(8)).astype(jnp.float32) * inv24 * 2.0 - 1.0
+    ry = (h2 >> jnp.uint32(8)).astype(jnp.float32) * inv24 * 2.0 - 1.0
+    return rx, ry
+
+
 def iterate_step(
     key: StructureKey,
     cam: CameraSpec,
@@ -166,15 +184,7 @@ def iterate_step(
     bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny)) \
         | (jnp.abs(nx) > BADVALUE_LIMIT) \
         | (jnp.abs(ny) > BADVALUE_LIMIT)
-    # Respawn coordinates from a cheap remix of the selection draw's
-    # bits; full-entropy draws are wasted on the common (no-badvalue)
-    # path, and respawned points re-fuse before plotting anyway.
-    mixed = bits * jnp.uint32(0x9E3779B9)
-    v = (mixed >> jnp.uint32(8)).astype(jnp.float32) * np.float32(
-        1.0 / (1 << 24))
-    rx = v * 2.0 - 1.0
-    vy = v * np.float32(997.0)
-    ry = (vy - jnp.floor(vy)) * 2.0 - 1.0
+    rx, ry = respawn_xy(bits)
     nx = jnp.where(bad, rx, nx)
     ny = jnp.where(bad, ry, ny)
     ncolor = jnp.where(bad, u, ncolor)
@@ -240,9 +250,16 @@ def iterate_accumulate(
     iters_per_flush: int,
     fuse: int,
     packed: bool = True,
+    weight=None,
 ):
     """Advance n_chunks * iters_per_flush steps, flushing the histogram
     once per chunk — the rendering path.
+
+    `weight` (traced scalar, default 1) scales every record's
+    contribution — the flam3 temporal-filter weight of this genome
+    evaluation within the shutter interval (flam3 rect.c temporal
+    filter application; SURVEY.md §1 item 7).  Sample *counts* stay
+    unweighted (they are observability, not mass).
 
     Mirrors the reference's deferred-writeback amortization
     (cuburn/code/iter.py log buffer, SURVEY.md §1): the histogram is
@@ -262,6 +279,8 @@ def iterate_accumulate(
     if backend.startswith("pallas") and not cbits:
         raise ValueError("pallas backend requires packed records "
                          "(unit opacities and <= 2^24 bins)")
+    w = jnp.float32(1.0) if weight is None else \
+        jnp.asarray(weight, jnp.float32)
 
     if cbits:
         palette_hi = expand_palette(params.palette, cbits)
@@ -283,7 +302,8 @@ def iterate_accumulate(
                        else ph.accumulate_packed_pallas)
                 hist = acc(
                     hist, packed_recs, palette_hi, cam.n_bins, cbits,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    weight=w)
                 n = n + jnp.sum(
                     (packed_recs >> np.uint32(cbits)).astype(jnp.int32)
                     != cam.junk_bin)
@@ -291,7 +311,7 @@ def iterate_accumulate(
                 accumulate = _get_accumulate(backend)
                 addrs, rgbas = unpack_records(cam, cbits, palette_hi,
                                               packed_recs)
-                hist = accumulate(hist, addrs, rgbas)
+                hist = accumulate(hist, addrs, rgbas * w)
                 n = n + jnp.sum(addrs != cam.junk_bin)
             return state, hist, n
     else:
@@ -302,7 +322,7 @@ def iterate_accumulate(
             state, addrs, rgbas = iterate_chunk(
                 key, cam, params, cdf_rows, state, ppu,
                 iters_per_flush, fuse)
-            hist = accumulate(hist, addrs, rgbas)
+            hist = accumulate(hist, addrs, rgbas * w)
             n = n + jnp.sum(addrs != cam.junk_bin)
             return state, hist, n
 
@@ -325,6 +345,7 @@ def iterate_accumulate_temporal(
     iters_per_flush: int,
     fuse: int,
     packed: bool = True,
+    weights_T=None,           # (T,) temporal-filter weights
 ):
     """Accumulate all temporal samples of a motion-blurred frame in ONE
     device program (SURVEY.md §2b temporal-sample parallelism row: fold
@@ -332,19 +353,25 @@ def iterate_accumulate_temporal(
     kernel launches).  Genome parameters per sample come from the
     packed-knot interpolator (ops/interp.py).  Trajectories carry over
     between samples (the attractor moves smoothly within a shutter
-    interval; no re-fuse needed)."""
+    interval; no re-fuse needed).  `weights_T` applies flam3's temporal
+    filter: sample i's histogram contribution is scaled by
+    weights_T[i] (render.temporal_filter_weights)."""
+    if weights_T is None:
+        weights_T = jnp.ones_like(ppu_T)
 
     def sample_body(carry, inputs):
         state, hist, n = carry
-        params_t, ppu = inputs
+        params_t, ppu, w_t = inputs
         cdf_rows = xform_cdf_rows(params_t)
         state, hist, dn = iterate_accumulate(
             key, cam, backend, params_t, cdf_rows, state, hist, ppu,
-            n_chunks_per_sample, iters_per_flush, fuse, packed=packed)
+            n_chunks_per_sample, iters_per_flush, fuse, packed=packed,
+            weight=w_t)
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(
-        sample_body, (state, hist, jnp.int32(0)), (params_T, ppu_T))
+        sample_body, (state, hist, jnp.int32(0)),
+        (params_T, ppu_T, weights_T))
     return state, hist, n
 
 

@@ -80,11 +80,14 @@ def _hist_kernel(log_ref, pal_ref, hist_ref):
     cbits = int(np.log2(pal_ref.shape[0]))
     cmask = (1 << cbits) - 1
 
+    n_rows = hist_ref.shape[0]
+
     def body(i, _):
         rec = log_ref[i]
         addr = jax.lax.shift_right_logical(rec, cbits)
         cq = rec & cmask
-        row = addr // BINS_PER_ROW
+        # bounds guard: a malformed record must never write past VMEM
+        row = jnp.minimum(addr // BINS_PER_ROW, n_rows - 1)
         slot = (addr % BINS_PER_ROW) * 4
         add = pltpu.roll(pal_ref[pl.ds(cq, 1), :], slot, axis=1)
         hist_ref[pl.ds(row, 1), :] = hist_ref[pl.ds(row, 1), :] + add
@@ -113,7 +116,9 @@ def _hist_kernel_counted(log_ref, cnt_ref, pal_ref, hist_ref):
         def _():
             addr = jax.lax.shift_right_logical(rec, cbits)
             cq = rec & cmask
-            row = addr // BINS_PER_ROW
+            # bounds guard: never write past the VMEM histogram
+            row = jnp.minimum(addr // BINS_PER_ROW,
+                              hist_ref.shape[0] - 1)
             slot = (addr % BINS_PER_ROW) * 4
             add = pltpu.roll(
                 pal_ref[pl.ds(cq, 1), :] * cnt.astype(jnp.float32),
@@ -129,7 +134,7 @@ def _hist_kernel_counted(log_ref, cnt_ref, pal_ref, hist_ref):
                    static_argnames=("n_bins", "color_bits", "interpret"))
 def accumulate_merged_pallas(hist_packed, packed_records, palette_hi,
                              n_bins: int, color_bits: int,
-                             interpret: bool = False):
+                             interpret: bool = False, weight=None):
     """Sort + run-merge + count-weighted Pallas flush: the full
     'key-sort + segment-sum flushes' design named by BASELINE.json.
 
@@ -142,6 +147,12 @@ def accumulate_merged_pallas(hist_packed, packed_records, palette_hi,
     junk_rec = jnp.uint32(n_bins << color_bits)
     sorted_recs = sort_records(packed_records)
     uniq, counts = merge_sorted_records(sorted_recs, junk_rec)
+    # sort_records pads to a power of two with 0xFFFFFFFF sentinels;
+    # after merging they surface as one unique record with a nonzero
+    # count whose unpacked address is far out of range (an OOB VMEM
+    # write on real silicon).  0xFFFFFFFF is never a valid record:
+    # color_bits_for guarantees (n_bins << cbits) | cmask < 2^32 - 1.
+    counts = jnp.where(uniq == jnp.uint32(0xFFFFFFFF), 0, counts)
     m = uniq.shape[0]
     n_blocks = -(-m // BLOCK)
     pad = n_blocks * BLOCK - m
@@ -168,6 +179,8 @@ def accumulate_merged_pallas(hist_packed, packed_records, palette_hi,
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         interpret=interpret,
     )(uniq.astype(jnp.int32), counts, pal128)
+    if weight is not None:
+        delta = delta * weight
     return hist_packed + delta
 
 
@@ -184,7 +197,7 @@ def _pal128(palette_hi):
                    static_argnames=("n_bins", "color_bits", "interpret"))
 def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,
                              n_bins: int, color_bits: int,
-                             interpret: bool = False):
+                             interpret: bool = False, weight=None):
     """Accumulate packed u32 log records into a lane-packed histogram.
 
     hist_packed: (rows, 128) from to_packed_layout (or zeros)
@@ -218,4 +231,6 @@ def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         interpret=interpret,
     )(recs, pal128)
+    if weight is not None:
+        delta = delta * weight
     return hist_packed + delta

@@ -289,7 +289,10 @@ def v_fan2(c, w, P):
     dx = PI * (px * px + EPS)
     dx2 = 0.5 * dx
     a = c.atan
-    t = a + py - dx * jnp.floor((a + py) / dx)
+    # flam3 folds with a C (int) cast — truncation toward zero, NOT
+    # floor: for negative a+fan2_y, t lands in (-dx, 0] and flam3
+    # always takes the a+dx2 branch there.
+    t = a + py - dx * jnp.trunc((a + py) / dx)
     a = jnp.where(t > dx2, a - dx2, a + dx2)
     return w * c.r * jnp.sin(a), w * c.r * jnp.cos(a)
 
@@ -565,7 +568,7 @@ def v_bipolar(c, w, P):
 def v_boarders(c, w, P):
     rx, ry = jnp.round(c.tx), jnp.round(c.ty)
     ox, oy = c.tx - rx, c.ty - ry
-    # inner branch (75% of samples)
+    # inner branch (25% of samples)
     in_x = ox * 0.5 + rx
     in_y = oy * 0.5 + ry
     # edge branch
@@ -578,7 +581,10 @@ def v_boarders(c, w, P):
                      ox * 0.5 + rx + sy * ox / safe_oy)
     ex_y = jnp.where(absx_ge, oy * 0.5 + ry + sx * oy / safe_ox,
                      oy * 0.5 + ry + sy)
-    inner = c.rng.uniform() < 0.75
+    # flam3 var57_boarders: the plain interior branch fires when
+    # random >= 0.75 (25% of samples); the other 75% take the edge
+    # branch.  (Round-1 had this inverted.)
+    inner = c.rng.uniform() >= 0.75
     return (w * jnp.where(inner, in_x, ex_x),
             w * jnp.where(inner, in_y, ex_y))
 

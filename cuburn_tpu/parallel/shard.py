@@ -30,7 +30,9 @@ from cuburn_tpu.genome.specs import Genome, StructureKey
 
 from cuburn_tpu.ops.camera import CameraSpec
 from cuburn_tpu.ops.iterate import (IterState, init_state,
-                                    iterate_accumulate, xform_cdf_rows)
+                                    iterate_accumulate,
+                                    iterate_accumulate_temporal,
+                                    xform_cdf_rows)
 from cuburn_tpu.profile import RenderProfile
 
 BATCH_AXIS = "batch"
@@ -96,6 +98,49 @@ def sharded_accumulate(
     return shard(params, cdf_rows, state, hist, ppu)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
+                     "n_iters", "fuse", "packed"))
+def sharded_accumulate_temporal(
+    key: StructureKey,
+    cam: CameraSpec,
+    backend: str,
+    mesh: Mesh,
+    params_T,                 # every leaf has leading temporal axis T
+    state: IterState,
+    hist,
+    ppu_T,                    # (T,)
+    weights_T,                # (T,) temporal-filter weights
+    n_chunks: int,
+    n_iters: int,
+    fuse: int,
+    packed: bool = True,
+):
+    """Motion-blurred frame across the mesh in ONE dispatch: every
+    temporal sample's accumulation happens inside the shard_map region
+    (device-side scan over interpolated params), with one psum on the
+    way out — the same single-collective contract as
+    sharded_accumulate.  Round 1 looped temporal samples on the host
+    (one dispatch each, ~1 s latency apiece on the dev tunnel)."""
+    def device_body(params_T, state, hist, ppu_T, weights_T):
+        state, hist, n = iterate_accumulate_temporal(
+            key, cam, backend, params_T, state, hist, ppu_T,
+            jnp.int32(n_chunks), n_iters, fuse, packed=packed,
+            weights_T=weights_T)
+        hist = jax.lax.psum(hist, BATCH_AXIS)
+        plotted = jax.lax.psum(n, BATCH_AXIS)
+        return state, hist, plotted
+
+    shard = jax.shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS), P(), P(), P()),
+        out_specs=(P(BATCH_AXIS), P(), P()),
+        check_vma=False,
+    )
+    return shard(params_T, state, hist, ppu_T, weights_T)
+
+
 from cuburn_tpu.render import Renderer
 
 
@@ -142,16 +187,33 @@ class ShardedRenderer(Renderer):
             prof.fuse, packed=self.packed)
         return hist, plotted, n_chunks * per_chunk
 
-    def _accumulate_temporal(self, ts_times, hist, seed, iters_per_sample):
-        # multi-chip temporal path: sequential per-sample accumulation
-        # (each sample still shards across the mesh)
-        from cuburn_tpu.render import _to_device
-        total_plotted = 0
-        total_iters = 0
-        for i, tt in enumerate(ts_times):
-            params = _to_device(self.genome.eval_at(tt))
-            hist, n, it = self._accumulate_sample(
-                params, hist, seed + i, iters_per_sample)
-            total_plotted += int(n)
-            total_iters += it
-        return hist, total_plotted, total_iters
+    def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
+                             iters_per_sample):
+        """Single-dispatch sharded motion blur: packed-knot interp
+        feeds every temporal sample inside the shard_map region."""
+        from cuburn_tpu.ops.interp import pack_genome
+        prof, cam, key = self.profile, self.cam, self.key
+        if not hasattr(self, "_packed_genome"):
+            self._packed_genome = pack_genome(self.genome)
+        params_T = self._packed_genome.eval_params(
+            np.asarray(ts_times, np.float32))
+        factor = jnp.float32(prof.width / self.genome.size[0])
+        ppu_T = params_T.ppu * factor
+
+        total = iters_per_sample * len(ts_times)
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while (batch > 1024 * self.n_devices
+               and total / batch < min_life):
+            batch //= 2
+        state = init_state(jax.random.PRNGKey(seed), batch)
+        state = jax.device_put(
+            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        per_chunk = batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
+        state, hist, plotted = sharded_accumulate_temporal(
+            key, cam, self.backend, self.mesh, params_T, state, hist,
+            ppu_T, jnp.asarray(ts_weights, jnp.float32),
+            n_chunks, prof.iters_per_chunk, prof.fuse,
+            packed=self.packed)
+        return hist, plotted, n_chunks * per_chunk * len(ts_times)

@@ -38,6 +38,43 @@ from cuburn_tpu.ops.iterate import (IterState, color_bits_for,
                                     init_state, iterate_accumulate,
                                     xform_cdf_rows)
 from cuburn_tpu.profile import RenderProfile
+from cuburn_tpu.utils.timing import hard_sync
+
+
+def temporal_filter_weights(n: int, ftype: str = "box",
+                            width: float = 1.0,
+                            filter_exp: float = 0.0):
+    """flam3's create_temporal_filter (flam3.c): per-temporal-sample
+    shutter offsets and contribution weights.
+
+    Returns (deltas (n,), weights (n,), sumfilt):
+      deltas   — sample times in frame-interval units, centered on the
+                 frame time: (i/n - 0.5) * width  (flam3's exact rule)
+      weights  — filter values normalized so max == 1; each sample's
+                 histogram contribution is scaled by its weight
+      sumfilt  — mean weight: the factor flam3 folds into k2 so overall
+                 brightness is independent of the filter shape
+    """
+    i = np.arange(n, dtype=np.float64)
+    deltas = (i / n - 0.5) * width
+    if n <= 1:
+        return np.zeros(1), np.ones(1), 1.0
+    if ftype in ("gaussian", "gauss"):
+        half = n / 2.0
+        # flam3 evaluates its gaussian spatial kernel (support 1.5,
+        # exp(-2x^2)) at 1.5*|i-half|/half; the sqrt(2/pi) prefactor
+        # cancels under max-normalization
+        x = 1.5 * np.abs(i - half) / half
+        w = np.exp(-2.0 * x * x)
+    elif ftype == "exp":
+        slpx = (i + 1.0) / n if filter_exp >= 0 else (n - i) / n
+        w = slpx ** abs(filter_exp)
+    elif ftype == "box":
+        w = np.ones(n)
+    else:
+        raise ValueError(f"unknown temporal filter type {ftype!r}")
+    w = w / w.max()
+    return deltas, w, float(w.mean())
 
 
 @dataclass
@@ -159,12 +196,20 @@ class Renderer:
         prof, cam = self.profile, self.cam
         stats = FrameStats()
 
+        eff_seed = seed * 7919
         if hist0 is not None:
             hist0 = jnp.asarray(hist0, jnp.float32)
             if hist0.shape != (cam.n_bins + 1, 4):
                 raise ValueError(
                     f"resume histogram shape {hist0.shape} != "
                     f"{(cam.n_bins + 1, 4)}")
+            # Resuming with an unchanged seed would replay the exact
+            # same trajectory stream, doubling density instead of
+            # adding new samples; mix the resumed mass (which grows
+            # every pass) into the seed so each pass is fresh.
+            mass = int(min(float(np.asarray(hist0[:, 3].sum())),
+                           2.0 ** 62))
+            eff_seed = (eff_seed ^ (mass * 0x9E3779B9)) & 0x7FFFFFFF
             if self.backend.startswith("pallas"):
                 from cuburn_tpu.ops import pallas_hist as ph
                 hist = ph.to_packed_layout(hist0)
@@ -173,21 +218,24 @@ class Renderer:
         else:
             hist = hist_alloc_for(self.backend, cam.n_bins)
         t0 = time.perf_counter()
-        ts_times, ts_weight = self._temporal_times(t)
+        ts_times, ts_weights, _sumfilt = self._temporal_times(t)
         if len(ts_times) == 1:
             params = _to_device(self.genome.eval_at(ts_times[0]))
             hist, n_plot, n_iter = self._accumulate_sample(
-                params, hist, seed=seed * 7919,
-                iters=prof.total_iters * ts_weight)
+                params, hist, seed=eff_seed,
+                iters=prof.total_iters)
         else:
             # motion blur: every temporal sample inside one dispatch,
-            # parameters interpolated by the packed-knot evaluator
+            # parameters interpolated by the packed-knot evaluator,
+            # contributions weighted by the flam3 temporal filter
             hist, n_plot, n_iter = self._accumulate_temporal(
-                ts_times, hist, seed=seed * 7919,
-                iters_per_sample=prof.total_iters * ts_weight)
+                ts_times, ts_weights, hist, seed=eff_seed,
+                iters_per_sample=prof.total_iters / len(ts_times))
         stats.plotted_samples += int(n_plot)
         stats.total_iters += n_iter
-        hist.block_until_ready()
+        # hard host readback: block_until_ready is unreliable on the
+        # axon backend (utils/timing.py) and would corrupt FrameStats
+        hard_sync(hist)
         stats.iterate_s = time.perf_counter() - t0
         return hist_to_logical(self.backend, hist, cam.n_bins), stats
 
@@ -198,7 +246,10 @@ class Renderer:
         prof, cam = self.profile, self.cam
         t1 = time.perf_counter()
         params = _to_device(self.genome.eval_at(t))
-        q_cell = jnp.float32(prof.quality / (cam.ss * cam.ss))
+        # flam3 folds the temporal filter's mean weight (sumfilt) into
+        # k2 so brightness is independent of the filter shape
+        _times, _w, sumfilt = self._temporal_times(t)
+        q_cell = jnp.float32(prof.quality * sumfilt / (cam.ss * cam.ss))
         de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
         img = _filter_frame(
             cam, prof.transparent, self._de_on(params),
@@ -214,16 +265,38 @@ class Renderer:
         return (self.profile.de_enabled and
                 float(params.estimator_radius) > 0.0)
 
+    def frame_dt(self) -> float:
+        """The per-frame genome-time step — MUST match frames()'s
+        stepping exactly so the motion-blur shutter covers precisely
+        one inter-frame interval for any time_range span or explicit
+        duration (round-1 hard-coded 1/(fps*span), wrong off the unit
+        range)."""
+        t0, t1 = self.genome.time_range
+        prof = self.profile
+        if prof.duration is not None:
+            n_frames = max(1, int(round(prof.duration * prof.fps)))
+        else:
+            n_frames = max(1, int(round((t1 - t0) * prof.fps)))
+        if n_frames > 1:
+            return (t1 - t0) / (n_frames - 1)
+        # single frame: no inter-frame step exists; use the whole range
+        # (or one nominal frame at fps for a still node)
+        return (t1 - t0) if t1 > t0 else 1.0 / prof.fps
+
     def _temporal_times(self, t: float):
+        """Genome evaluation times + flam3 temporal-filter weights for
+        one frame's shutter (SURVEY.md §1 item 7).  Returns
+        (times, weights (n,), sumfilt)."""
         n = self.profile.temporal_samples
+        g = self.genome
         if n <= 1:
-            return [t], 1.0
-        # spread genome evaluations across the shutter interval
-        # (one frame period), flam3-style motion blur (SURVEY.md §1.7)
-        dt = 1.0 / (self.profile.fps * max(
-            self.genome.time_range[1] - self.genome.time_range[0], 1e-9))
-        offs = (np.arange(n) + 0.5) / n - 0.5
-        return [t + float(o) * dt for o in offs], 1.0 / n
+            return [t], np.ones(1), 1.0
+        deltas, weights, sumfilt = temporal_filter_weights(
+            n, g.temporal_filter_type,
+            float(g.temporal_filter_width(t)),
+            float(g.temporal_filter_exp(t)))
+        dt = self.frame_dt()
+        return [t + float(d) * dt for d in deltas], weights, sumfilt
 
     def _accumulate_sample(self, params, hist, seed: int, iters: float):
         """Run the chaos game for ~`iters` iterations into hist."""
@@ -247,8 +320,8 @@ class Renderer:
             packed=self.packed)
         return hist, plotted, n_chunks * per_chunk
 
-    def _accumulate_temporal(self, ts_times, hist, seed: int,
-                             iters_per_sample: float):
+    def _accumulate_temporal(self, ts_times, ts_weights, hist,
+                             seed: int, iters_per_sample: float):
         from cuburn_tpu.ops.interp import pack_genome
         from cuburn_tpu.ops.iterate import iterate_accumulate_temporal
         prof, cam, key = self.profile, self.cam, self.key
@@ -270,7 +343,8 @@ class Renderer:
         state, hist, plotted = iterate_accumulate_temporal(
             key, cam, self.backend, params_T, state, hist, ppu_T,
             jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
-            packed=self.packed)
+            packed=self.packed,
+            weights_T=jnp.asarray(ts_weights, jnp.float32))
         return hist, plotted, n_chunks * per_chunk * len(ts_times)
 
     # -- animation -------------------------------------------------------

@@ -20,8 +20,16 @@ import numpy as np
 
 def hard_sync(x) -> float:
     """Force completion of everything `x` depends on; returns one
-    element as a float (the readback is the synchronization)."""
+    element as a float (the readback is the synchronization).
+
+    For device arrays, a one-element slice is dispatched (ordered after
+    every producer of the buffer by data dependence) and THAT scalar is
+    read back — a 4-byte transfer instead of the whole array, so
+    syncing a multi-MB histogram doesn't cost a multi-second D2H copy
+    on the tunneled dev chip."""
     leaf = jax.tree_util.tree_leaves(x)[0]
+    if isinstance(leaf, jax.Array):
+        return float(jax.device_get(leaf.ravel()[0]))
     return float(np.asarray(leaf).ravel()[0])
 
 

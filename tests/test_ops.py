@@ -200,6 +200,54 @@ class TestIterate:
         assert x.min() >= -1.001 and x.max() <= 1.001
         assert y.min() >= -0.867 and y.max() <= 0.867
 
+    def test_temporal_weight_scales_mass_exactly(self):
+        """iterate_accumulate's `weight` must scale every record's
+        contribution exactly (the flam3 temporal-filter weight)."""
+        from cuburn_tpu.ops.iterate import (hist_alloc_for,
+                                            iterate_accumulate)
+        g = sierpinski()
+        key = g.structure_key()
+        params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+        cam = CameraSpec(64, 64, 1)
+        cdf = xform_cdf_rows(params)
+        state = init_state(jax.random.PRNGKey(3), 512)
+        hist0 = hist_alloc_for("scatter", cam.n_bins)
+        ppu = params.ppu * (64 / g.size[0])
+        args = (key, cam, "scatter", params, cdf, state, hist0, ppu,
+                jnp.int32(2), 16, 8)
+        _, h1, n1 = iterate_accumulate(*args, weight=jnp.float32(1.0))
+        _, h2, n2 = iterate_accumulate(*args, weight=jnp.float32(0.25))
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1) * 0.25,
+                                   rtol=1e-6)
+        assert int(n1) == int(n2)   # counts stay unweighted
+
+    def test_respawn_uniform_2d(self):
+        """Badvalue respawn must fill the bi-unit square uniformly in
+        BOTH dimensions jointly (flam3 rule, SURVEY.md §3.5) — round 1
+        derived ry from rx, putting respawns on a 1-D curve.  Checked
+        with a 2-D chi-square over 32x32 cells on 1M hashed pairs."""
+        from cuburn_tpu.ops.iterate import respawn_xy
+        n = 1 << 20
+        rng = np.random.RandomState(11)
+        bits = jnp.asarray(
+            rng.randint(0, 2**32, n, dtype=np.uint32))
+        rx, ry = jax.jit(respawn_xy)(bits)
+        rx, ry = np.asarray(rx), np.asarray(ry)
+        assert rx.min() >= -1 and rx.max() <= 1
+        assert ry.min() >= -1 and ry.max() <= 1
+        k = 32
+        ix = np.clip(((rx + 1) * 0.5 * k).astype(int), 0, k - 1)
+        iy = np.clip(((ry + 1) * 0.5 * k).astype(int), 0, k - 1)
+        counts = np.bincount(ix * k + iy, minlength=k * k)
+        expected = n / (k * k)
+        chi2 = ((counts - expected) ** 2 / expected).sum()
+        # dof = 1023; mean 1023, std ~45 — 1300 is > +6 sigma
+        assert chi2 < 1300, f"chi2={chi2:.0f} (2-D nonuniform respawn)"
+        # and rx must not determine ry: within one rx bucket, ry spreads
+        sel = ix == k // 2
+        assert sel.sum() > 1000
+        assert np.unique(iy[sel]).size == k
+
     def test_xaos_changes_distribution(self):
         g = full_feature()
         params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))

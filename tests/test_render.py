@@ -121,6 +121,78 @@ class TestAnimation:
         assert not np.array_equal(img_a, img_b)
 
 
+class TestTemporalFilter:
+    def test_filter_weights_semantics(self):
+        """flam3 create_temporal_filter: deltas (i/n - 0.5)*width for
+        every type; box = all ones; gaussian peaks at the center;
+        exp monotone by sign; all max-normalized to 1."""
+        from cuburn_tpu.render import temporal_filter_weights
+        d, w, s = temporal_filter_weights(4, "box", 1.0, 0.0)
+        np.testing.assert_allclose(d, [-0.5, -0.25, 0.0, 0.25])
+        np.testing.assert_allclose(w, 1.0)
+        assert s == 1.0
+        d, w, s = temporal_filter_weights(8, "gaussian", 2.0, 0.0)
+        np.testing.assert_allclose(d, (np.arange(8) / 8 - 0.5) * 2.0)
+        assert w.max() == 1.0 and np.argmax(w) == 4
+        assert w[0] < w[2] < w[4] and w[7] < w[5]
+        assert 0 < s < 1
+        _, w, _ = temporal_filter_weights(6, "exp", 1.0, 2.0)
+        assert (np.diff(w) > 0).all() and w[-1] == 1.0
+        _, w, _ = temporal_filter_weights(6, "exp", 1.0, -2.0)
+        assert (np.diff(w) < 0).all() and w[0] == 1.0
+
+    def test_shutter_matches_frames_stepping(self):
+        """The motion-blur shutter interval must equal the actual
+        per-frame genome-time step of frames() for ANY time_range span
+        or explicit duration (round-1 used 1/(fps*span), which is only
+        right when span == 1)."""
+        g = animated_spark()
+        g.time_range = (0.0, 2.0)
+        prof = dataclasses.replace(FAST, fps=4.0, temporal_samples=4)
+        r = Renderer(g, prof)
+        # duration None: n_frames = round(2*4) = 8, step = 2/7
+        assert r.frame_dt() == pytest.approx(2.0 / 7.0)
+        times, w, s = r._temporal_times(1.0)
+        span = max(times) - min(times)
+        assert span == pytest.approx((3.0 / 4.0) * r.frame_dt())
+        # explicit duration: n_frames = round(3*4) = 12, step = 2/11
+        prof_d = dataclasses.replace(prof, duration=3.0)
+        r2 = Renderer(g, prof_d)
+        assert r2.frame_dt() == pytest.approx(2.0 / 11.0)
+        # and frames() really steps by frame_dt
+        ts = [1.0 * i / 7 * 2.0 for i in range(8)]
+        assert ts[1] - ts[0] == pytest.approx(r.frame_dt())
+
+    def test_gaussian_filter_preserves_brightness(self):
+        """sumfilt normalization: a gaussian temporal filter must not
+        change overall image brightness vs box (flam3 folds sumfilt
+        into k2)."""
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, temporal_samples=6)
+        img_box, _ = Renderer(g, prof).render_frame(0.5, seed=4)
+        g2 = animated_spark()
+        g2.temporal_filter_type = "gaussian"
+        img_g, _ = Renderer(g2, prof).render_frame(0.5, seed=4)
+        assert not np.array_equal(img_box, img_g)
+        m_box = img_box[..., :3].astype(np.float64).mean()
+        m_g = img_g[..., :3].astype(np.float64).mean()
+        assert m_g == pytest.approx(m_box, rel=0.15)
+
+    def test_resume_uses_fresh_samples(self):
+        """Resuming accumulation with the SAME seed must add new
+        samples, not replay the identical stream (round-1 doubled
+        density uniformly)."""
+        r = Renderer(sierpinski(), FAST)
+        h1, _ = r.accumulate(0.0, seed=1)
+        h2, _ = r.accumulate(0.0, seed=1, hist0=np.asarray(h1))
+        a = np.asarray(h1)[:-1, 3]
+        b = np.asarray(h2)[:-1, 3] - a
+        # second pass's own contribution must differ from the first
+        # (identical streams would give b == a exactly)
+        assert not np.array_equal(a, b)
+        assert b.sum() == pytest.approx(a.sum(), rel=0.05)
+
+
 class TestOutput:
     def test_png_roundtrip(self, tmp_path):
         from cuburn_tpu.output import write_image

@@ -46,6 +46,26 @@ def test_sharded_matches_single_chip_mass(eight_devices):
     assert m_s == pytest.approx(m_1, rel=0.15)
 
 
+def test_sharded_temporal_single_dispatch_matches(eight_devices):
+    """Sharded motion blur (one dispatch, packed interp, weighted
+    samples) must statistically match the single-chip temporal path."""
+    from cuburn_tpu.parallel import ShardedRenderer
+    from cuburn_tpu.render import Renderer
+    from cuburn_tpu.models import animated_spark
+
+    g = animated_spark()
+    g.temporal_filter_type = "gaussian"
+    prof = RenderProfile(width=64, height=64, quality=40, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=False, fuse=8, temporal_samples=4)
+    img_s, st_s = ShardedRenderer(g, prof).render_frame(0.5, seed=3)
+    img_1, st_1 = Renderer(g, prof).render_frame(0.5, seed=3)
+    assert st_s.total_iters == st_1.total_iters
+    m_s = img_s[..., :3].astype(np.float64).mean()
+    m_1 = img_1[..., :3].astype(np.float64).mean()
+    assert m_s == pytest.approx(m_1, rel=0.15)
+
+
 def test_dryrun_multichip(eight_devices):
     import sys
     sys.path.insert(0, "/root/repo")

@@ -95,3 +95,32 @@ class TestMergedPallasFlush:
         ga = np.asarray(ph.from_packed_layout(a, n_bins))[:n_bins]
         gb = np.asarray(ph.from_packed_layout(b, n_bins))[:n_bins]
         np.testing.assert_allclose(gb, ga, rtol=1e-5, atol=1e-4)
+
+    def test_sentinel_padding_adds_no_mass(self):
+        """sort_records pads non-power-of-two record counts with
+        0xFFFFFFFF sentinels; the merged flush must drop them entirely
+        — every unit of density in the WHOLE packed buffer (real bins,
+        junk bin, and layout padding rows) must come from a real
+        record.  Regression for the round-1 advisor finding (sentinel
+        mass written out of range)."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        from cuburn_tpu.ops.camera import CameraSpec
+        from cuburn_tpu.ops.iterate import expand_palette, pack_records
+        rng = np.random.RandomState(7)
+        n_bins, cbits = 500, 10
+        cam = CameraSpec(25, 20, 1)
+        M = 1000   # NOT a power of two: 24 sentinels after padding
+        addr = rng.randint(0, n_bins, M).astype(np.int32)
+        color = rng.rand(M).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        pal_hi = expand_palette(palette, cbits)
+        packed = pack_records(cam, cbits, jnp.asarray(addr),
+                              jnp.asarray(color))
+        hp = ph.to_packed_layout(hm.alloc(n_bins))
+        out = ph.accumulate_merged_pallas(hp, packed, pal_hi, n_bins,
+                                          cbits, interpret=True)
+        flat = np.asarray(out).reshape(-1, 4)
+        # density channel: exactly one unit per real record, nowhere else
+        assert flat[:, 3].sum() == pytest.approx(M)
+        assert (flat[n_bins + 1:] == 0).all()   # padding rows untouched

@@ -161,6 +161,33 @@ class TestClosedForms:
                        p["pdj_d"] * self.y),
                    params=p, tol=1e-3)
 
+    def test_fan2_trunc_semantics(self):
+        """fan2 folds the angle with a C (int) cast — truncation toward
+        zero, not floor.  For a + fan2_y < 0 the two disagree: trunc
+        puts t in (-dx, 0] (always the a+dx2 branch), floor alternates.
+        Checked over the full angular domain, masking only the points
+        sitting on a branch/fold discontinuity (float32 vs float64
+        placement there is genuinely ambiguous)."""
+        px, py = 0.61, 0.33
+        dxp = np.pi * (px * px + 1e-10)
+        dx2 = 0.5 * dxp
+        a = self.theta
+        q = (a + py) / dxp
+        t = a + py - dxp * np.trunc(q)
+        a2 = np.where(t > dx2, a - dx2, a + dx2)
+        ex, ey = self.r * np.sin(a2), self.r * np.cos(a2)
+        got_x, got_y = _eval("fan2", self.tx, self.ty, w=self.W,
+                             params={"fan2_x": px, "fan2_y": py})
+        # mask points within 1e-3 of a fold (trunc step) or branch edge
+        safe = (np.abs(t - dx2) > 1e-3) & (np.abs(q - np.round(q)) > 1e-3)
+        assert safe.mean() > 0.9
+        np.testing.assert_allclose(got_x[safe], self.W * ex[safe],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got_y[safe], self.W * ey[safe],
+                                   rtol=1e-3, atol=1e-3)
+        # and the negative-angle half really exercises the trunc branch
+        assert ((a + py) < 0).mean() > 0.3
+
     def test_curl_with_c2_zero(self):
         # c2=0: (x', y') = ((x re + y im), (y re - x im)) / (re^2+im^2)
         c1 = 0.5
@@ -265,6 +292,22 @@ class TestStochastic:
         tx, ty = _grid(16)
         dx, dy = _eval("noise", tx, ty, w=1.0, seed=7)
         assert (np.abs(dx) <= np.abs(np.asarray(tx)) + 1e-5).all()
+
+    def test_boarders_branch_frequency(self):
+        """flam3 var57_boarders: random >= 0.75 takes the PLAIN
+        interior branch, so only ~25% of samples land there (round-1
+        had the split inverted).  At (0.4, 0.3) the interior output is
+        w*(0.2, 0.15), distinct from the edge branch's w*(0.45, ...)."""
+        B = 8192
+        tx = jnp.full((B,), 0.4, jnp.float32)
+        ty = jnp.full((B,), 0.3, jnp.float32)
+        dx, dy = _eval("boarders", tx, ty, w=1.0, seed=8)
+        interior = np.abs(dx - 0.2) < 1e-5
+        frac = interior.mean()
+        assert 0.20 < frac < 0.30, f"interior fraction {frac}"
+        # edge branch value for |ox|>=|oy|, ox>=0: (0.45, 0.15+0.25*oy/ox)
+        np.testing.assert_allclose(np.unique(np.round(dx[~interior], 5)),
+                                   [0.45], atol=1e-5)
 
 
 class TestComplexClosedForms:
