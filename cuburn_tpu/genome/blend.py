@@ -80,9 +80,62 @@ def _blend_xform(xa: XForm, xb: XForm, t_a: float, t_b: float) -> XForm:
     )
 
 
-def align_xforms(a: Genome, b: Genome, sort_by_weight: bool = False):
+def _pair_cost(xa: XForm, xb: XForm, t_a: float, t_b: float) -> float:
+    """Dissimilarity between two xforms for edge pairing: variation-set
+    Jaccard distance (dominant — morphing spherical into spherical
+    beats morphing it into julia), relative weight difference, palette
+    coordinate distance, and normalized affine distance."""
+    va, vb = set(xa.vars) or {"linear"}, set(xb.vars) or {"linear"}
+    union = va | vb
+    jac = 1.0 - len(va & vb) / len(union)
+    wa, wb = xa.weight(t_a), xb.weight(t_b)
+    wterm = abs(wa - wb) / (wa + wb + 1e-9)
+    cterm = abs(xa.color(t_a) - xb.color(t_b))
+    aa = np.array([s(t_a) for s in xa.affine])
+    ab = np.array([s(t_b) for s in xb.affine])
+    aterm = np.linalg.norm(aa - ab) / (
+        np.linalg.norm(aa) + np.linalg.norm(ab) + 1e-9)
+    return 2.0 * jac + wterm + 0.5 * cterm + 0.5 * aterm
+
+
+def _greedy_pairing(xa, xb, t_a: float, t_b: float):
+    """Greedy min-cost assignment: returns perm with xb[perm[i]]
+    paired to xa[i].  O(n^3), n is xform count (tiny)."""
+    n = len(xa)
+    cost = np.array([[_pair_cost(xa[i], xb[j], t_a, t_b)
+                      for j in range(n)] for i in range(n)])
+    perm = [-1] * n
+    used_i, used_j = set(), set()
+    flat = sorted(((cost[i, j], i, j)
+                   for i in range(n) for j in range(n)))
+    for _c, i, j in flat:
+        if i in used_i or j in used_j:
+            continue
+        perm[i] = j
+        used_i.add(i)
+        used_j.add(j)
+        if len(used_i) == n:
+            break
+    return perm
+
+
+def align_xforms(a: Genome, b: Genome, sort_by_weight: bool = False,
+                 pairing: str = "greedy", t_a: float = 0.0,
+                 t_b: float = 0.0):
     """Pad both genomes' xform lists to equal length with identity
-    xforms (flam3 padding); optionally pair by descending weight."""
+    xforms (flam3 padding), then pair each A-xform with its best
+    B-partner.
+
+    pairing: "greedy" (default) — min-cost assignment on variation
+    overlap + weight + color + affine similarity, so structurally
+    matching xforms morph into each other instead of whatever shares
+    their list index; "index" — reference-style positional pairing.
+    `sort_by_weight` (legacy) sorts both sides by descending weight
+    before index pairing.
+
+    Returns (xa, xb, n, perm_a, perm_b): perm_x[i] is the position in
+    the PADDED original list of the xform now at slot i (needed to
+    permute xaos rows/columns consistently)."""
     xa = list(a.xforms)
     xb = list(b.xforms)
     n = max(len(xa), len(xb))
@@ -90,35 +143,48 @@ def align_xforms(a: Genome, b: Genome, sort_by_weight: bool = False):
         xa.append(_identity_xform())
     while len(xb) < n:
         xb.append(_identity_xform())
+    perm_a = list(range(n))
+    perm_b = list(range(n))
     if sort_by_weight:
-        xa.sort(key=lambda x: -x.weight(0.0))
-        xb.sort(key=lambda x: -x.weight(0.0))
-    return xa, xb, n
+        perm_a = sorted(perm_a, key=lambda i: -xa[i].weight(0.0))
+        perm_b = sorted(perm_b, key=lambda i: -xb[i].weight(0.0))
+        xa = [xa[i] for i in perm_a]
+        xb = [xb[i] for i in perm_b]
+    elif pairing == "greedy":
+        perm_b = _greedy_pairing(xa, xb, t_a, t_b)
+        xb = [xb[j] for j in perm_b]
+    elif pairing != "index":
+        raise ValueError(f"unknown pairing mode {pairing!r}")
+    return xa, xb, n, perm_a, perm_b
 
 
 def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
                   t_b: float = 0.0, spin: float = 0.0,
                   sort_by_weight: bool = False,
+                  pairing: str = "greedy",
                   name: Optional[str] = None) -> Genome:
     """Build the edge genome sweeping from a@t_a to b@t_b over t in
     [0, 1].  `spin` adds that many extra full camera rotations across
     the edge (flam3's edge spin)."""
-    xa, xb, n = align_xforms(a, b, sort_by_weight)
+    xa, xb, n, perm_a, perm_b = align_xforms(
+        a, b, sort_by_weight, pairing, t_a, t_b)
     xforms = [_blend_xform(xa[i], xb[i], t_a, t_b) for i in range(n)]
 
-    # xaos: pad both to n x n with 1.0 and blend entrywise
-    def xaos_at(g: Genome, t: float) -> np.ndarray:
+    # xaos: pad both to n x n with 1.0, permute rows+columns the same
+    # way the xform lists were permuted, blend entrywise
+    def xaos_at(g: Genome, t: float, perm) -> np.ndarray:
         m = np.ones((n, n))
         if g.xaos is not None:
             k = len(g.xforms)
             for i in range(k):
                 for j in range(k):
                     m[i, j] = g.xaos[i][j](t)
-        return m
+        return m[np.ix_(perm, perm)]
 
     xaos = None
     if a.xaos is not None or b.xaos is not None:
-        ma, mb = xaos_at(a, t_a), xaos_at(b, t_b)
+        ma = xaos_at(a, t_a, perm_a)
+        mb = xaos_at(b, t_b, perm_b)
         xaos = [[_edge_spline(ma[i, j], mb[i, j]) for j in range(n)]
                 for i in range(n)]
 

@@ -37,7 +37,8 @@ _FLAME_SCALAR_ATTRS = {
     "vibrancy": 1.0, "highlight_power": -1.0,
     "estimator_radius": 9.0, "estimator_minimum": 0.0,
     "estimator_curve": 0.4, "scale": 100.0, "rotate": 0.0,
-    "filter": 0.5,
+    "filter": 0.5, "temporal_filter_width": 1.0,
+    "temporal_filter_exp": 0.0,
 }
 
 _ALL_PARAM_ATTRS = {
@@ -47,6 +48,54 @@ _ALL_PARAM_ATTRS = {
 
 def _parse_floats(s: str) -> List[float]:
     return [float(x) for x in s.replace(",", " ").split()]
+
+
+# -- flam3 <motion> elements -------------------------------------------------
+# flam3's periodic per-xform animation (flam3.c motion_funcs /
+# apply_motion_parameters): each <motion> child carries a frequency, a
+# waveform, and amplitude attributes; the animated value is
+#     base + sum_m amp_m * func_m(freq_m * t)
+# with t in loop periods.  All waveforms are 0 at integral t (except
+# hill, which is flam3's raised-cosine) and peak at |1|.  We lower each
+# affected attribute to a DENSELY SAMPLED spline over one period, so
+# motion flows through every downstream path (host eval, device
+# packed-knot interp, JSON round-trip) as ordinary knots.
+
+def _motion_func(name: str):
+    if name in ("sin", "0", ""):
+        return lambda tv: np.sin(2.0 * np.pi * tv)
+    if name in ("triangle", "1"):
+        def tri(tv):
+            fr = np.mod(tv, 1.0)
+            return np.where(fr <= 0.25, 4.0 * fr,
+                            np.where(fr <= 0.75, -4.0 * fr + 2.0,
+                                     4.0 * fr - 4.0))
+        return tri
+    if name in ("hill", "2"):
+        return lambda tv: (1.0 - np.cos(2.0 * np.pi * tv)) * 0.5
+    raise ValueError(f"unknown motion_function {name!r}")
+
+
+_MOTION_SAMPLES_PER_CYCLE = 32
+
+
+def _apply_motion(motions, attr_amp, base):
+    """Lower (base value + motion offsets) to a flat knot list.
+
+    motions: list of (freq, func) per <motion> element;
+    attr_amp: per-element amplitude for this attribute (0 if absent).
+    """
+    active = [(f, fn, a) for (f, fn), a in zip(motions, attr_amp)
+              if a != 0.0]
+    if not active:
+        return base
+    max_freq = max(abs(f) for f, _fn, _a in active)
+    n = _MOTION_SAMPLES_PER_CYCLE * max(int(np.ceil(max_freq)), 1) + 1
+    ts = np.linspace(0.0, 1.0, n)
+    vals = np.full(n, float(base))
+    for f, fn, a in active:
+        vals = vals + a * fn(f * ts)
+    return [x for tv in zip(ts, vals) for x in tv]
 
 
 def _parse_affine(attr: str):
@@ -60,29 +109,84 @@ def _parse_affine(attr: str):
 
 def _parse_xform(el: ET.Element, n_xforms: int):
     attrs = dict(el.attrib)
+    mels = el.findall("motion")
+    motions = [(float(m.get("motion_frequency", 1.0)),
+                _motion_func(m.get("motion_function", "sin")))
+               for m in mels]
+
+    def amps(attr, idx=None):
+        out = []
+        for m in mels:
+            if attr in m.attrib:
+                v = m.attrib[attr]
+                out.append(_parse_floats(v)[idx]
+                           if idx is not None else float(v))
+            else:
+                out.append(0.0)
+        return out
+
+    def mo(attr, base, idx=None):
+        """Attribute value with motion offsets lowered to knots."""
+        if not mels:
+            return base
+        return _apply_motion(motions, amps(attr, idx), base)
+
     vars_, params = {}, {}
     for k, val in attrs.items():
         if k in _XFORM_META_ATTRS:
             continue
         if is_variation(k):
-            vars_[k] = float(val)
+            vars_[k] = mo(k, float(val))
         elif k in _ALL_PARAM_ATTRS:
-            params[k] = float(val)
+            params[k] = mo(k, float(val))
         # unknown attributes are ignored (forward compat, like flam3)
+    # motion may animate variations/params absent from the parent
+    # (base 0 / flam3 default), flam3 apply_motion_parameters style
+    for m in mels:
+        for k in m.attrib:
+            if is_variation(k) and k not in vars_:
+                vars_[k] = mo(k, 0.0)
+            elif k in _ALL_PARAM_ATTRS and k not in params:
+                for pairs in VARIATION_PARAMS.values():
+                    for name, default in pairs:
+                        if name == k:
+                            params[k] = mo(k, default)
+
     if "color_speed" in attrs:
         speed = float(attrs["color_speed"])
     elif "symmetry" in attrs:
         speed = (1.0 - float(attrs["symmetry"])) / 2.0
     else:
         speed = 0.5
+
+    base_affine = (_parse_affine(attrs["coefs"]) if "coefs" in attrs
+                   else IDENTITY_AFFINE)
+    if any("coefs" in m.attrib for m in mels):
+        # flam3 attr order A B C D E F maps to our (a,b,c,d,e,f) via
+        # indices (0,2,4,1,3,5) — see _parse_affine
+        affine = tuple(
+            mo("coefs", base_affine[j], idx=(0, 2, 4, 1, 3, 5)[j])
+            for j in range(6))
+    else:
+        affine = base_affine
+    post = None
+    if "post" in attrs or any("post" in m.attrib for m in mels):
+        base_post = (_parse_affine(attrs["post"]) if "post" in attrs
+                     else IDENTITY_AFFINE)
+        if any("post" in m.attrib for m in mels):
+            post = tuple(
+                mo("post", base_post[j], idx=(0, 2, 4, 1, 3, 5)[j])
+                for j in range(6))
+        else:
+            post = base_post
+
     xf = XForm(
-        weight=float(attrs.get("weight", 1.0)),
-        color=float(attrs.get("color", 0.0)),
+        weight=mo("weight", float(attrs.get("weight", 1.0))),
+        color=mo("color", float(attrs.get("color", 0.0))),
         color_speed=speed,
-        opacity=float(attrs.get("opacity", 1.0)),
-        affine=(_parse_affine(attrs["coefs"]) if "coefs" in attrs
-                else IDENTITY_AFFINE),
-        post=(_parse_affine(attrs["post"]) if "post" in attrs else None),
+        opacity=mo("opacity", float(attrs.get("opacity", 1.0))),
+        affine=affine,
+        post=post,
         vars=vars_,
         params=params,
         animate=float(attrs.get("animate", 0.0)),
@@ -151,6 +255,10 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         estimator_minimum=scalars["estimator_minimum"],
         estimator_curve=scalars["estimator_curve"],
         spatial_filter=scalars["filter"],
+        spatial_filter_shape=attrs.get("filter_shape", "gaussian"),
+        temporal_filter_type=attrs.get("temporal_filter_type", "box"),
+        temporal_filter_width=scalars["temporal_filter_width"],
+        temporal_filter_exp=scalars["temporal_filter_exp"],
         size=size, name=attrs.get("name", "untitled"),
     )
 
@@ -201,6 +309,10 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "estimator_curve": f"{g.estimator_curve(t):.9g}",
         "background": " ".join(f"{s(t):.9g}" for s in g.background),
         "filter": f"{g.spatial_filter(t):.9g}",
+        "filter_shape": g.spatial_filter_shape,
+        "temporal_filter_type": g.temporal_filter_type,
+        "temporal_filter_width": f"{g.temporal_filter_width(t):.9g}",
+        "temporal_filter_exp": f"{g.temporal_filter_exp(t):.9g}",
     })
 
     def emit_xform(tag: str, xf: XForm, chaos_row=None):

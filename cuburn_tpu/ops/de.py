@@ -92,6 +92,50 @@ def radius_for_density(density, max_radius, min_radius, curve):
     return jnp.clip(r, min_radius, jnp.maximum(max_radius, min_radius))
 
 
+def density_filter_direct(img, density, max_radius, min_radius, curve):
+    """GROUND TRUTH: direct per-source-radius Gaussian splat.
+
+    The literal flam3 scatter semantics (cuburn/code/filtering.py
+    density_est, SURVEY.md §2b item 8): every accumulator cell splats
+    its energy through a separable Gaussian of ITS OWN radius
+    r(d) = clamp(max_radius / d^curve, min, max), using the same
+    sigma = r/2, support 1.5r convention as the banded path.  O(H·W·r²)
+    host loops — for tiny images in differential tests
+    (tests/test_filters.py::test_de_matches_direct) and debugging only.
+
+    Measured banded-vs-direct error at N_BANDS=8 (random images,
+    32x32): relative L2 ~0.05-0.12, worst case set by the sqrt(g)
+    radius quantization of the geometric ladder; when every source
+    radius hits a ladder rung exactly the two agree to f32 precision.
+    Both clip kernels at image edges identically.
+    """
+    img = np.asarray(img, np.float64)
+    density = np.asarray(density, np.float64)
+    H, W, C = img.shape
+    r_px = np.asarray(radius_for_density(
+        jnp.asarray(density),
+        jnp.clip(jnp.float32(max_radius), 0.0, MAX_RADIUS_CAP),
+        jnp.float32(min_radius), jnp.float32(curve)))
+    out = np.zeros_like(img)
+    for y in range(H):
+        for x in range(W):
+            if not img[y, x].any():
+                continue
+            r = max(float(r_px[y, x]), MIN_BAND_RADIUS)
+            half = int(np.ceil(1.5 * r))
+            if half == 0:
+                out[y, x] += img[y, x]
+                continue
+            t = np.asarray(_gaussian_taps(r, half), np.float64)
+            y0, y1 = max(y - half, 0), min(y + half + 1, H)
+            x0, x1 = max(x - half, 0), min(x + half + 1, W)
+            ky = t[y0 - (y - half):y1 - (y - half)]
+            kx = t[x0 - (x - half):x1 - (x - half)]
+            out[y0:y1, x0:x1] += np.einsum(
+                "i,j,c->ijc", ky, kx, img[y, x])
+    return out
+
+
 def density_filter(img, density, max_radius, min_radius, curve,
                    static_max_radius: float = None):
     """Banded adaptive DE blur.

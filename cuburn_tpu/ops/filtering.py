@@ -23,6 +23,7 @@ floats instead of flam3's 0..255 integer white levels:
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,23 +145,128 @@ def colorclip(img, gamma, vibrancy, highlight_power, gamma_threshold,
     return out
 
 
-def downsample(img, ss: int, spatial_filter: float = 0.0):
+# -- flam3 spatial filter kernel family --------------------------------------
+# (flam3 filters.c flam3_create_spatial_filter; each entry is
+# (support, f(x)) with x in [0, support]).  The supersample reduction
+# correlates the accumulator with the separable 2-D kernel at stride
+# ss — flam3's filtered decimation, not a blur-then-box approximation.
+
+def _sinc(x):
+    x = np.where(x == 0, 1e-9, x) * np.pi
+    return np.sin(x) / x
+
+
+def _mitchell(x, b=1.0 / 3.0, c=1.0 / 3.0):
+    ax = np.abs(x)
+    p0 = (6.0 - 2.0 * b) / 6.0
+    p2 = (-18.0 + 12.0 * b + 6.0 * c) / 6.0
+    p3 = (12.0 - 9.0 * b - 6.0 * c) / 6.0
+    q0 = (8.0 * b + 24.0 * c) / 6.0
+    q1 = (-12.0 * b - 48.0 * c) / 6.0
+    q2 = (6.0 * b + 30.0 * c) / 6.0
+    q3 = (-b - 6.0 * c) / 6.0
+    return np.where(
+        ax < 1.0, p0 + ax * ax * (p2 + ax * p3),
+        np.where(ax < 2.0, q0 + ax * (q1 + ax * (q2 + ax * q3)), 0.0))
+
+
+def _catrom(x):
+    ax = np.abs(x)
+    return np.where(
+        ax < 1.0, 1.0 - ax * ax * (2.5 - 1.5 * ax),
+        np.where(ax < 2.0,
+                 2.0 - ax * (4.0 - ax * (2.5 - 0.5 * ax)), 0.0))
+
+
+def _quadratic(x):
+    ax = np.abs(x)
+    return np.where(ax < 0.5, 0.75 - ax * ax,
+                    np.where(ax < 1.5, 0.5 * (ax - 1.5) ** 2, 0.0))
+
+
+def _bspline(x):
+    ax = np.abs(x)
+    return np.where(
+        ax < 1.0, (4.0 + ax * ax * (-6.0 + 3.0 * ax)) / 6.0,
+        np.where(ax < 2.0, ((2.0 - ax) ** 3) / 6.0, 0.0))
+
+
+SPATIAL_FILTERS = {
+    "gaussian": (1.5, lambda x: np.exp(-2.0 * x * x)),
+    "box": (0.5, lambda x: np.ones_like(x)),
+    "triangle": (1.0, lambda x: np.maximum(1.0 - np.abs(x), 0.0)),
+    "hermite": (1.0, lambda x: np.where(
+        np.abs(x) < 1.0,
+        (2.0 * np.abs(x) - 3.0) * x * x + 1.0, 0.0)),
+    "bell": (1.5, _quadratic),
+    "quadratic": (1.5, _quadratic),
+    "b_spline": (2.0, _bspline),
+    "mitchell": (2.0, _mitchell),
+    "catrom": (2.0, _catrom),
+    "lanczos2": (2.0, lambda x: _sinc(x) * _sinc(x / 2.0)),
+    "lanczos3": (3.0, lambda x: _sinc(x) * _sinc(x / 3.0)),
+    "blackman": (1.0, lambda x: 0.42 + 0.5 * np.cos(np.pi * x)
+                 + 0.08 * np.cos(2.0 * np.pi * x)),
+    "hamming": (1.0, lambda x: 0.54 + 0.46 * np.cos(np.pi * x)),
+    "hanning": (1.0, lambda x: 0.5 + 0.5 * np.cos(np.pi * x)),
+}
+
+
+def spatial_filter_taps(shape: str, radius: float, ss: int):
+    """flam3's spatial filter row (flam3_create_spatial_filter): width
+    2 * support * ss * radius accumulator pixels, rounded up with
+    parity matched to ss so output-pixel centers align; samples at
+    cell centers mapped onto [-support, support]; sum-normalized."""
+    if shape not in SPATIAL_FILTERS:
+        raise ValueError(f"unknown spatial filter {shape!r}; have "
+                         f"{sorted(SPATIAL_FILTERS)}")
+    support, fn = SPATIAL_FILTERS[shape]
+    fw = 2.0 * support * ss * radius
+    fwidth = int(fw) + 1
+    if (fwidth ^ ss) & 1:
+        fwidth += 1
+    fwidth = max(fwidth, ss)
+    x = ((2.0 * np.arange(fwidth) + 1.0) / fwidth - 1.0) * support
+    t = fn(np.abs(x)).astype(np.float64)
+    s = t.sum()
+    if s <= 0:
+        raise ValueError(
+            f"degenerate spatial filter {shape!r} radius {radius}")
+    return (t / s).astype(np.float32)
+
+
+def downsample(img, ss: int, spatial_filter: float = 0.0,
+               filter_shape: str = "gaussian"):
     """Supersample reduction: (H*ss, W*ss, C) -> (H, W, C).
 
     `spatial_filter` (static, output-pixel units) is flam3's `filter`
-    attribute: a Gaussian pre-blur at accumulator resolution before
-    block decimation, approximating flam3's filtered reduction.  0 (or
-    ss == 1) gives a plain box average."""
+    attribute and `filter_shape` its kernel family: each output pixel
+    is the kernel-weighted window of accumulator cells, stride ss
+    (flam3 rect.c filtered accumulation).  radius <= 0 (or ss == 1)
+    degenerates to a plain box average."""
     if ss == 1:
         return img
-    if spatial_filter and spatial_filter > 0.0:
-        from cuburn_tpu.ops.de import _gaussian_taps, _sep_blur
-        sigma = float(spatial_filter) * ss * 0.5
-        half = max(1, int(np.ceil(3.0 * sigma)))
-        img = _sep_blur(img, _gaussian_taps(2 * sigma, half), half)
-    hs, ws, c = img.shape
-    h, w = hs // ss, ws // ss
-    return img.reshape(h, ss, w, ss, c).mean(axis=(1, 3))
+    if not spatial_filter or spatial_filter <= 0.0:
+        hs, ws, c = img.shape
+        h, w = hs // ss, ws // ss
+        return img.reshape(h, ss, w, ss, c).mean(axis=(1, 3))
+    taps = jnp.asarray(
+        spatial_filter_taps(filter_shape, float(spatial_filter), ss))
+    fwidth = taps.shape[0]
+    pad = (fwidth - ss) // 2
+    H, W, C = img.shape
+    x = img.transpose(2, 0, 1)[None]               # (1, C, H, W)
+    kh = jnp.broadcast_to(taps[None, None, :, None], (C, 1, fwidth, 1))
+    kw = jnp.broadcast_to(taps[None, None, None, :], (C, 1, 1, fwidth))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (ss, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=C)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, ss), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=C)
+    return x[0].transpose(1, 2, 0)
 
 
 def to_u8(img):

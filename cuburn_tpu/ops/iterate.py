@@ -276,6 +276,10 @@ def iterate_accumulate(
 
     Returns (new_state, hist, plotted_count)."""
     cbits = color_bits_for(cam.n_bins) if packed else 0
+    if backend == "pallas_win" and cbits:
+        # 2^8 = flam3's native palette resolution; quarters the
+        # windowed kernel's palette one-hot cost vs 10 bits
+        cbits = min(cbits, 8)
     if backend.startswith("pallas") and not cbits:
         raise ValueError("pallas backend requires packed records "
                          "(unit opacities and <= 2^24 bins)")
@@ -295,11 +299,12 @@ def iterate_accumulate(
 
             state, packed_recs = jax.lax.scan(
                 body, state, None, length=iters_per_flush)
-            if backend in ("pallas", "pallas_merged"):
+            if backend in ("pallas", "pallas_merged", "pallas_win"):
                 from cuburn_tpu.ops import pallas_hist as ph
-                acc = (ph.accumulate_merged_pallas
-                       if backend == "pallas_merged"
-                       else ph.accumulate_packed_pallas)
+                acc = {"pallas": ph.accumulate_packed_pallas,
+                       "pallas_merged": ph.accumulate_merged_pallas,
+                       "pallas_win": ph.accumulate_windowed_pallas,
+                       }[backend]
                 hist = acc(
                     hist, packed_recs, palette_hi, cam.n_bins, cbits,
                     interpret=jax.default_backend() != "tpu",
@@ -382,9 +387,18 @@ def _get_accumulate(backend: str):
 
 def hist_alloc_for(backend: str, n_bins: int):
     """Allocate the histogram in the layout the backend accumulates
-    into (lane-packed for pallas, logical (bins+1, 4) otherwise)."""
+    into: channel planes for pallas_win, lane-packed for the other
+    pallas backends, logical (bins+1, 4) otherwise."""
     from cuburn_tpu.ops import histogram as hist_mod
     hist = hist_mod.alloc(n_bins)
+    return hist_to_layout(backend, hist)
+
+
+def hist_to_layout(backend: str, hist):
+    """Convert a logical (bins+1, 4) histogram to backend layout."""
+    if backend == "pallas_win":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.to_planes_layout(hist)
     if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.to_packed_layout(hist)
@@ -393,6 +407,9 @@ def hist_alloc_for(backend: str, n_bins: int):
 
 def hist_to_logical(backend: str, hist, n_bins: int):
     """Convert a backend-layout histogram to logical (bins+1, 4)."""
+    if backend == "pallas_win":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.from_planes_layout(hist, n_bins)
     if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.from_packed_layout(hist, n_bins)

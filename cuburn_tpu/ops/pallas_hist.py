@@ -193,6 +193,284 @@ def _pal128(palette_hi):
     return pal128.at[:, :4].set(pal)
 
 
+# ---------------------------------------------------------------------------
+# Windowed one-hot-matmul flush (the segment-sum design from
+# docs/KERNEL_DESIGN.md §5b): after key-sort + run-merge, 128
+# consecutive unique records usually span < 128 bins, so the whole
+# window's segment sum is TWO small MXU matmuls instead of 128 scalar
+# read-modify-writes:
+#
+#   R[k, r]  = [q_r == k] * count_r          (K x 128 one-hot build, VPU)
+#   WT       = palT (4, K) @ R               -> per-record weighted rgba
+#   P[r, b]  = [addr_r - base == b]          (128 x 128 one-hot, VPU)
+#   out      = WT (4, 128) @ P               -> per-bin channel sums
+#   hist[:, base>>7, :] += out               (one dynamic-sublane RMW)
+#
+# This uses a CHANNEL-PLANES histogram layout (4, rows, 128) with bin b
+# at [c, b >> 7, b & 127]: 128 aligned consecutive bins fill exactly one
+# lane row per channel plane, so the matmul output lands without any
+# in-kernel transpose or reshape (neither lowers well in Mosaic).
+# Windows spanning >= 128 bins (sparse flushes) fall back to a
+# roll-based per-record loop in the same kernel.
+# ---------------------------------------------------------------------------
+
+WIN = 128
+# rows per VMEM-resident histogram block: 4 ch x 4096 x 128 x 4B = 8.4 MB.
+# Histograms larger than this are HBM-resident and flushed block-by-block
+# (KERNEL_DESIGN.md §6): the grid walks sorted windows, the output
+# BlockSpec's index map reads the per-window row-block from a prefetched
+# scalar array, so each block is fetched into VMEM once, accumulated
+# over its contiguous run of windows, and written back — the 1080p ss2
+# (8.6 M bin) configs ride the same kernel as 512².
+BLOCK_ROWS = 4096
+
+
+def planes_rows(n_bins: int) -> int:
+    """Lane rows per channel plane for n_bins + junk: sublane-padded,
+    and padded to a whole number of BLOCK_ROWS blocks when tiled."""
+    rows = -(-(n_bins + 1) // 128)
+    rows = -(-rows // 8) * 8
+    if rows > BLOCK_ROWS:
+        rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    return rows
+
+
+def to_planes_layout(hist: jnp.ndarray) -> jnp.ndarray:
+    """(bins+1, 4) logical -> (4, rows, 128) channel planes."""
+    n = hist.shape[0]
+    rows = planes_rows(n - 1)
+    flat = jnp.zeros((rows * 128, 4), hist.dtype)
+    flat = flat.at[:n].set(hist)
+    return flat.T.reshape(4, rows, 128)
+
+
+def from_planes_layout(planes: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """(4, rows, 128) channel planes -> (bins+1, 4) logical."""
+    flat = planes.reshape(4, -1).T
+    return flat[:n_bins + 1]
+
+
+GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
+
+
+def _make_win_kernel(block_rows: int):
+    def _win_kernel(rbg_ref, base_ref, ok_ref, addr_s_ref, addr_ref,
+                    q_ref, cnt_ref, palT_ref, out_ref):
+        """One grid step = GROUP windows of WIN sorted unique records.
+
+        Scalar-prefetch refs (full SMEM arrays): rbg_ref — per GROUP,
+        the histogram row block it lands in (non-decreasing: records
+        are sorted; windows not fitting their group's block were
+        diverted to the XLA side-scatter upstream); base_ref/ok_ref —
+        per WINDOW, its 128-aligned base bin and whether every record
+        lands inside [base, base+128).
+        addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads, fallback).
+        addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32.
+        palT_ref: (4, K) VMEM — palette^T with the density row.
+        out_ref: (4, block_rows, 128) — the group's row block,
+        VMEM-resident across its contiguous run of groups.
+        """
+        gi = pl.program_id(0)
+        rb = rbg_ref[gi]
+        prev_rb = rbg_ref[jnp.maximum(gi - 1, 0)]
+
+        @pl.when(jnp.logical_or(gi == 0, rb != prev_rb))
+        def _first_visit():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        row_off = rb * block_rows
+        K = palT_ref.shape[1]
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, WIN), 0)
+        biota = jax.lax.broadcasted_iota(jnp.int32, (128, WIN), 0)
+        liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+
+        def window(j, _):
+            wi = gi * GROUP + j
+            cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
+            total = jnp.sum(cnt_row)
+
+            @pl.when(total > 0)
+            def _window():
+                R = jnp.where(q_ref[pl.ds(j, 1), :] == kiota,
+                              cnt_row, np.float32(0.0))
+                # HIGHEST: default MXU precision is bf16-class, which
+                # mangles count-weighted sums (measured max_err ~1 at
+                # 2M records); exactness vs scatter is the contract
+                WT = jnp.dot(palT_ref[:, :], R,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                base = base_ref[wi]
+
+                @pl.when(ok_ref[wi] != 0)
+                def _dense():
+                    Pt = (addr_ref[pl.ds(j, 1), :] - base
+                          == biota).astype(jnp.float32)  # (128, WIN)
+                    out = jax.lax.dot_general(
+                        WT, Pt, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (4,128)
+                    r0 = base // 128 - row_off
+                    out_ref[:, pl.ds(r0, 1), :] = \
+                        out_ref[:, pl.ds(r0, 1), :] + out[:, None, :]
+
+                @pl.when(ok_ref[wi] == 0)
+                def _sparse():
+                    def body(k, _):
+                        a = addr_s_ref[j, k]
+                        lane = a % 128
+                        # rotate record k's column to its bin lane
+                        add = pltpu.roll(WT, lane - k, axis=1) \
+                            * (liota == lane).astype(jnp.float32)
+                        row = jnp.clip(a // 128 - row_off, 0,
+                                       block_rows - 1)
+                        out_ref[:, pl.ds(row, 1), :] = \
+                            out_ref[:, pl.ds(row, 1), :] \
+                            + add[:, None, :]
+                        return 0
+
+                    jax.lax.fori_loop(0, WIN, body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, window, 0)
+
+    return _win_kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "color_bits", "interpret",
+                                    "merge"))
+def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
+                               n_bins: int, color_bits: int,
+                               interpret: bool = False, weight=None,
+                               merge: bool = False):
+    """Key-sort + run-merge + windowed one-hot-matmul Pallas flush —
+    the full 'tile-local VMEM accumulation with key-sort + segment-sum
+    flushes' design named by BASELINE.json, with the segment sums on
+    the MXU (TPU-native recast of the reference's radix sort + write
+    kernel, cuburn/code/sort.py + iter.py write kernel, SURVEY.md §1).
+
+    Histograms up to BLOCK_ROWS lane rows (~2 M bins) stay VMEM-resident
+    for the whole flush; larger ones (1080p ss2 = 8.6 M bins) are HBM-
+    resident and walked in row blocks via the prefetched block index —
+    sorted records make each block's visits contiguous.  Windows whose
+    sparse fallback would cross a block boundary (at most ~2 per
+    boundary) are diverted to an exact XLA side-scatter.
+
+    hist_planes: (4, rows, 128) from to_planes_layout."""
+    from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
+
+    rows = hist_planes.shape[1]
+    br = min(rows, BLOCK_ROWS)
+    n_blocks = rows // br
+    junk_rec = jnp.uint32(n_bins << color_bits)
+    cmask = np.uint32((1 << color_bits) - 1)
+    sorted_recs = sort_records(packed_records)
+    if merge:
+        # run-merge collapses duplicates into counts (fewer active
+        # windows on hot-pixel distributions), at the cost of a
+        # searchsorted + gather pass over the whole log
+        uniq, counts = merge_sorted_records(sorted_recs, junk_rec)
+    else:
+        # merge-free: duplicates just land in the same one-hot column
+        # of their window's segment-sum matmul
+        uniq = sorted_recs
+        counts = jnp.ones(uniq.shape, jnp.int32)
+    counts = jnp.where(uniq == jnp.uint32(0xFFFFFFFF), 0, counts)
+    m = uniq.shape[0]
+    n_grp = -(-m // (GROUP * WIN))
+    n_win = n_grp * GROUP
+    pad = n_win * WIN - m
+    if pad:
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((pad,), junk_rec, jnp.uint32)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)])
+
+    addr = (uniq >> np.uint32(color_bits)).astype(jnp.int32)
+    q = (uniq & cmask).astype(jnp.int32)
+    addr_w = addr.reshape(n_win, WIN)
+    q_w = q.reshape(n_win, WIN)
+    cnt_w = counts.astype(jnp.float32).reshape(n_win, WIN)
+    base = addr_w[:, 0] & ~np.int32(127)
+    ok = ((addr_w[:, -1] - base) < 128).astype(jnp.int32)
+    # clamp: zero-count sentinel-tail windows carry huge addresses; an
+    # out-of-range block index would alias onto a real block and its
+    # first-visit zeroing would erase real accumulation
+    rb = jnp.minimum((base // 128) // br, n_blocks - 1)
+    rbg = rb.reshape(n_grp, GROUP)[:, 0]     # per group
+    side = None
+    if n_blocks > 1:
+        # windows whose rows don't all fit their GROUP's row block:
+        # divert to an exact side-scatter (fixed capacity; at most one
+        # group per block boundary can straddle it)
+        grp_of_win = jnp.repeat(rbg, GROUP)
+        last_rb = jnp.minimum((addr_w[:, -1] // 128) // br,
+                              n_blocks - 1)
+        straddle = (rb != grp_of_win) | (last_rb != grp_of_win)
+        sc = GROUP * (n_blocks + 1)
+        rank = jnp.cumsum(straddle.astype(jnp.int32)) - 1
+        slot = jnp.where(straddle, rank, sc)
+        winp1 = jnp.zeros((sc,), jnp.int32).at[slot].set(
+            jnp.arange(n_win, dtype=jnp.int32) + 1, mode="drop")
+        sel = jnp.maximum(winp1 - 1, 0)
+        valid = (winp1 > 0).astype(jnp.float32)
+        s_addr = addr_w[sel].reshape(-1)
+        s_q = q_w[sel].reshape(-1)
+        s_cnt = (cnt_w[sel] * valid[:, None]).reshape(-1)
+        pal4 = jnp.concatenate(
+            [palette_hi, jnp.ones((palette_hi.shape[0], 1),
+                                  palette_hi.dtype)], axis=1)
+        s_rgba = jnp.take(pal4, s_q, axis=0) * s_cnt[:, None]
+        side = jnp.zeros((4, rows * 128), jnp.float32).at[
+            :, s_addr].add(s_rgba.T)
+        cnt_w = jnp.where(straddle[:, None], 0.0, cnt_w)
+
+    palT = jnp.concatenate(
+        [palette_hi, jnp.ones((palette_hi.shape[0], 1),
+                              palette_hi.dtype)], axis=1).T  # (4, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_grp,),
+        in_specs=[
+            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, palette_hi.shape[0]),
+                         lambda i, rbg, b, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, br, 128),
+                               lambda i, rbg, b, o: (0, rbg[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    delta = pl.pallas_call(
+        _make_win_kernel(br),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
+        interpret=interpret,
+    )(rbg, base, ok, addr_w.reshape(n_grp * GROUP, WIN), addr_w, q_w,
+      cnt_w, palT)
+
+    if n_blocks > 1:
+        # unvisited blocks hold uninitialized memory: mask them out
+        visited = jnp.zeros((n_blocks,), jnp.int32).at[rbg].set(
+            1, mode="drop")
+        delta = jnp.where(
+            (visited > 0)[None, :, None, None],
+            delta.reshape(4, n_blocks, br, 128),
+            np.float32(0.0)).reshape(4, rows, 128)
+        delta = delta + side.reshape(4, rows, 128)
+    if weight is not None:
+        delta = delta * weight
+    return hist_planes + delta
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "color_bits", "interpret"))
 def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,

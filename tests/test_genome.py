@@ -246,6 +246,49 @@ class TestWildFixture:
         assert pal[0, 0] == pytest.approx(1.0)
         assert pal[255, 2] == pytest.approx(1.0)
 
+    def test_motion_elements(self):
+        """flam3 <motion> children become periodic splines: value =
+        base + sum amp * func(freq * t) (flam3.c motion_funcs /
+        apply_motion_parameters), covering weight, coefs columns, and
+        variation weights absent from the parent base."""
+        import numpy as np
+        _, g2 = self._load()
+        xf = g2.xforms[0]
+        # weight: base 0.5 + 0.2*sin(2pi*2t)
+        assert xf.weight(0.0) == pytest.approx(0.5, abs=1e-6)
+        assert xf.weight(0.125) == pytest.approx(0.7, abs=1e-3)
+        assert xf.weight(0.25) == pytest.approx(0.5, abs=1e-3)
+        assert xf.weight(0.375) == pytest.approx(0.3, abs=1e-3)
+        # coefs amp "0 0 0 0 0.1 0": flam3 E column = our c
+        # (x-translate, index 2): -0.3 + 0.1*sin(4pi t)
+        assert xf.affine[2](0.125) == pytest.approx(-0.2, abs=1e-3)
+        assert xf.affine[0](0.125) == pytest.approx(1.2, abs=1e-6)
+        # sinusoidal: base 1 + 0.4*hill(t); hill(0.5) = 1
+        assert xf.vars["sinusoidal"](0.5) == pytest.approx(1.4,
+                                                           abs=1e-3)
+        assert xf.vars["sinusoidal"](0.0) == pytest.approx(1.0,
+                                                           abs=1e-3)
+        # temporal filter attrs parsed at flame level
+        assert g2.temporal_filter_type == "gaussian"
+        assert g2.temporal_filter_width(0) == pytest.approx(1.5)
+        # second xform untouched by motion
+        assert g2.xforms[1].weight.is_constant
+
+    def test_motion_renders_time_varying(self):
+        """End-to-end: a motioned genome animates — same seed, two
+        times, different images."""
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        import numpy as np
+        _, g2 = self._load()
+        prof = RenderProfile(width=64, height=64, quality=30,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        r = Renderer(g2, prof)
+        img_a, _ = r.render_frame(0.0, seed=3)
+        img_b, _ = r.render_frame(0.25, seed=3)
+        assert not np.array_equal(img_a, img_b)
+
     def test_renders(self):
         from cuburn_tpu.profile import RenderProfile
         from cuburn_tpu.render import Renderer

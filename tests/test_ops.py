@@ -310,6 +310,21 @@ class TestPallasHistogram:
         np.testing.assert_allclose(
             img_s.astype(np.int32), img_p.astype(np.int32), atol=1)
 
+    def test_render_with_pallas_win_backend(self):
+        """End-to-end render through the windowed one-hot-matmul flush
+        (channel-planes layout) matches scatter to quantization."""
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g = sierpinski()
+        prof_s = RenderProfile(width=64, height=64, quality=30,
+                               batch=1024, iters_per_chunk=8,
+                               hist_backend="scatter", de_enabled=False)
+        prof_w = dataclasses.replace(prof_s, hist_backend="pallas_win")
+        img_s, _ = Renderer(g, prof_s).render_frame(0.0, seed=7)
+        img_w, _ = Renderer(g, prof_w).render_frame(0.0, seed=7)
+        np.testing.assert_allclose(
+            img_s.astype(np.int32), img_w.astype(np.int32), atol=1)
+
 
 class TestPackedVsFullRecords:
     """The packed-u32 log path must agree with the full-record path on

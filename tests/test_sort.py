@@ -96,6 +96,121 @@ class TestMergedPallasFlush:
         gb = np.asarray(ph.from_packed_layout(b, n_bins))[:n_bins]
         np.testing.assert_allclose(gb, ga, rtol=1e-5, atol=1e-4)
 
+    def _scatter_reference(self, n_bins, cbits, addr, color, palette):
+        """Ground truth: XLA scatter-add of the same packed records."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops.camera import CameraSpec
+        from cuburn_tpu.ops.iterate import (expand_palette, pack_records,
+                                            unpack_records)
+        cam = CameraSpec(25, 20, 1)
+        pal_hi = expand_palette(palette, cbits)
+        packed = pack_records(cam, cbits, jnp.asarray(addr),
+                              jnp.asarray(color))
+        a, rgba = unpack_records(cam, cbits, pal_hi, packed)
+        ref = hm.alloc(n_bins).at[a].add(rgba)
+        return packed, pal_hi, np.asarray(ref)
+
+    @pytest.mark.parametrize("merge", [False, True])
+    @pytest.mark.parametrize("dist", ["dense", "sparse", "mixed"])
+    def test_windowed_matches_scatter(self, dist, merge):
+        """accumulate_windowed_pallas must reproduce scatter exactly:
+        'dense' exercises the MXU window matmuls (clustered addresses),
+        'sparse' the roll-based fallback (windows spanning >= 128
+        bins), 'mixed' both plus junk records and non-pow2 count."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(hash(dist) % 2**31)
+        n_bins, cbits = 4000, 10
+        M = 3000   # non-power-of-two
+        if dist == "dense":
+            addr = (rng.randint(0, 20, M) +
+                    rng.choice([0, 256, 1024], M)).astype(np.int32)
+        elif dist == "sparse":
+            addr = rng.randint(0, n_bins, M).astype(np.int32)
+        else:
+            addr = np.where(rng.rand(M) < 0.5,
+                            rng.randint(0, n_bins, M),
+                            rng.randint(0, 16, M)).astype(np.int32)
+            addr[:7] = n_bins   # explicit junk records
+        color = rng.rand(M).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        hp = ph.to_planes_layout(hm.alloc(n_bins))
+        out = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            merge=merge)
+        got = np.asarray(ph.from_planes_layout(out, n_bins))
+        # density channel counts integers -> exact in any add order
+        np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
+        np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
+                                   rtol=1e-5, atol=1e-5)
+        # total mass conserved, nothing beyond the junk bin
+        assert np.asarray(out).reshape(4, -1)[3].sum() \
+            == pytest.approx(M)
+
+    def test_windowed_hbm_tiled_multi_block(self):
+        """Histograms larger than one VMEM block (> BLOCK_ROWS lane
+        rows) flush through the row-block-tiled path: the prefetched
+        block index walks sorted windows block by block, boundary-
+        straddling windows divert to the side scatter.  Must still be
+        exactly scatter-equivalent, including across block boundaries
+        and in blocks that receive no records."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(13)
+        n_bins = 3 * ph.BLOCK_ROWS * 128 - 500   # 3 row blocks
+        cbits = 10
+        M = 2000
+        bdry = ph.BLOCK_ROWS * 128
+        addr = np.concatenate([
+            rng.randint(0, n_bins, M - 600),          # all blocks
+            rng.randint(bdry - 40, bdry + 40, 200),   # straddle bdry 1
+            rng.randint(2 * bdry - 40, 2 * bdry + 40, 200),
+            np.full(200, n_bins),                     # junk records
+        ]).astype(np.int32)
+        color = rng.rand(M).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        hp = ph.to_planes_layout(hm.alloc(n_bins))
+        assert hp.shape[1] == 3 * ph.BLOCK_ROWS
+        out = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True)
+        got = np.asarray(ph.from_planes_layout(out, n_bins))
+        np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
+        np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
+                                   rtol=1e-5, atol=1e-5)
+        assert np.asarray(out).reshape(4, -1)[3].sum() \
+            == pytest.approx(M)
+
+    def test_windowed_weight_scales(self):
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(3)
+        n_bins, cbits = 1000, 10
+        addr = rng.randint(0, n_bins, 512).astype(np.int32)
+        color = rng.rand(512).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, _ = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        hp = ph.to_planes_layout(hm.alloc(n_bins))
+        a = ph.accumulate_windowed_pallas(hp, packed, pal_hi, n_bins,
+                                          cbits, interpret=True)
+        b = ph.accumulate_windowed_pallas(hp, packed, pal_hi, n_bins,
+                                          cbits, interpret=True,
+                                          weight=jnp.float32(0.5))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a) * 0.5,
+                                   rtol=1e-6)
+
+    def test_planes_layout_roundtrip(self):
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(4)
+        h = rng.rand(777 + 1, 4).astype(np.float32)
+        back = np.asarray(ph.from_planes_layout(
+            ph.to_planes_layout(jnp.asarray(h)), 777))
+        np.testing.assert_array_equal(back, h)
+
     def test_sentinel_padding_adds_no_mass(self):
         """sort_records pads non-power-of-two record counts with
         0xFFFFFFFF sentinels; the merged flush must drop them entirely
