@@ -61,24 +61,34 @@ def main():
     cam = CameraSpec(W, H, 1)
     cdf = xform_cdf_rows(params)
     ppu = params.ppu * jnp.float32(W / g.size[0])
-    hist_backend = "scatter"
-
-    state = init_state(jax.random.PRNGKey(0), B)
-    hist = hist_alloc_for(hist_backend, cam.n_bins)
-    # warm compile
-    state, hist, n = iterate_accumulate(
-        key, cam, hist_backend, params, cdf, state, hist, ppu,
-        jnp.int32(1), K, 32)
-    hard_sync(hist)
     n_chunks = max(1, target_iters // (B * K))
-    t0 = time.perf_counter()
-    state, hist, n = iterate_accumulate(
-        key, cam, hist_backend, params, cdf, state, hist, ppu,
-        jnp.int32(n_chunks), K, 32)
-    hard_sync(hist)
-    dt = time.perf_counter() - t0
-    plotted = int(n)
-    samples_per_sec = plotted / dt
+
+    # measure both the scatter baseline and the windowed key-sort +
+    # MXU-segment-sum Pallas path; headline = the faster one on THIS
+    # chip (the dev emulator and real v5e invert the economics — see
+    # BASELINE.md roofline notes)
+    results = {}
+    backends = ["scatter"]
+    if backend_name == "tpu":
+        backends.append("pallas_win")
+    for hist_backend in backends:
+        state = init_state(jax.random.PRNGKey(0), B)
+        hist = hist_alloc_for(hist_backend, cam.n_bins)
+        state, hist, n = iterate_accumulate(        # warm compile
+            key, cam, hist_backend, params, cdf, state, hist, ppu,
+            jnp.int32(1), K, 32)
+        hard_sync(hist)
+        t0 = time.perf_counter()
+        state, hist, n = iterate_accumulate(
+            key, cam, hist_backend, params, cdf, state, hist, ppu,
+            jnp.int32(n_chunks), K, 32)
+        hard_sync(hist)
+        dt = time.perf_counter() - t0
+        results[hist_backend] = (int(n) / dt, dt, int(n), hist)
+        extra[f"samples_per_sec_{hist_backend}"] = round(int(n) / dt, 1)
+
+    hist_backend = max(results, key=lambda b: results[b][0])
+    samples_per_sec, dt, plotted, hist = results[hist_backend]
     extra["iterate_ms"] = round(dt * 1e3, 1)
     extra["total_iters"] = n_chunks * B * K
     extra["plotted"] = plotted

@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="genome evaluations per frame (motion blur)")
     p.add_argument("--hist-backend",
                    choices=["auto", "scatter", "sortcum", "pallas",
-                            "pallas_merged"],
+                            "pallas_merged", "pallas_win"],
                    help="histogram accumulation backend")
     p.add_argument("--no-de", action="store_true",
                    help="disable density-estimation filtering")

@@ -255,7 +255,7 @@ GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
 
 def _make_win_kernel(block_rows: int):
     def _win_kernel(rbg_ref, base_ref, ok_ref, addr_s_ref, addr_ref,
-                    q_ref, cnt_ref, palT_ref, out_ref):
+                    q_ref, cnt_ref, palF_ref, out_ref):
         """One grid step = GROUP windows of WIN sorted unique records.
 
         Scalar-prefetch refs (full SMEM arrays): rbg_ref — per GROUP,
@@ -266,7 +266,8 @@ def _make_win_kernel(block_rows: int):
         lands inside [base, base+128).
         addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads, fallback).
         addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32.
-        palT_ref: (4, K) VMEM — palette^T with the density row.
+        palF_ref: (4*KH, KL) VMEM — palette^T with the density row,
+        factored for the two-level one-hot (see _window).
         out_ref: (4, block_rows, 128) — the group's row block,
         VMEM-resident across its contiguous run of groups.
         """
@@ -279,8 +280,10 @@ def _make_win_kernel(block_rows: int):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         row_off = rb * block_rows
-        K = palT_ref.shape[1]
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (K, WIN), 0)
+        kh = palF_ref.shape[0] // 4       # palette factored KH x KL
+        kl = palF_ref.shape[1]
+        hiota = jax.lax.broadcasted_iota(jnp.int32, (kh, WIN), 0)
+        lio = jax.lax.broadcasted_iota(jnp.int32, (kl, WIN), 0)
         biota = jax.lax.broadcasted_iota(jnp.int32, (128, WIN), 0)
         liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
@@ -291,14 +294,23 @@ def _make_win_kernel(block_rows: int):
 
             @pl.when(total > 0)
             def _window():
-                R = jnp.where(q_ref[pl.ds(j, 1), :] == kiota,
-                              cnt_row, np.float32(0.0))
+                # two-level palette one-hot: q = kl*qh + ql; building
+                # (KH,WIN)+(KL,WIN) one-hots costs K/KH + K/KL of the
+                # flat (K,WIN) build.  WT[c,r] = cnt_r * pal[c, q_r]:
+                #   L[l,r]    = cnt_r * [ql_r == l]
+                #   T1        = palF (4*KH, KL) @ L  -> (4*KH, WIN)
+                #   WT[c,r]   = sum_h T1[c*KH+h, r] * [qh_r == h]
                 # HIGHEST: default MXU precision is bf16-class, which
                 # mangles count-weighted sums (measured max_err ~1 at
-                # 2M records); exactness vs scatter is the contract
-                WT = jnp.dot(palT_ref[:, :], R,
+                # 2M records); exactness vs scatter is the contract.
+                q_row = q_ref[pl.ds(j, 1), :]
+                L = jnp.where(q_row % kl == lio, cnt_row,
+                              np.float32(0.0))
+                H = (q_row // kl == hiota).astype(jnp.float32)
+                T1 = jnp.dot(palF_ref[:, :], L,
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
+                WT = jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
                 base = base_ref[wi]
 
                 @pl.when(ok_ref[wi] != 0)
@@ -425,9 +437,12 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
             :, s_addr].add(s_rgba.T)
         cnt_w = jnp.where(straddle[:, None], 0.0, cnt_w)
 
+    k = palette_hi.shape[0]
+    kl = 16 if k % 16 == 0 else 1
     palT = jnp.concatenate(
-        [palette_hi, jnp.ones((palette_hi.shape[0], 1),
-                              palette_hi.dtype)], axis=1).T  # (4, K)
+        [palette_hi, jnp.ones((k, 1), palette_hi.dtype)],
+        axis=1).T                                 # (4, K)
+    palF = palT.reshape(4, k // kl, kl).reshape(4 * (k // kl), kl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -441,8 +456,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, palette_hi.shape[0]),
-                         lambda i, rbg, b, o: (0, 0),
+            pl.BlockSpec(palF.shape, lambda i, rbg, b, o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, br, 128),
@@ -455,7 +469,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
         interpret=interpret,
     )(rbg, base, ok, addr_w.reshape(n_grp * GROUP, WIN), addr_w, q_w,
-      cnt_w, palT)
+      cnt_w, palF)
 
     if n_blocks > 1:
         # unvisited blocks hold uninitialized memory: mask them out

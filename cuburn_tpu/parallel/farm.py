@@ -228,10 +228,16 @@ def run_worker(address, max_tasks: Optional[int] = None,
             if cache_key not in renderers:
                 genome = Genome.from_json(task["genome"])
                 profile = RenderProfile(**task["profile"])
-                renderers.clear()   # one compiled pipeline at a time
+                # LRU of several renderers: queues alternating between
+                # genomes/profiles must not re-setup per task (XLA
+                # programs are cached globally by structure key anyway;
+                # this keeps packed-genome state and host caches warm)
+                while len(renderers) >= 8:
+                    renderers.pop(next(iter(renderers)))
                 renderers[cache_key] = Renderer(genome, profile)
-            img, _stats = renderers[cache_key].render_frame(
-                task["t"], seed=task["seed"])
+            rr = renderers.pop(cache_key)
+            renderers[cache_key] = rr          # move to MRU position
+            img, _stats = rr.render_frame(task["t"], seed=task["seed"])
             conn.rpc({
                 "op": "result", "job_id": task["job_id"],
                 "frame_b64": base64.b64encode(

@@ -162,9 +162,9 @@ class ShardedRenderer(Renderer):
             raise ValueError(
                 f"batch {profile.batch} must divide over "
                 f"{self.n_devices} devices")
-        if self.backend.startswith("pallas"):
-            # pallas layout conversion is single-device for now
-            self.backend = "scatter"
+        # pallas backends run per-device inside the shard_map region
+        # (each chip accumulates its own replica, psum reduces) — no
+        # special-casing needed; layout conversion is elementwise.
 
     def _accumulate_sample(self, params, hist, seed: int, iters: float):
         prof, cam, key = self.profile, self.cam, self.key

@@ -128,9 +128,10 @@ def main():
         *a, n_bins, 8, interpret=interp, merge=True), hpl, p8, pal8,
         validate=v8)
 
-    # dense flush (the quality-2000 regime: ~8 hits/bin): where the
-    # windowed MXU path should shine vs per-update scatter
-    bins_d = max(M // 8, 1 << 10)
+    # dense flush (deep-accumulation regime: ~64 hits/bin, e.g. a
+    # small-frame high-quality still): where the windowed MXU path
+    # should shine vs per-update scatter
+    bins_d = max(M // 64, 1 << 10)
     addr_d = jnp.asarray(np.where(
         mix, hot[rng.randint(0, 64, M)] % bins_d,
         rng.randint(0, bins_d, M)).astype(np.int32))

@@ -46,6 +46,25 @@ def test_sharded_matches_single_chip_mass(eight_devices):
     assert m_s == pytest.approx(m_1, rel=0.15)
 
 
+def test_sharded_pallas_win_matches_scatter(eight_devices):
+    """The windowed Pallas flush must work inside the shard_map region
+    (per-device replica accumulation + one psum) and agree with the
+    sharded scatter path on mass."""
+    import dataclasses
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=64, height=64, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend="pallas_win",
+                         de_enabled=False, fuse=8)
+    h_w, st_w = ShardedRenderer(g, prof).accumulate(0.0, seed=3)
+    prof_s = dataclasses.replace(prof, hist_backend="scatter")
+    h_s, st_s = ShardedRenderer(g, prof_s).accumulate(0.0, seed=3)
+    assert st_w.plotted_samples == st_s.plotted_samples
+    np.testing.assert_allclose(
+        np.asarray(h_w)[:-1, 3].sum(), np.asarray(h_s)[:-1, 3].sum(),
+        rtol=1e-6)
+
+
 def test_sharded_temporal_single_dispatch_matches(eight_devices):
     """Sharded motion blur (one dispatch, packed interp, weighted
     samples) must statistically match the single-chip temporal path."""
