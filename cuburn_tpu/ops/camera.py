@@ -35,12 +35,24 @@ class CameraSpec:
 
     `gutter` is a border margin (in accumulator pixels) around the
     image so density-estimation blur doesn't clip at the frame edge —
-    flam3's gutter (rect.c); the filter stage crops it after DE."""
+    flam3's gutter (rect.c); the filter stage crops it after DE.
+
+    `tile_row0`/`full_acc_height` make this camera a horizontal STRIPE
+    of a taller frame: projection happens in FULL-frame pixel
+    coordinates (identical float math to the untiled camera), then the
+    integer stripe offset is subtracted — so a frame rendered as
+    stripes partitions points EXACTLY as the whole-frame render would
+    (Renderer.accumulate_striped; lets histograms larger than device
+    memory, or larger than the fragile dev worker survives, render as
+    several smaller programs)."""
     width: int          # output width, pixels
     height: int         # output height, pixels
     ss: int = 1         # supersampling factor
     no_rotation: bool = False
     gutter: int = 0
+    tile_row0: int = 0          # stripe's first row in full acc pixels
+    full_acc_height: int = 0    # 0 = untiled
+    tile_acc_height: int = 0    # stripe's own acc rows (0 = untiled)
 
     @property
     def acc_width(self) -> int:
@@ -48,6 +60,8 @@ class CameraSpec:
 
     @property
     def acc_height(self) -> int:
+        if self.tile_acc_height:
+            return self.tile_acc_height
         return self.height * self.ss + 2 * self.gutter
 
     @property
@@ -77,10 +91,11 @@ def project(spec: CameraSpec, center, ppu, rotate_deg, x, y):
         rx = ct * dx - st * dy
         ry = st * dx + ct * dy
     ppu_ss = ppu * np.float32(spec.ss)
+    full_h = spec.full_acc_height or spec.acc_height
     px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)
-    py = ry * ppu_ss + np.float32(spec.acc_height * 0.5)
+    py = ry * ppu_ss + np.float32(full_h * 0.5)
     ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32) - spec.tile_row0
     in_bounds = ((ix >= 0) & (ix < spec.acc_width) &
                  (iy >= 0) & (iy < spec.acc_height))
     addr = jnp.where(in_bounds, iy * spec.acc_width + ix, spec.junk_bin)

@@ -160,15 +160,22 @@ class Renderer:
         self.cam = CameraSpec(profile.width, profile.height, profile.ss,
                               no_rotation=no_rot, gutter=gutter)
         backend = profile.hist_backend
-        if backend == "auto":
-            backend = "scatter"
-        self.backend = backend
         # packed single-u32 log records need unit opacity everywhere
         # (opacity is then implicit); quantized color needs >= 8 bits.
         self.packed = (
             all(xf.opacity.is_constant and xf.opacity(0.0) == 1.0
                 for xf in genome.xforms)
             and color_bits_for(self.cam.n_bins) > 0)
+        if backend == "auto":
+            # the windowed key-sort + MXU segment-sum flush measured
+            # 2.3x scatter end-to-end on TPU (BASELINE.md round 2);
+            # scatter remains the baseline elsewhere (interpret-mode
+            # Pallas on CPU is for tests only)
+            import jax
+            backend = ("pallas_win"
+                       if jax.default_backend() == "tpu" and self.packed
+                       else "scatter")
+        self.backend = backend
         if self.backend.startswith("pallas") and not self.packed:
             import warnings
             warnings.warn("pallas histogram backend needs packed "
@@ -237,6 +244,62 @@ class Renderer:
         hard_sync(hist)
         stats.iterate_s = time.perf_counter() - t0
         return hist_to_logical(self.backend, hist, cam.n_bins), stats
+
+    def accumulate_striped(self, t: float = 0.0, seed: int = 0,
+                           n_stripes: int = 4,
+                           ) -> Tuple[np.ndarray, FrameStats]:
+        """accumulate(), but as n_stripes horizontal sub-programs.
+
+        Each stripe is a CameraSpec covering a row band of the full
+        accumulator, projected in FULL-frame coordinates so the stripes
+        partition points exactly like a whole-frame render with the
+        same seed (ops/camera.py tile fields).  Every stripe replays
+        the full trajectory stream, so device time is ~n_stripes x a
+        whole-frame render — the trade for never materializing the full
+        histogram in one program (frames beyond device memory, or
+        beyond what the fragile dev-environment worker survives at
+        1080p — BASELINE.md configs 3/4)."""
+        prof, cam = self.profile, self.cam
+        stats = FrameStats()
+        full_h = cam.acc_height
+        th = -(-full_h // n_stripes)
+        full = np.zeros((cam.n_bins + 1, 4), np.float32)
+        t0 = time.perf_counter()
+        for s in range(n_stripes):
+            scam = CameraSpec(
+                prof.width, prof.height, prof.ss,
+                no_rotation=cam.no_rotation, gutter=cam.gutter,
+                tile_row0=s * th, full_acc_height=full_h,
+                tile_acc_height=th)
+            hist = hist_alloc_for(self.backend, scam.n_bins)
+            ts_times, ts_weights, _sf = self._temporal_times(t)
+            saved_cam = self.cam
+            self.cam = scam
+            try:
+                if len(ts_times) == 1:
+                    params = _to_device(self.genome.eval_at(ts_times[0]))
+                    hist, n_plot, n_iter = self._accumulate_sample(
+                        params, hist, seed=seed * 7919,
+                        iters=prof.total_iters)
+                else:
+                    hist, n_plot, n_iter = self._accumulate_temporal(
+                        ts_times, ts_weights, hist, seed=seed * 7919,
+                        iters_per_sample=prof.total_iters
+                        / len(ts_times))
+            finally:
+                self.cam = saved_cam
+            h_log = np.asarray(
+                hist_to_logical(self.backend, hist, scam.n_bins))
+            rows = min(th, full_h - s * th)
+            lo = s * th * cam.acc_width
+            full[lo:lo + rows * cam.acc_width] += \
+                h_log[:rows * cam.acc_width]
+            # per-stripe junk counts points in OTHER stripes too, so
+            # it doesn't aggregate meaningfully; leave full[-1] at 0
+            stats.plotted_samples += int(n_plot)
+            stats.total_iters += n_iter
+        stats.iterate_s = time.perf_counter() - t0
+        return full, stats
 
     def finalize_frame(self, hist, t: float = 0.0,
                        stats: Optional[FrameStats] = None) -> np.ndarray:

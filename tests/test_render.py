@@ -250,6 +250,36 @@ class TestCLI:
         assert out.exists()
 
 
+class TestStripedAccumulate:
+    def test_striped_matches_whole_frame_exactly(self):
+        """Striped accumulation projects in FULL-frame coordinates, so
+        with the same seed it partitions the identical trajectory
+        stream across stripe sub-programs — the stitched histogram must
+        equal the whole-frame histogram exactly (the 1080p strategy for
+        device-memory/dev-worker limits, BASELINE.md configs 3/4)."""
+        r = Renderer(full_feature(), FAST)
+        whole, st_w = r.accumulate(0.0, seed=7)
+        striped, st_s = r.accumulate_striped(0.0, seed=7, n_stripes=3)
+        np.testing.assert_array_equal(np.asarray(whole)[:-1],
+                                      striped[:-1])
+        assert st_s.plotted_samples == st_w.plotted_samples
+        assert st_s.total_iters == 3 * st_w.total_iters
+        img = r.finalize_frame(striped, 0.0)
+        assert img[..., :3].max() > 0
+
+    def test_striped_with_supersample_and_gutter(self):
+        from cuburn_tpu.genome.spline import Spline
+        g = sierpinski()
+        g.estimator_radius = Spline(5.0)
+        prof = dataclasses.replace(FAST, ss=2, de_enabled=True)
+        r = Renderer(g, prof)
+        assert r.cam.gutter > 0
+        whole, _ = r.accumulate(0.0, seed=2)
+        striped, _ = r.accumulate_striped(0.0, seed=2, n_stripes=4)
+        np.testing.assert_array_equal(np.asarray(whole)[:-1],
+                                      striped[:-1])
+
+
 class TestCheckpointResume:
     def test_resume_accumulation_doubles_mass(self):
         r = Renderer(sierpinski(), FAST)
