@@ -50,3 +50,35 @@ def test_edge_golden():
                          GALLERY["classic_swirl"]())
     img, _ = Renderer(edge, PROF).render_frame(0.5, seed=1234)
     _check("edge", img)
+
+
+def _motion_genome():
+    from cuburn_tpu.genome.convert import load_genomes
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "wild_sheep.flam3")
+    return load_genomes(path)[1]        # has <motion> elements
+
+
+def test_motion_golden():
+    """Pins flam3 <motion> semantics (periodic parameter offsets)."""
+    img, _ = Renderer(_motion_genome(), PROF).render_frame(0.25,
+                                                           seed=1234)
+    _check("motion", img)
+
+
+def test_temporal_filter_golden():
+    """Pins gaussian temporal-filter weighting + shutter stepping."""
+    g = GALLERY["animated_spark"]()
+    g.temporal_filter_type = "gaussian"
+    prof = dataclasses.replace(PROF, temporal_samples=4)
+    img, _ = Renderer(g, prof).render_frame(0.5, seed=1234)
+    _check("tfilter", img)
+
+
+def test_filter_shape_golden():
+    """Pins the flam3 spatial-filter decimation (mitchell, ss=2)."""
+    g = GALLERY["classic_swirl"]()
+    g.spatial_filter_shape = "mitchell"
+    prof = dataclasses.replace(PROF, ss=2)
+    img, _ = Renderer(g, prof).render_frame(0.37, seed=1234)
+    _check("fshape", img)
