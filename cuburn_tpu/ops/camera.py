@@ -73,13 +73,18 @@ class CameraSpec:
         return self.n_bins
 
 
-def project(spec: CameraSpec, center, ppu, rotate_deg, x, y):
+def project(spec: CameraSpec, center, ppu, rotate_deg, x, y,
+            tile_row0=None):
     """World point arrays -> (addr (int32), in_bounds (bool)).
 
     `ppu` is the genome's pixels-per-unit at *nominal* resolution; the
     caller pre-scales it by (render_width / genome_width) so profiles can
     re-render at any resolution (reference: profile-applied camera,
     cuburn/profile.py).
+
+    `tile_row0` (traced int32) overrides spec.tile_row0 so every stripe
+    of a striped render shares ONE compiled program (compiles cost
+    minutes on the dev tunnel).
     """
     dx = x - center[0]
     dy = y - center[1]
@@ -94,8 +99,9 @@ def project(spec: CameraSpec, center, ppu, rotate_deg, x, y):
     full_h = spec.full_acc_height or spec.acc_height
     px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)
     py = ry * ppu_ss + np.float32(full_h * 0.5)
+    row0 = spec.tile_row0 if tile_row0 is None else tile_row0
     ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32) - spec.tile_row0
+    iy = jnp.floor(py).astype(jnp.int32) - row0
     in_bounds = ((ix >= 0) & (ix < spec.acc_width) &
                  (iy >= 0) & (iy < spec.acc_height))
     addr = jnp.where(in_bounds, iy * spec.acc_width + ix, spec.junk_bin)

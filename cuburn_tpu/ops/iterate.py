@@ -162,6 +162,7 @@ def iterate_step(
     cdf_rows: jnp.ndarray,
     ppu: jnp.ndarray,
     state: IterState,
+    tile_row0=None,
 ):
     """One chaos-game iteration for every trajectory (SURVEY.md §3.5).
 
@@ -194,7 +195,8 @@ def iterate_step(
     px, py, pcolor = apply_final_xform(
         key, params, nx, ny, ncolor, stream)
     addr, in_bounds = project(
-        cam, params.center, ppu, params.rotate, px, py)
+        cam, params.center, ppu, params.rotate, px, py,
+        tile_row0=tile_row0)
     visible = (age >= fuse) & in_bounds & (opacity > 0.0)
     addr = jnp.where(visible, addr, cam.junk_bin)
 
@@ -214,6 +216,7 @@ def iterate_chunk(
     ppu: jnp.ndarray,
     n_iters: int,
     fuse: int,
+    tile_row0=None,
 ):
     """Advance every trajectory n_iters steps, collecting plot records.
 
@@ -223,7 +226,8 @@ def iterate_chunk(
 
     def body(state, _):
         state, addr, pcolor, opacity = iterate_step(
-            key, cam, fuse, params, cdf_rows, ppu, state)
+            key, cam, fuse, params, cdf_rows, ppu, state,
+            tile_row0=tile_row0)
         rgb = _palette_rgb(params.palette, pcolor)
         rgba = jnp.concatenate(
             [rgb * opacity[:, None], opacity[:, None]], axis=1)
@@ -251,6 +255,7 @@ def iterate_accumulate(
     fuse: int,
     packed: bool = True,
     weight=None,
+    tile_row0=None,
 ):
     """Advance n_chunks * iters_per_flush steps, flushing the histogram
     once per chunk — the rendering path.
@@ -294,7 +299,8 @@ def iterate_accumulate(
 
             def body(state, __):
                 state, addr, pcolor, opacity = iterate_step(
-                    key, cam, fuse, params, cdf_rows, ppu, state)
+                    key, cam, fuse, params, cdf_rows, ppu, state,
+                    tile_row0=tile_row0)
                 return state, pack_records(cam, cbits, addr, pcolor)
 
             state, packed_recs = jax.lax.scan(
@@ -326,7 +332,7 @@ def iterate_accumulate(
             state, hist, n = carry
             state, addrs, rgbas = iterate_chunk(
                 key, cam, params, cdf_rows, state, ppu,
-                iters_per_flush, fuse)
+                iters_per_flush, fuse, tile_row0=tile_row0)
             hist = accumulate(hist, addrs, rgbas * w)
             n = n + jnp.sum(addrs != cam.junk_bin)
             return state, hist, n
@@ -351,6 +357,7 @@ def iterate_accumulate_temporal(
     fuse: int,
     packed: bool = True,
     weights_T=None,           # (T,) temporal-filter weights
+    tile_row0=None,
 ):
     """Accumulate all temporal samples of a motion-blurred frame in ONE
     device program (SURVEY.md §2b temporal-sample parallelism row: fold
@@ -371,7 +378,7 @@ def iterate_accumulate_temporal(
         state, hist, dn = iterate_accumulate(
             key, cam, backend, params_t, cdf_rows, state, hist, ppu,
             n_chunks_per_sample, iters_per_flush, fuse, packed=packed,
-            weight=w_t)
+            weight=w_t, tile_row0=tile_row0)
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(

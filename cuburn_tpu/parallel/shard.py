@@ -68,6 +68,7 @@ def sharded_accumulate(
     n_iters: int,
     fuse: int,
     packed: bool = True,
+    tile_row0=None,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
 
@@ -75,10 +76,14 @@ def sharded_accumulate(
     Returns (state', hist', plotted_count) with hist' fully reduced
     (replicated) — the one ICI collective per call.
     """
-    def device_body(params, cdf_rows, state, hist, ppu):
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+
+    def device_body(params, cdf_rows, state, hist, ppu, tile_row0):
         state, hist, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state, hist, ppu,
-            jnp.int32(n_chunks), n_iters, fuse, packed=packed)
+            jnp.int32(n_chunks), n_iters, fuse, packed=packed,
+            tile_row0=tile_row0)
         # the single collective: reduce partial histograms over ICI
         hist = jax.lax.psum(hist, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
@@ -91,11 +96,11 @@ def sharded_accumulate(
     # single-chip code path.
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(), P(BATCH_AXIS), P(), P()),
+        in_specs=(P(), P(), P(BATCH_AXIS), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
         check_vma=False,
     )
-    return shard(params, cdf_rows, state, hist, ppu)
+    return shard(params, cdf_rows, state, hist, ppu, tile_row0)
 
 
 @functools.partial(
@@ -116,6 +121,7 @@ def sharded_accumulate_temporal(
     n_iters: int,
     fuse: int,
     packed: bool = True,
+    tile_row0=None,
 ):
     """Motion-blurred frame across the mesh in ONE dispatch: every
     temporal sample's accumulation happens inside the shard_map region
@@ -123,22 +129,26 @@ def sharded_accumulate_temporal(
     way out — the same single-collective contract as
     sharded_accumulate.  Round 1 looped temporal samples on the host
     (one dispatch each, ~1 s latency apiece on the dev tunnel)."""
-    def device_body(params_T, state, hist, ppu_T, weights_T):
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+
+    def device_body(params_T, state, hist, ppu_T, weights_T,
+                    tile_row0):
         state, hist, n = iterate_accumulate_temporal(
             key, cam, backend, params_T, state, hist, ppu_T,
             jnp.int32(n_chunks), n_iters, fuse, packed=packed,
-            weights_T=weights_T)
+            weights_T=weights_T, tile_row0=tile_row0)
         hist = jax.lax.psum(hist, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(BATCH_AXIS), P(), P(), P()),
+        in_specs=(P(), P(BATCH_AXIS), P(), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
         check_vma=False,
     )
-    return shard(params_T, state, hist, ppu_T, weights_T)
+    return shard(params_T, state, hist, ppu_T, weights_T, tile_row0)
 
 
 from cuburn_tpu.render import Renderer
@@ -166,7 +176,8 @@ class ShardedRenderer(Renderer):
         # (each chip accumulates its own replica, psum reduces) — no
         # special-casing needed; layout conversion is elementwise.
 
-    def _accumulate_sample(self, params, hist, seed: int, iters: float):
+    def _accumulate_sample(self, params, hist, seed: int, iters: float,
+                           tile_row0=None):
         prof, cam, key = self.profile, self.cam, self.key
         cdf_rows = xform_cdf_rows(params)
         batch = prof.batch
@@ -184,11 +195,11 @@ class ShardedRenderer(Renderer):
         state, hist, plotted = sharded_accumulate(
             key, cam, self.backend, self.mesh, params, cdf_rows,
             state, hist, ppu, n_chunks, prof.iters_per_chunk,
-            prof.fuse, packed=self.packed)
+            prof.fuse, packed=self.packed, tile_row0=tile_row0)
         return hist, plotted, n_chunks * per_chunk
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
-                             iters_per_sample):
+                             iters_per_sample, tile_row0=None):
         """Single-dispatch sharded motion blur: packed-knot interp
         feeds every temporal sample inside the shard_map region."""
         from cuburn_tpu.ops.interp import pack_genome
@@ -215,5 +226,5 @@ class ShardedRenderer(Renderer):
             key, cam, self.backend, self.mesh, params_T, state, hist,
             ppu_T, jnp.asarray(ts_weights, jnp.float32),
             n_chunks, prof.iters_per_chunk, prof.fuse,
-            packed=self.packed)
+            packed=self.packed, tile_row0=tile_row0)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)

@@ -264,13 +264,16 @@ class Renderer:
         full_h = cam.acc_height
         th = -(-full_h // n_stripes)
         full = np.zeros((cam.n_bins + 1, 4), np.float32)
+        # ONE static camera for every stripe; the row offset flows in
+        # as a traced value so all stripes share a single compiled
+        # program (per-stripe recompiles cost minutes on the tunnel)
+        scam = CameraSpec(
+            prof.width, prof.height, prof.ss,
+            no_rotation=cam.no_rotation, gutter=cam.gutter,
+            full_acc_height=full_h, tile_acc_height=th)
         t0 = time.perf_counter()
         for s in range(n_stripes):
-            scam = CameraSpec(
-                prof.width, prof.height, prof.ss,
-                no_rotation=cam.no_rotation, gutter=cam.gutter,
-                tile_row0=s * th, full_acc_height=full_h,
-                tile_acc_height=th)
+            row0 = jnp.int32(s * th)
             hist = hist_alloc_for(self.backend, scam.n_bins)
             ts_times, ts_weights, _sf = self._temporal_times(t)
             saved_cam = self.cam
@@ -280,12 +283,12 @@ class Renderer:
                     params = _to_device(self.genome.eval_at(ts_times[0]))
                     hist, n_plot, n_iter = self._accumulate_sample(
                         params, hist, seed=seed * 7919,
-                        iters=prof.total_iters)
+                        iters=prof.total_iters, tile_row0=row0)
                 else:
                     hist, n_plot, n_iter = self._accumulate_temporal(
                         ts_times, ts_weights, hist, seed=seed * 7919,
                         iters_per_sample=prof.total_iters
-                        / len(ts_times))
+                        / len(ts_times), tile_row0=row0)
             finally:
                 self.cam = saved_cam
             h_log = np.asarray(
@@ -361,7 +364,8 @@ class Renderer:
         dt = self.frame_dt()
         return [t + float(d) * dt for d in deltas], weights, sumfilt
 
-    def _accumulate_sample(self, params, hist, seed: int, iters: float):
+    def _accumulate_sample(self, params, hist, seed: int, iters: float,
+                           tile_row0=None):
         """Run the chaos game for ~`iters` iterations into hist."""
         prof, cam, key = self.profile, self.cam, self.key
         cdf_rows = xform_cdf_rows(params)
@@ -380,11 +384,12 @@ class Renderer:
         state, hist, plotted = iterate_accumulate(
             key, cam, self.backend, params, cdf_rows, state, hist,
             ppu, jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
-            packed=self.packed)
+            packed=self.packed, tile_row0=tile_row0)
         return hist, plotted, n_chunks * per_chunk
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist,
-                             seed: int, iters_per_sample: float):
+                             seed: int, iters_per_sample: float,
+                             tile_row0=None):
         from cuburn_tpu.ops.interp import pack_genome
         from cuburn_tpu.ops.iterate import iterate_accumulate_temporal
         prof, cam, key = self.profile, self.cam, self.key
@@ -407,7 +412,8 @@ class Renderer:
             key, cam, self.backend, params_T, state, hist, ppu_T,
             jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
             packed=self.packed,
-            weights_T=jnp.asarray(ts_weights, jnp.float32))
+            weights_T=jnp.asarray(ts_weights, jnp.float32),
+            tile_row0=tile_row0)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)
 
     # -- animation -------------------------------------------------------
