@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "this .npy (checkpoint for high-quality stills)")
     p.add_argument("--resume-hist",
                    help="resume accumulation from a saved histogram")
+    p.add_argument("--stripes", type=int, default=0,
+                   help="render the frame as N horizontal sub-programs"
+                        " (exact partition; for frames whose histogram"
+                        " exceeds device limits)")
     p.add_argument("--trace-dir",
                    help="capture a jax.profiler trace (Perfetto) of the "
                         "render into this directory")
@@ -212,7 +216,13 @@ def main(argv=None) -> int:
         hist0 = None
         if args.resume_hist:
             hist0 = np.load(args.resume_hist)
-        if args.save_hist or args.resume_hist:
+        if args.stripes and args.stripes > 1:
+            hist, stats = renderer.accumulate_striped(
+                args.time, args.seed, n_stripes=args.stripes)
+            if args.save_hist:
+                np.save(args.save_hist, np.asarray(hist))
+            img = renderer.finalize_frame(hist, args.time, stats)
+        elif args.save_hist or args.resume_hist:
             hist, stats = renderer.accumulate(args.time, args.seed,
                                               hist0=hist0)
             if args.save_hist:

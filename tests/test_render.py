@@ -227,6 +227,18 @@ class TestCLI:
         assert rc == 0
         assert out.exists()
 
+    def test_striped_cli(self, tmp_path):
+        from cuburn_tpu.main import main
+        out = tmp_path / "striped.png"
+        rc = main(["gallery:sierpinski", "-o", str(out),
+                   "--profile", "preview", "--width", "64",
+                   "--height", "64", "--quality", "30",
+                   "--stripes", "3"])
+        assert rc == 0
+        from PIL import Image
+        img = np.asarray(Image.open(out))
+        assert img[..., :3].max() > 0
+
     def test_convert(self, capsys):
         from cuburn_tpu.main import main
         rc = main(["gallery:full_feature", "--convert"])
