@@ -95,8 +95,14 @@ def run_config(idx, quick):
         hist, stats = r.accumulate_striped(0.2, seed=2,
                                            n_stripes=stripes)
         try:
-            tf = time.perf_counter()
-            img = r.finalize_frame(hist, 0.2, stats)
+            # band the filter so its programs stay under the same
+            # size the worker survives (each band ~1.5M px)
+            n_bands = max(1, -(-r.cam.n_bins // 1_500_000))
+            if n_bands > 1:
+                img = r.finalize_frame_banded(hist, 0.2, stats,
+                                              n_bands=n_bands)
+            else:
+                img = r.finalize_frame(hist, 0.2, stats)
         except Exception as e:
             print(json.dumps({"config": idx, "finalize_error":
                               f"{type(e).__name__}: {e}"[:160]}))

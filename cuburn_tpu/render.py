@@ -136,6 +136,51 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     return to_u8(img)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "ss", "margin", "band_rows", "gutter_x", "transparent", "de_on",
+    "de_static_r", "spatial_filter", "filter_shape"))
+def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
+                 row0, frame_rows: int,
+                 ss: int, margin: int, band_rows: int, gutter_x: int,
+                 transparent: bool, de_on: bool, de_static_r: float,
+                 spatial_filter: float, filter_shape: str):
+    """_filter_frame on one horizontal band of the accumulator.
+
+    hist_band: (band_rows + 2*margin, acc_w, 4) with `margin` rows of
+    real context above/below (zero-padded at the frame edges — exactly
+    the zero padding the full-frame convs apply).  Every filter stage
+    is local (DE radius <= MAX_RADIUS_CAP, spatial filter half-width),
+    so with margin >= those supports the band outputs equal the
+    corresponding rows of the full-frame filter up to float
+    reassociation — lets 1080p-class frames filter as several small
+    programs (Renderer.finalize_frame_banded)."""
+    img = hist_band
+    raw_density = img[..., 3]
+    img = logscale(img, params.brightness, quality_per_cell)
+    if de_on:
+        img = de_mod.density_filter(
+            img, raw_density,
+            params.estimator_radius * ss,
+            params.estimator_minimum * ss,
+            params.estimator_curve,
+            static_max_radius=de_static_r)
+    if gutter_x:
+        img = img[:, gutter_x:img.shape[1] - gutter_x]
+    # the whole-frame filter crops the gutter BEFORE downsample, so
+    # its decimation kernel sees zeros past the frame edge; zero the
+    # out-of-frame rows (acc row = row0 + i) to match
+    riota = jnp.arange(img.shape[0], dtype=jnp.int32) + row0
+    in_frame = (riota >= 0) & (riota < frame_rows)
+    img = img * in_frame[:, None, None].astype(img.dtype)
+    img = downsample(img, ss, spatial_filter, filter_shape)
+    mo = margin // ss
+    img = img[mo:mo + band_rows // ss]
+    img = colorclip(
+        img, params.gamma, params.vibrancy, params.highlight_power,
+        params.gamma_threshold, params.background, transparent)
+    return to_u8(img)
+
+
 def _to_device(params: GenomeParams) -> GenomeParams:
     return jax.tree_util.tree_map(jnp.asarray, params)
 
@@ -326,6 +371,65 @@ class Renderer:
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1
         return img
+
+    def finalize_frame_banded(self, hist, t: float = 0.0,
+                              stats: Optional[FrameStats] = None,
+                              n_bands: int = 4) -> np.ndarray:
+        """finalize_frame as n_bands horizontal sub-programs.
+
+        Every filter stage is local and bands carry enough real context
+        rows to cover the DE and spatial-filter supports, so outputs
+        match the whole-frame filter up to float reassociation (XLA
+        tiles convs differently per program shape; <= 1 u8 step on
+        rounding boundaries) — the filter-side counterpart of
+        accumulate_striped for frames whose full filter program
+        exceeds device limits."""
+        prof, cam = self.profile, self.cam
+        t1 = time.perf_counter()
+        params = _to_device(self.genome.eval_at(t))
+        _times, _w, sumfilt = self._temporal_times(t)
+        q_cell = jnp.float32(prof.quality * sumfilt
+                             / (cam.ss * cam.ss))
+        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
+        de_static = de_r if de_r > 0 else 9.0
+        de_on = self._de_on(params)
+        sf = float(self.genome.spatial_filter(0.0))
+        shape = self.genome.spatial_filter_shape
+        ss, g = cam.ss, cam.gutter
+        H, W = prof.height, prof.width
+        h_band = -(-H // n_bands)
+        band_rows = h_band * ss
+        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
+                                         de_mod.MAX_RADIUS_CAP)))
+                   if de_on else 0)
+        pad = 0
+        if ss > 1 and sf > 0:
+            from cuburn_tpu.ops.filtering import spatial_filter_taps
+            pad = (spatial_filter_taps(shape, sf, ss).shape[0]
+                   - ss) // 2
+        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        acc_h, acc_w = cam.acc_height, cam.acc_width
+        hist_img = np.asarray(hist)[:-1].reshape(acc_h, acc_w, 4)
+        out = np.zeros((H, W, 4), np.uint8)
+        for b in range(n_bands):
+            a0 = g + b * band_rows
+            lo, hi = a0 - margin, a0 + band_rows + margin
+            block = np.zeros((band_rows + 2 * margin, acc_w, 4),
+                             np.float32)
+            s0, s1 = max(lo, 0), min(hi, acc_h)
+            block[s0 - lo:s1 - lo] = hist_img[s0:s1]
+            band = _filter_band(
+                jnp.asarray(block), params, q_cell,
+                jnp.int32(lo - g), H * ss, ss, margin,
+                band_rows, g, prof.transparent, de_on, de_static,
+                sf, shape)
+            rows = min(h_band, H - b * h_band)
+            if rows > 0:
+                out[b * h_band:b * h_band + rows] = \
+                    np.asarray(band)[:rows]
+        if stats is not None:
+            stats.filter_s = time.perf_counter() - t1
+        return out
 
     def _de_on(self, params) -> bool:
         return (self.profile.de_enabled and

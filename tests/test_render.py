@@ -279,6 +279,26 @@ class TestStripedAccumulate:
         img = r.finalize_frame(striped, 0.0)
         assert img[..., :3].max() > 0
 
+    def test_banded_finalize_matches_whole_frame(self):
+        """finalize_frame_banded must reproduce finalize_frame up to
+        float reassociation (XLA tiles convs differently per program
+        shape, flipping u8 rounding on exact boundaries — at most 1
+        step): DE on, ss=2, gutter, spatial filter, H not divisible by
+        the band count."""
+        from cuburn_tpu.genome.spline import Spline
+        g = full_feature()
+        g.estimator_radius = Spline(5.0)
+        g.spatial_filter_shape = "mitchell"
+        prof = dataclasses.replace(FAST, width=80, height=88, ss=2,
+                                   de_enabled=True)
+        r = Renderer(g, prof)
+        hist, st = r.accumulate(0.0, seed=6)
+        whole = r.finalize_frame(hist, 0.0)
+        banded = r.finalize_frame_banded(hist, 0.0, n_bands=3)
+        diff = np.abs(banded.astype(int) - whole.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.005
+
     def test_striped_with_supersample_and_gutter(self):
         from cuburn_tpu.genome.spline import Spline
         g = sierpinski()

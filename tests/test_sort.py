@@ -111,12 +111,15 @@ class TestMergedPallasFlush:
         return packed, pal_hi, np.asarray(ref)
 
     @pytest.mark.parametrize("merge", [False, True])
-    @pytest.mark.parametrize("dist", ["dense", "sparse", "mixed"])
+    @pytest.mark.parametrize("dist", ["dense", "mid", "sparse",
+                                      "mixed"])
     def test_windowed_matches_scatter(self, dist, merge):
-        """accumulate_windowed_pallas must reproduce scatter exactly:
-        'dense' exercises the MXU window matmuls (clustered addresses),
-        'sparse' the roll-based fallback (windows spanning >= 128
-        bins), 'mixed' both plus junk records and non-pow2 count."""
+        """accumulate_windowed_pallas must reproduce scatter exactly
+        across all three flush tiers: 'dense' the single window matmul
+        (clustered addresses), 'mid' the 8-chunk path (window spans in
+        the hundreds of bins), 'sparse' the per-record roll fallback
+        (spans >= 1024 bins), 'mixed' everything plus junk records and
+        a non-pow2 count."""
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
         rng = np.random.RandomState(hash(dist) % 2**31)
@@ -125,7 +128,10 @@ class TestMergedPallasFlush:
         if dist == "dense":
             addr = (rng.randint(0, 20, M) +
                     rng.choice([0, 256, 1024], M)).astype(np.int32)
+        elif dist == "mid":
+            addr = rng.randint(0, n_bins, M).astype(np.int32)
         elif dist == "sparse":
+            n_bins = 60000   # ~window spans >> 1024 bins
             addr = rng.randint(0, n_bins, M).astype(np.int32)
         else:
             addr = np.where(rng.rand(M) < 0.5,
