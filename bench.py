@@ -87,6 +87,15 @@ def main():
         results[hist_backend] = (int(n) / dt, dt, int(n), hist)
         extra[f"samples_per_sec_{hist_backend}"] = round(int(n) / dt, 1)
 
+    if len(results) > 1:
+        # on-device cross-backend validation: identical trajectories
+        # must deposit identical total mass (density channel)
+        from cuburn_tpu.ops.iterate import hist_to_logical
+        masses = {b: float(jnp.sum(hist_to_logical(
+            b, r[3], cam.n_bins)[:-1, 3])) for b, r in results.items()}
+        ms, mw = masses["scatter"], masses["pallas_win"]
+        extra["mass_parity"] = round(mw / max(ms, 1e-9), 6)
+
     hist_backend = max(results, key=lambda b: results[b][0])
     samples_per_sec, dt, plotted, hist = results[hist_backend]
     extra["iterate_ms"] = round(dt * 1e3, 1)

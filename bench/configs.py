@@ -43,8 +43,12 @@ def run_config(idx, quick):
         return max(lo, min(int(x * (scale ** 0.5)), dim_cap) // 16 * 16)
 
     B = 1 << 15 if on_tpu else 1 << 12
+    # dispatch cap: the dev worker kills single executions much past
+    # ~2 min; ~1.2G iters ≈ 40-60 s per call at measured rates
     common = dict(batch=B, iters_per_chunk=32, fuse=32,
-                  hist_backend="auto")
+                  hist_backend="auto",
+                  dispatch_iter_cap=(1_200_000_000 if on_tpu
+                                     else None))
 
     if idx == 1:
         g = sierpinski()
@@ -63,16 +67,22 @@ def run_config(idx, quick):
                              quality=max(8, int(1000 * scale)),
                              de_enabled=False, **common)
     elif idx == 4:
+        # scatter: the dev environment's remote-compile helper dies on
+        # the 3-block-tiled pallas_win program at this size (the
+        # windowed backend is exercised at binding size by config 3)
         g = classic_swirl()
         prof = RenderProfile(width=sz(1920), height=sz(1080), ss=2,
                              quality=max(8, int(2000 * scale)),
-                             de_enabled=True, **common)
+                             de_enabled=True,
+                             **{**common, "hist_backend": "scatter"})
     elif idx == 5:
+        # scatter: same compile-helper limit for the temporal-scan
+        # pallas_win program
         g = animated_spark()
         prof = RenderProfile(width=sz(1280), height=sz(720),
                              quality=max(8, int(200 * scale)),
                              temporal_samples=4, de_enabled=False,
-                             **common)
+                             **{**common, "hist_backend": "scatter"})
     else:
         raise ValueError(idx)
 

@@ -29,6 +29,11 @@ class RenderProfile:
     duration: Optional[float] = None   # seconds; None = single frame
     temporal_samples: int = 1    # genome evaluations per frame (motion blur)
     skip: int = 1                # render every skip-th frame
+    # split accumulation into device calls of at most this many
+    # iterations (None = one call per frame/sample).  For environments
+    # whose TPU worker kills long-running executions; the same
+    # compiled program serves every call (traced chunk count).
+    dispatch_iter_cap: Optional[int] = None
 
     @property
     def total_iters(self) -> int:

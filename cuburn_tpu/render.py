@@ -485,10 +485,20 @@ class Renderer:
             prof.width / self.genome.size[0])
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters / per_chunk)))
-        state, hist, plotted = iterate_accumulate(
-            key, cam, self.backend, params, cdf_rows, state, hist,
-            ppu, jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
-            packed=self.packed, tile_row0=tile_row0)
+        # split into capped device calls when configured (state and
+        # histogram carry over; one compiled program serves all calls)
+        cap = (max(1, prof.dispatch_iter_cap // per_chunk)
+               if prof.dispatch_iter_cap else n_chunks)
+        plotted = jnp.int32(0)
+        left = n_chunks
+        while left > 0:
+            k = min(left, cap)
+            state, hist, n = iterate_accumulate(
+                key, cam, self.backend, params, cdf_rows, state, hist,
+                ppu, jnp.int32(k), prof.iters_per_chunk, prof.fuse,
+                packed=self.packed, tile_row0=tile_row0)
+            plotted = plotted + n
+            left -= k
         return hist, plotted, n_chunks * per_chunk
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist,

@@ -312,6 +312,22 @@ class TestStripedAccumulate:
                                       striped[:-1])
 
 
+class TestDispatchCap:
+    def test_capped_dispatches_match_single_dispatch(self):
+        """dispatch_iter_cap splits accumulation into several device
+        calls carrying state+histogram — identical computation, so the
+        result is bit-identical to the single-dispatch render."""
+        g = full_feature()
+        r1 = Renderer(g, FAST)
+        h1, s1 = r1.accumulate(0.0, seed=5)
+        prof_c = dataclasses.replace(FAST, dispatch_iter_cap=100_000)
+        r2 = Renderer(g, prof_c)
+        h2, s2 = r2.accumulate(0.0, seed=5)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        assert s1.plotted_samples == s2.plotted_samples
+        assert s1.total_iters == s2.total_iters
+
+
 class TestCheckpointResume:
     def test_resume_accumulation_doubles_mass(self):
         r = Renderer(sierpinski(), FAST)
