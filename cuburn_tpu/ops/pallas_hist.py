@@ -334,8 +334,10 @@ def _make_win_kernel(block_rows: int):
                     # records/bin): 8 chunked matmuls, one per lane
                     # row — records outside chunk c just miss its
                     # one-hot.  ~10x the dense path, ~10x less than
-                    # the per-record fallback.
-                    for c in range(8):
+                    # the per-record fallback.  fori (not unrolled):
+                    # the unrolled version blew the remote compile
+                    # helper's limits inside full render programs.
+                    def chunk(c, _):
                         Pt = (addr_ref[pl.ds(j, 1), :]
                               - (base + 128 * c)
                               == biota).astype(jnp.float32)
@@ -350,6 +352,9 @@ def _make_win_kernel(block_rows: int):
                         out_ref[:, pl.ds(rc, 1), :] = \
                             out_ref[:, pl.ds(rc, 1), :] \
                             + out[:, None, :]
+                        return 0
+
+                    jax.lax.fori_loop(0, 8, chunk, 0)
 
                 @pl.when(ok_ref[wi] == 0)
                 def _sparse():

@@ -34,28 +34,42 @@ import numpy as np
 
 
 def bitonic_sort_u32(keys: jnp.ndarray) -> jnp.ndarray:
-    """Ascending sort of a (N,) uint32 array, N a power of two."""
+    """Ascending sort of a (N,) uint32 array, N a power of two.
+
+    The log N (log N + 1)/2 substages run in ONE fori_loop whose body
+    reads its (block size, stride) pair from a precomputed schedule —
+    all shifts are traced, so the program holds a single substage
+    instead of ~230 unrolled copies (the unrolled version took minutes
+    per remote compile and overflowed the dev environment's compile
+    helper inside full render programs)."""
     n = keys.shape[0]
     if n & (n - 1):
         raise ValueError(f"N must be a power of two, got {n}")
     log_n = n.bit_length() - 1
-    x = keys.astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.uint32)
+    sched = [(1 << stage, 1 << sub)
+             for stage in range(1, log_n + 1)
+             for sub in range(stage - 1, -1, -1)]
+    if not sched:
+        return keys.astype(jnp.uint32)
+    sizes = jnp.asarray([s for s, _ in sched], jnp.uint32)
+    strides = jnp.asarray([k for _, k in sched], jnp.uint32)
 
-    for stage in range(1, log_n + 1):
-        size = 1 << stage            # bitonic block size
+    def substage(i, x):
+        size = sizes[i]
+        k = strides[i]
         # descending blocks where (i & size) != 0 — after the final
         # stage there is a single ascending block
-        desc = (idx & jnp.uint32(size)) != 0
-        for sub in range(stage - 1, -1, -1):
-            k = 1 << sub
-            bit = (idx & jnp.uint32(k)) != 0
-            partner = jnp.where(bit, jnp.roll(x, k), jnp.roll(x, -k))
-            lo = jnp.minimum(x, partner)
-            hi = jnp.maximum(x, partner)
-            take_hi = bit ^ desc
-            x = jnp.where(take_hi, hi, lo)
-    return x
+        desc = (idx & size) != 0
+        bit = (idx & k) != 0
+        kk = k.astype(jnp.int32)
+        partner = jnp.where(bit, jnp.roll(x, kk), jnp.roll(x, -kk))
+        lo = jnp.minimum(x, partner)
+        hi = jnp.maximum(x, partner)
+        return jnp.where(bit ^ desc, hi, lo)
+
+    return jax.lax.fori_loop(0, len(sched), substage,
+                             keys.astype(jnp.uint32))
 
 
 def sort_records(records: jnp.ndarray) -> jnp.ndarray:

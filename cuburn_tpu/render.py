@@ -193,6 +193,13 @@ class Renderer:
     never recompiles (SURVEY.md §7: trace-time specialization)."""
 
     def __init__(self, genome: Genome, profile: RenderProfile):
+        import os
+        if profile.dispatch_iter_cap is None:
+            env_cap = os.environ.get("CUBURN_DISPATCH_ITER_CAP")
+            if env_cap:
+                import dataclasses as _dc
+                profile = _dc.replace(profile,
+                                      dispatch_iter_cap=int(env_cap))
         self.genome = genome
         self.profile = profile
         self.key = genome.structure_key()
