@@ -330,6 +330,109 @@ class TestComplexClosedForms:
         np.testing.assert_allclose(dy, self.W * ey, rtol=tol, atol=tol,
                                    err_msg=f"{name} y")
 
+    def test_rings2(self):
+        val = 0.7
+        dx = val * val + 1e-10
+        r = np.sqrt(self.r2)
+        theta = np.arctan2(self.x, self.y)
+        rr = r - 2.0 * dx * np.trunc((r + dx) / (2.0 * dx)) \
+            + r * (1.0 - dx)
+        self.check("rings2", rr * np.sin(theta), rr * np.cos(theta),
+                   params={"rings2_val": val}, tol=5e-3)
+
+    def test_whorl(self):
+        inside, outside = 0.8, -0.4
+        r = np.sqrt(self.r2)
+        atanyx = np.arctan2(self.y, self.x)
+        a = atanyx + np.where(r < self.W, inside / (self.W - r),
+                              outside / (self.W - r))
+        self.check("whorl", r * np.cos(a), r * np.sin(a),
+                   params={"whorl_inside": inside,
+                           "whorl_outside": outside}, tol=5e-3)
+
+    def test_bent2(self):
+        px, py = 0.6, -1.3
+        self.check("bent2",
+                   np.where(self.x < 0, self.x * px, self.x),
+                   np.where(self.y < 0, self.y * py, self.y),
+                   params={"bent2_x": px, "bent2_y": py})
+
+    def test_split(self):
+        xs, ys = 0.45, 0.8
+        dy = np.where(np.cos(self.x * xs * np.pi) >= 0, self.y,
+                      -self.y)
+        dx = np.where(np.cos(self.y * ys * np.pi) >= 0, self.x,
+                      -self.x)
+        self.check("split", dx, dy,
+                   params={"split_xsize": xs, "split_ysize": ys})
+
+    def test_splits(self):
+        px, py = 0.35, -0.2
+        self.check("splits",
+                   np.where(self.x >= 0, self.x + px, self.x - px),
+                   np.where(self.y >= 0, self.y + py, self.y - py),
+                   params={"splits_x": px, "splits_y": py})
+
+    def test_rectangles(self):
+        px, py = 0.8, 1.3
+        ex = (2.0 * np.floor(self.x / px) + 1.0) * px - self.x
+        ey = (2.0 * np.floor(self.y / py) + 1.0) * py - self.y
+        self.check("rectangles", ex, ey,
+                   params={"rectangles_x": px, "rectangles_y": py},
+                   tol=5e-3)
+
+    def test_polar2(self):
+        theta = np.arctan2(self.x, self.y)
+        self.check("polar2", theta / np.pi,
+                   np.log(self.r2) / (2.0 * np.pi), tol=5e-3)
+
+    def test_waves2(self):
+        fx, sx, fy, sy = 2.5, 0.15, 1.5, -0.2
+        self.check("waves2",
+                   self.x + sx * np.sin(self.y * fx),
+                   self.y + sy * np.sin(self.x * fy),
+                   params={"waves2_freqx": fx, "waves2_scalex": sx,
+                           "waves2_freqy": fy, "waves2_scaley": sy})
+
+    def test_disc2_plain_twist(self):
+        rot, twist = 0.3, 0.5        # |twist| < 2pi: no k adjustment
+        timespi = rot * np.pi
+        sinadd, cosadd = np.sin(twist), np.cos(twist) - 1.0
+        t = timespi * (self.x + self.y)
+        rr = np.arctan2(self.x, self.y) / np.pi
+        self.check("disc2", rr * (np.sin(t) + cosadd),
+                   rr * (np.cos(t) + sinadd),
+                   params={"disc2_rot": rot, "disc2_twist": twist},
+                   tol=5e-3)
+
+    def test_super_shape_deterministic(self):
+        m, n1, n2, n3, holes = 4.0, 2.5, 1.5, 0.8, 0.1
+        r = np.sqrt(self.r2)
+        theta = (m / 4.0) * np.arctan2(self.y, self.x) + np.pi / 4.0
+        t1 = np.abs(np.cos(theta)) ** n2
+        t2 = np.abs(np.sin(theta)) ** n3
+        rr = (r - holes) * (t1 + t2) ** (-1.0 / n1) / r
+        self.check("super_shape", rr * self.x, rr * self.y,
+                   params={"super_shape_m": m, "super_shape_n1": n1,
+                           "super_shape_n2": n2, "super_shape_n3": n3,
+                           "super_shape_holes": holes,
+                           "super_shape_rnd": 0.0}, tol=5e-3)
+
+    def test_separation(self):
+        sx, sy, xin, yin = 0.5, 0.3, 0.2, -0.1
+        ex = np.where(self.x > 0,
+                      np.sqrt(self.x ** 2 + sx * sx) - self.x * xin,
+                      -(np.sqrt(self.x ** 2 + sx * sx)
+                        + self.x * xin))
+        ey = np.where(self.y > 0,
+                      np.sqrt(self.y ** 2 + sy * sy) - self.y * yin,
+                      -(np.sqrt(self.y ** 2 + sy * sy)
+                        + self.y * yin))
+        self.check("separation", ex, ey,
+                   params={"separation_x": sx, "separation_y": sy,
+                           "separation_xinside": xin,
+                           "separation_yinside": yin})
+
     def test_bipolar(self):
         shift = 0.3
         x2y2 = self.r2
