@@ -87,6 +87,15 @@ def main():
 
     out_b = timed("bitonic (roll, looped)", chainable(bitonic_sort_u32),
                   keys)
+    from cuburn_tpu.ops.pallas_sort import bitonic_sort_u32_tiled
+    interp = jax.default_backend() != "tpu"
+    out_t = timed("bitonic tiled (VMEM)",
+                  chainable(lambda x: bitonic_sort_u32_tiled(
+                      x, interpret=interp)), keys)
+    got_t = np.asarray(out_t)
+    print("tiled correctness:",
+          "OK" if (got_t == np.sort(got_t)).all() and
+          got_t.shape[0] == N else "FAIL")
     out_r = timed("radix LSD (cumsum+scatter)",
                   chainable(lambda x: radix_sort_u32(x, key_bits)),
                   keys)

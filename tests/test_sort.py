@@ -44,6 +44,31 @@ class TestBitonic:
         assert (out[3:] == 0xFFFFFFFF).all()
 
 
+class TestTiledBitonic:
+    def test_matches_numpy(self):
+        """VMEM-local fused bitonic phases (ops/pallas_sort.py): the
+        tile-local passes must compose with the XLA global substages
+        into a correct full sort, including high-bit (sign-flip) keys
+        spanning multiple tiles."""
+        from cuburn_tpu.ops.pallas_sort import (TILE,
+                                                bitonic_sort_u32_tiled)
+        rng = np.random.RandomState(2)
+        n = 4 * TILE
+        keys = rng.randint(0, 2**32, n, dtype=np.uint32)
+        keys[:100] = 0xFFFFFFFF
+        keys[100:200] = 0
+        out = np.asarray(bitonic_sort_u32_tiled(
+            jnp.asarray(keys), interpret=True))
+        np.testing.assert_array_equal(out, np.sort(keys))
+
+    def test_small_falls_back(self):
+        from cuburn_tpu.ops.pallas_sort import bitonic_sort_u32_tiled
+        keys = np.array([9, 3, 7, 1], np.uint32)
+        out = np.asarray(bitonic_sort_u32_tiled(jnp.asarray(keys),
+                                                interpret=True))
+        np.testing.assert_array_equal(out, [1, 3, 7, 9])
+
+
 class TestMerge:
     def test_counts_match_numpy_unique(self):
         rng = np.random.RandomState(0)
