@@ -67,22 +67,16 @@ def run_config(idx, quick):
                              quality=max(8, int(1000 * scale)),
                              de_enabled=False, **common)
     elif idx == 4:
-        # scatter: the dev environment's remote-compile helper dies on
-        # the 3-block-tiled pallas_win program at this size (the
-        # windowed backend is exercised at binding size by config 3)
         g = classic_swirl()
         prof = RenderProfile(width=sz(1920), height=sz(1080), ss=2,
                              quality=max(8, int(2000 * scale)),
-                             de_enabled=True,
-                             **{**common, "hist_backend": "scatter"})
+                             de_enabled=True, **common)
     elif idx == 5:
-        # scatter: same compile-helper limit for the temporal-scan
-        # pallas_win program
         g = animated_spark()
         prof = RenderProfile(width=sz(1280), height=sz(720),
                              quality=max(8, int(200 * scale)),
                              temporal_samples=4, de_enabled=False,
-                             **{**common, "hist_backend": "scatter"})
+                             **common)
     else:
         raise ValueError(idx)
 
