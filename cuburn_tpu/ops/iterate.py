@@ -120,10 +120,14 @@ def unpack_records(cam: CameraSpec, color_bits: int, palette_hi, packed):
     """Packed records -> (addr (int32), rgba (..., 4)).
 
     palette_hi is the palette pre-resampled to 2^color_bits entries
-    (exact linear interpolation baked in)."""
+    (exact linear interpolation baked in).  A 4-column palette carries
+    its own density/alpha weight per row (the opacity-extended palette
+    of opacity_bits_for); a 3-column one gets density 1 appended."""
     addr = (packed >> np.uint32(color_bits)).astype(jnp.int32)
     q = (packed & np.uint32((1 << color_bits) - 1)).astype(jnp.int32)
     rgb = jnp.take(palette_hi, q, axis=0)
+    if palette_hi.shape[-1] == 4:
+        return addr, rgb
     ones = jnp.ones(rgb.shape[:-1] + (1,), rgb.dtype)
     return addr, jnp.concatenate([rgb, ones], axis=-1)
 
@@ -134,6 +138,32 @@ def expand_palette(palette, color_bits: int):
     n = 1 << color_bits
     coords = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
     return _palette_rgb(palette, coords)
+
+
+def opacity_bits_for(n_bins: int, n_xforms: int):
+    """(op_bits, color_bits) for the opacity-extended packed record
+    `addr << (ob+cb) | xform_id << cb | color` used when per-xform
+    opacities are not all 1 (the reference restricted its packed log
+    to unit opacity; folding the xform id into the palette coordinate
+    keeps the fast deferred-write path for translucent xforms).
+    Returns (0, 0) when the record doesn't fit 32 bits."""
+    addr_bits = int(np.ceil(np.log2(n_bins + 2)))
+    ob = max(1, int(np.ceil(np.log2(max(n_xforms, 2)))))
+    cb = min(8, 32 - addr_bits - ob)
+    return (ob, cb) if cb >= 8 else (0, 0)
+
+
+def extend_palette_opacity(palette_hi, opacity, op_bits: int):
+    """(2^cb, 3) palette + (N,) opacities -> (2^(ob+cb), 4) extended
+    palette: row (xf << cb | q) = [rgb*op_xf, op_xf]; rows for xform
+    ids >= N are zero."""
+    k = palette_hi.shape[0]
+    pal4 = jnp.concatenate(
+        [palette_hi, jnp.ones((k, 1), palette_hi.dtype)], axis=1)
+    n_slots = 1 << op_bits
+    op = jnp.zeros((n_slots,), jnp.float32).at[
+        :opacity.shape[0]].set(opacity)
+    return (op[:, None, None] * pal4[None]).reshape(n_slots * k, 4)
 
 
 def respawn_xy(bits: jnp.ndarray):
@@ -240,7 +270,7 @@ def iterate_chunk(
 
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
-                          "backend", "packed"))
+                          "backend", "packed", "op_bits"))
 def iterate_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -256,9 +286,17 @@ def iterate_accumulate(
     packed: bool = True,
     weight=None,
     tile_row0=None,
+    op_bits: int = 0,
 ):
     """Advance n_chunks * iters_per_flush steps, flushing the histogram
     once per chunk — the rendering path.
+
+    `op_bits` (static, from opacity_bits_for) enables the
+    opacity-extended packed record for genomes whose per-xform
+    opacities are not all 1: the selected xform's id is folded into
+    the palette coordinate and the flush resolves rgb*opacity and
+    density=opacity from an extended palette — translucent xforms
+    keep the fast deferred-write path.
 
     `weight` (traced scalar, default 1) scales every record's
     contribution — the flam3 temporal-filter weight of this genome
@@ -273,26 +311,35 @@ def iterate_accumulate(
     on the multi-MB histogram dominates), and with `packed=True` each
     log record is ONE uint32 (address + quantized palette coordinate)
     — cuburn's packed writeback entry — cutting log-buffer HBM traffic
-    5x vs (addr, rgba) records.  `packed` requires every xform opacity
-    to be 1 (the Renderer checks); otherwise full records are used.
+    5x vs (addr, rgba) records.  Genomes with non-unit per-xform
+    opacity pack via `op_bits` (see below); `packed=False` falls back
+    to full (addr, rgba) records.
 
     `n_chunks` is a *traced* value (fori_loop, not scan), so one
     compiled program serves every quality setting.
 
     Returns (new_state, hist, plotted_count)."""
-    cbits = color_bits_for(cam.n_bins) if packed else 0
-    if backend == "pallas_win" and cbits:
-        # 2^8 = flam3's native palette resolution; quarters the
-        # windowed kernel's palette one-hot cost vs 10 bits
-        cbits = min(cbits, 8)
+    if packed and op_bits:
+        _ob, cbits = opacity_bits_for(cam.n_bins, key.n_xforms)
+        tot_bits = op_bits + cbits
+    else:
+        cbits = color_bits_for(cam.n_bins) if packed else 0
+        if backend == "pallas_win" and cbits:
+            # 2^8 = flam3's native palette resolution; quarters the
+            # windowed kernel's palette one-hot cost vs 10 bits
+            cbits = min(cbits, 8)
+        tot_bits = cbits
     if backend.startswith("pallas") and not cbits:
         raise ValueError("pallas backend requires packed records "
-                         "(unit opacities and <= 2^24 bins)")
+                         "(<= 2^24 bins; see opacity_bits_for)")
     w = jnp.float32(1.0) if weight is None else \
         jnp.asarray(weight, jnp.float32)
 
     if cbits:
         palette_hi = expand_palette(params.palette, cbits)
+        if op_bits:
+            palette_hi = extend_palette_opacity(
+                palette_hi, params.opacity, op_bits)
 
         def chunk_body(_, carry):
             state, hist, n = carry
@@ -301,7 +348,16 @@ def iterate_accumulate(
                 state, addr, pcolor, opacity = iterate_step(
                     key, cam, fuse, params, cdf_rows, ppu, state,
                     tile_row0=tile_row0)
-                return state, pack_records(cam, cbits, addr, pcolor)
+                rec = pack_records(cam, cbits, addr, pcolor)
+                if op_bits:
+                    # splice the selected xform id between the
+                    # address and the color coordinate
+                    q = rec & np.uint32((1 << cbits) - 1)
+                    rec = (addr.astype(jnp.uint32)
+                           << np.uint32(tot_bits)) \
+                        | (state.last_xf.astype(jnp.uint32)
+                           << np.uint32(cbits)) | q
+                return state, rec
 
             state, packed_recs = jax.lax.scan(
                 body, state, None, length=iters_per_flush)
@@ -312,16 +368,17 @@ def iterate_accumulate(
                        "pallas_win": ph.accumulate_windowed_pallas,
                        }[backend]
                 hist = acc(
-                    hist, packed_recs, palette_hi, cam.n_bins, cbits,
+                    hist, packed_recs, palette_hi, cam.n_bins,
+                    tot_bits,
                     interpret=jax.default_backend() != "tpu",
                     weight=w)
                 n = n + jnp.sum(
-                    (packed_recs >> np.uint32(cbits)).astype(jnp.int32)
-                    != cam.junk_bin)
+                    (packed_recs >> np.uint32(tot_bits))
+                    .astype(jnp.int32) != cam.junk_bin)
             else:
                 accumulate = _get_accumulate(backend)
-                addrs, rgbas = unpack_records(cam, cbits, palette_hi,
-                                              packed_recs)
+                addrs, rgbas = unpack_records(cam, tot_bits,
+                                              palette_hi, packed_recs)
                 hist = accumulate(hist, addrs, rgbas * w)
                 n = n + jnp.sum(addrs != cam.junk_bin)
             return state, hist, n
@@ -343,7 +400,7 @@ def iterate_accumulate(
 
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
-                          "backend", "packed"))
+                          "backend", "packed", "op_bits"))
 def iterate_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -358,6 +415,7 @@ def iterate_accumulate_temporal(
     packed: bool = True,
     weights_T=None,           # (T,) temporal-filter weights
     tile_row0=None,
+    op_bits: int = 0,
 ):
     """Accumulate all temporal samples of a motion-blurred frame in ONE
     device program (SURVEY.md §2b temporal-sample parallelism row: fold
@@ -378,7 +436,7 @@ def iterate_accumulate_temporal(
         state, hist, dn = iterate_accumulate(
             key, cam, backend, params_t, cdf_rows, state, hist, ppu,
             n_chunks_per_sample, iters_per_flush, fuse, packed=packed,
-            weight=w_t, tile_row0=tile_row0)
+            weight=w_t, tile_row0=tile_row0, op_bits=op_bits)
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(

@@ -184,11 +184,19 @@ def accumulate_merged_pallas(hist_packed, packed_records, palette_hi,
     return hist_packed + delta
 
 
-def _pal128(palette_hi):
-    """Palette rows with density=1 appended, padded to 128 lanes."""
-    pal = jnp.concatenate(
+def _pal4(palette_hi):
+    """Palette rows as (K, 4): a 3-column palette gets density 1
+    appended; a 4-column one (opacity-extended) is used as-is."""
+    if palette_hi.shape[1] == 4:
+        return palette_hi
+    return jnp.concatenate(
         [palette_hi, jnp.ones((palette_hi.shape[0], 1),
                               palette_hi.dtype)], axis=1)
+
+
+def _pal128(palette_hi):
+    """Palette rows with the density column, padded to 128 lanes."""
+    pal = _pal4(palette_hi)
     pal128 = jnp.zeros((palette_hi.shape[0], 128), jnp.float32)
     return pal128.at[:, :4].set(pal)
 
@@ -464,19 +472,15 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         s_addr = addr_w[sel].reshape(-1)
         s_q = q_w[sel].reshape(-1)
         s_cnt = (cnt_w[sel] * valid[:, None]).reshape(-1)
-        pal4 = jnp.concatenate(
-            [palette_hi, jnp.ones((palette_hi.shape[0], 1),
-                                  palette_hi.dtype)], axis=1)
-        s_rgba = jnp.take(pal4, s_q, axis=0) * s_cnt[:, None]
+        s_rgba = jnp.take(_pal4(palette_hi), s_q, axis=0) \
+            * s_cnt[:, None]
         side = jnp.zeros((4, rows * 128), jnp.float32).at[
             :, s_addr].add(s_rgba.T)
         cnt_w = jnp.where(straddle[:, None], 0.0, cnt_w)
 
     k = palette_hi.shape[0]
     kl = 16 if k % 16 == 0 else 1
-    palT = jnp.concatenate(
-        [palette_hi, jnp.ones((k, 1), palette_hi.dtype)],
-        axis=1).T                                 # (4, K)
+    palT = _pal4(palette_hi).T                    # (4, K)
     palF = palT.reshape(4, k // kl, kl).reshape(4 * (k // kl), kl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

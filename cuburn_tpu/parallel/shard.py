@@ -53,7 +53,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
-                     "n_iters", "fuse", "packed"))
+                     "n_iters", "fuse", "packed", "op_bits"))
 def sharded_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -69,6 +69,7 @@ def sharded_accumulate(
     fuse: int,
     packed: bool = True,
     tile_row0=None,
+    op_bits: int = 0,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
 
@@ -83,7 +84,7 @@ def sharded_accumulate(
         state, hist, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state, hist, ppu,
             jnp.int32(n_chunks), n_iters, fuse, packed=packed,
-            tile_row0=tile_row0)
+            tile_row0=tile_row0, op_bits=op_bits)
         # the single collective: reduce partial histograms over ICI
         hist = jax.lax.psum(hist, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
@@ -106,7 +107,7 @@ def sharded_accumulate(
 @functools.partial(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
-                     "n_iters", "fuse", "packed"))
+                     "n_iters", "fuse", "packed", "op_bits"))
 def sharded_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -122,6 +123,7 @@ def sharded_accumulate_temporal(
     fuse: int,
     packed: bool = True,
     tile_row0=None,
+    op_bits: int = 0,
 ):
     """Motion-blurred frame across the mesh in ONE dispatch: every
     temporal sample's accumulation happens inside the shard_map region
@@ -137,7 +139,8 @@ def sharded_accumulate_temporal(
         state, hist, n = iterate_accumulate_temporal(
             key, cam, backend, params_T, state, hist, ppu_T,
             jnp.int32(n_chunks), n_iters, fuse, packed=packed,
-            weights_T=weights_T, tile_row0=tile_row0)
+            weights_T=weights_T, tile_row0=tile_row0,
+            op_bits=op_bits)
         hist = jax.lax.psum(hist, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
@@ -195,7 +198,8 @@ class ShardedRenderer(Renderer):
         state, hist, plotted = sharded_accumulate(
             key, cam, self.backend, self.mesh, params, cdf_rows,
             state, hist, ppu, n_chunks, prof.iters_per_chunk,
-            prof.fuse, packed=self.packed, tile_row0=tile_row0)
+            prof.fuse, packed=self.packed, tile_row0=tile_row0,
+            op_bits=self.op_bits)
         return hist, plotted, n_chunks * per_chunk
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
@@ -226,5 +230,6 @@ class ShardedRenderer(Renderer):
             key, cam, self.backend, self.mesh, params_T, state, hist,
             ppu_T, jnp.asarray(ts_weights, jnp.float32),
             n_chunks, prof.iters_per_chunk, prof.fuse,
-            packed=self.packed, tile_row0=tile_row0)
+            packed=self.packed, tile_row0=tile_row0,
+            op_bits=self.op_bits)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)

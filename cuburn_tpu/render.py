@@ -212,12 +212,21 @@ class Renderer:
         self.cam = CameraSpec(profile.width, profile.height, profile.ss,
                               no_rotation=no_rot, gutter=gutter)
         backend = profile.hist_backend
-        # packed single-u32 log records need unit opacity everywhere
-        # (opacity is then implicit); quantized color needs >= 8 bits.
-        self.packed = (
-            all(xf.opacity.is_constant and xf.opacity(0.0) == 1.0
-                for xf in genome.xforms)
-            and color_bits_for(self.cam.n_bins) > 0)
+        # packed single-u32 log records: unit opacities pack as
+        # addr+color; varying opacities fold the xform id into an
+        # opacity-extended palette coordinate (ops/iterate.py
+        # opacity_bits_for) when the record fits 32 bits.
+        from cuburn_tpu.ops.iterate import opacity_bits_for
+        unit_op = all(xf.opacity.is_constant and xf.opacity(0.0) == 1.0
+                      for xf in genome.xforms)
+        self.op_bits = 0
+        if unit_op:
+            self.packed = color_bits_for(self.cam.n_bins) > 0
+        else:
+            ob, cb = opacity_bits_for(self.cam.n_bins,
+                                      len(genome.xforms))
+            self.packed = cb > 0
+            self.op_bits = ob
         if backend == "auto":
             # the windowed key-sort + MXU segment-sum flush measured
             # 2.3x scatter end-to-end on TPU (BASELINE.md round 2);
@@ -230,8 +239,10 @@ class Renderer:
         self.backend = backend
         if self.backend.startswith("pallas") and not self.packed:
             import warnings
-            warnings.warn("pallas histogram backend needs packed "
-                          "records (unit opacities); using scatter")
+            warnings.warn(
+                "pallas histogram backend needs packed records (the "
+                "addr+xform+color coordinate must fit 32 bits); "
+                "using scatter")
             self.backend = "scatter"
 
     # -- frame rendering -------------------------------------------------
@@ -503,7 +514,8 @@ class Renderer:
             state, hist, n = iterate_accumulate(
                 key, cam, self.backend, params, cdf_rows, state, hist,
                 ppu, jnp.int32(k), prof.iters_per_chunk, prof.fuse,
-                packed=self.packed, tile_row0=tile_row0)
+                packed=self.packed, tile_row0=tile_row0,
+                op_bits=self.op_bits)
             plotted = plotted + n
             left -= k
         return hist, plotted, n_chunks * per_chunk
@@ -534,7 +546,7 @@ class Renderer:
             jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
             packed=self.packed,
             weights_T=jnp.asarray(ts_weights, jnp.float32),
-            tile_row0=tile_row0)
+            tile_row0=tile_row0, op_bits=self.op_bits)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)
 
     # -- animation -------------------------------------------------------

@@ -326,6 +326,71 @@ class TestPallasHistogram:
             img_s.astype(np.int32), img_w.astype(np.int32), atol=1)
 
 
+class TestOpacityPackedRecords:
+    """Opacity-extended packed records (ops/iterate.py
+    opacity_bits_for): genomes with per-xform opacity != 1 keep the
+    packed fast path by folding the xform id into an extended-palette
+    coordinate whose rows carry rgb*opacity and density=opacity."""
+
+    def _genome(self):
+        from cuburn_tpu.genome.spline import Spline
+        g = sierpinski()
+        g.xforms[1].opacity = Spline(0.5)
+        g.xforms[2].opacity = Spline(0.25)
+        return g
+
+    def test_matches_full_records(self):
+        from cuburn_tpu.ops.iterate import (hist_alloc_for,
+                                            iterate_accumulate,
+                                            opacity_bits_for)
+        g = self._genome()
+        key = g.structure_key()
+        params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+        cam = CameraSpec(64, 64, 1)
+        ob, cb = opacity_bits_for(cam.n_bins, key.n_xforms)
+        assert ob == 2 and cb == 8
+        cdf = xform_cdf_rows(params)
+        ppu = params.ppu * jnp.float32(64 / g.size[0])
+        outs = {}
+        for packed, op_bits in ((False, 0), (True, ob)):
+            state = init_state(jax.random.PRNGKey(6), 1024)
+            h0 = hist_alloc_for("scatter", cam.n_bins)
+            _, h, n = iterate_accumulate(
+                key, cam, "scatter", params, cdf, state, h0, ppu,
+                jnp.int32(3), 16, 8, packed=packed, op_bits=op_bits)
+            outs[packed] = (np.asarray(h), int(n))
+        full, n_full = outs[False]
+        pck, n_pck = outs[True]
+        assert n_full == n_pck
+        # density channel = sum of opacities: EXACT in both paths
+        np.testing.assert_allclose(pck[:-1, 3], full[:-1, 3],
+                                   rtol=1e-6)
+        # rgb differs only by the 8-bit palette-coordinate
+        # quantization: up to ~half a palette step PER SAMPLE, so the
+        # bound scales with each bin's sample count (density/opacity
+        # >= count*0.25 here -> 4*density bounds the count)
+        bound = 8e-3 * np.maximum(4.0 * full[:-1, 3:4], 1.0)
+        assert (np.abs(pck[:-1, :3] - full[:-1, :3]) <= bound).all()
+        # and translucency is real: total mass < plotted count
+        assert pck[:-1, 3].sum() < n_pck * 0.999
+
+    def test_render_pallas_win_matches_scatter(self):
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g = self._genome()
+        prof_s = RenderProfile(width=64, height=64, quality=30,
+                               batch=1024, iters_per_chunk=8,
+                               hist_backend="scatter",
+                               de_enabled=False)
+        prof_w = dataclasses.replace(prof_s, hist_backend="pallas_win")
+        r_w = Renderer(g, prof_w)
+        assert r_w.packed and r_w.op_bits == 2
+        img_s, _ = Renderer(g, prof_s).render_frame(0.0, seed=7)
+        img_w, _ = r_w.render_frame(0.0, seed=7)
+        np.testing.assert_allclose(
+            img_s.astype(np.int32), img_w.astype(np.int32), atol=1)
+
+
 class TestPackedVsFullRecords:
     """The packed-u32 log path must agree with the full-record path on
     unit-opacity genomes (same trajectories, same flush totals)."""
