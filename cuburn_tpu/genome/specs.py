@@ -256,6 +256,9 @@ class Genome:
                 setattr(self, name, tuple(spline(c) for c in cur))
             else:
                 setattr(self, name, spline(cur))
+        if not self.xforms:
+            raise ValueError(
+                "a genome needs at least one xform (flam3 rule)")
         if self.xaos is not None:
             n = len(self.xforms)
             if len(self.xaos) != n or any(len(r) != n for r in self.xaos):

@@ -144,6 +144,11 @@ FLAM3_XML = """
 """
 
 
+def test_empty_genome_rejected():
+    with pytest.raises(ValueError, match="at least one xform"):
+        Genome(xforms=[])
+
+
 class TestFlam3Convert:
     def test_parse(self):
         [g] = convert.parse_flam3(FLAM3_XML)
