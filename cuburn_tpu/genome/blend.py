@@ -238,14 +238,24 @@ def blend_sequence(genomes, spin: float = 0.0,
     the flam3-animate workflow (SURVEY.md §3.2): a multi-flame file's
     stills become N-1 edge genomes, each sweeping its own [0, 1].
 
+    Segment bounds come from the flames' `time` attributes when every
+    keyframe carries one and they strictly increase (flam3-animate's
+    keyframe spacing); otherwise list order with unit spacing.
+
     Returns [(edge_genome, seg_start, seg_end)] with segment bounds in
-    global time [0, N-1]."""
+    global time."""
     if len(genomes) < 2:
         raise ValueError("a sequence needs at least two keyframes")
+    times = [g.flame_time for g in genomes]
+    if (all(t is not None for t in times)
+            and all(b > a for a, b in zip(times, times[1:]))):
+        bounds = [float(t) for t in times]
+    else:
+        bounds = [float(i) for i in range(len(genomes))]
     out = []
     for i in range(len(genomes) - 1):
         edge = blend_genomes(genomes[i], genomes[i + 1], spin=spin,
                              sort_by_weight=sort_by_weight,
                              name=f"seq[{i}]")
-        out.append((edge, float(i), float(i + 1)))
+        out.append((edge, bounds[i], bounds[i + 1]))
     return out

@@ -260,6 +260,7 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         temporal_filter_width=scalars["temporal_filter_width"],
         temporal_filter_exp=scalars["temporal_filter_exp"],
         size=size, name=attrs.get("name", "untitled"),
+        flame_time=(float(attrs["time"]) if "time" in attrs else None),
     )
 
 
@@ -314,6 +315,8 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "temporal_filter_width": f"{g.temporal_filter_width(t):.9g}",
         "temporal_filter_exp": f"{g.temporal_filter_exp(t):.9g}",
     })
+    if g.flame_time is not None:
+        flame.set("time", f"{g.flame_time:.9g}")
 
     def emit_xform(tag: str, xf: XForm, chaos_row=None):
         at = {

@@ -233,6 +233,9 @@ class Genome:
     size: Tuple[int, int] = (640, 480)   # nominal size `scale` refers to
     name: str = "untitled"
     time_range: Tuple[float, float] = (0.0, 1.0)
+    # flam3 <flame time="..."> keyframe position within a multi-flame
+    # sequence (None = use list order; see blend.blend_sequence)
+    flame_time: Optional[float] = None
 
     def __post_init__(self):
         defaults = {
@@ -432,6 +435,8 @@ class Genome:
             "palettes": [[t, palette_mod.encode_palette(p)]
                          for t, p in self.palettes],
         }
+        if self.flame_time is not None:
+            doc["flame_time"] = self.flame_time
         if self.final_xform is not None:
             doc["final_xform"] = enc_xform(self.final_xform)
         if self.xaos is not None:
@@ -492,4 +497,5 @@ class Genome:
             size=tuple(doc.get("size", (640, 480))),
             name=doc.get("name", "untitled"),
             time_range=tuple(doc.get("time_range", (0.0, 1.0))),
+            flame_time=doc.get("flame_time"),
         )

@@ -186,10 +186,13 @@ def main(argv=None) -> int:
                 yield from renderer.frames(seed=args.seed)
                 return
             import dataclasses as _dc
-            seg_s = ((prof.duration or 2.0 * len(sequence))
-                     / len(sequence))
-            seg_prof = _dc.replace(prof, duration=seg_s)
-            for k, (edge, _s, _e) in enumerate(sequence):
+            total_len = sequence[-1][2] - sequence[0][1]
+            total_s = prof.duration or 2.0 * len(sequence)
+            for k, (edge, s, e) in enumerate(sequence):
+                # segment wall time proportional to its keyframe span
+                # (flam3 `time` attributes set the spacing)
+                seg_prof = _dc.replace(
+                    prof, duration=total_s * (e - s) / total_len)
                 seg_renderer = (type(renderer))(edge, seg_prof) \
                     if not hasattr(renderer, "mesh") else \
                     type(renderer)(edge, seg_prof, mesh=renderer.mesh)

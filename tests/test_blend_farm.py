@@ -209,6 +209,30 @@ class TestNativeOutput:
 
 
 class TestSequence:
+    def test_sequence_uses_flame_times(self):
+        """flam3 <flame time=...> attributes set keyframe spacing."""
+        from cuburn_tpu.genome.blend import blend_sequence
+        gs = [sierpinski(), classic_swirl(), sierpinski()]
+        for g, t in zip(gs, (0.0, 10.0, 40.0)):
+            g.flame_time = t
+        segs = blend_sequence(gs)
+        assert [(s, e) for _, s, e in segs] == [(0.0, 10.0),
+                                                (10.0, 40.0)]
+        # non-increasing times fall back to list order
+        gs[2].flame_time = 5.0
+        segs = blend_sequence(gs)
+        assert [(s, e) for _, s, e in segs] == [(0.0, 1.0), (1.0, 2.0)]
+
+    def test_flame_time_roundtrips(self):
+        from cuburn_tpu.genome import convert
+        from cuburn_tpu.genome.specs import Genome
+        g = sierpinski()
+        g.flame_time = 12.5
+        [g2] = convert.parse_flam3(convert.genome_to_flame_xml(g))
+        assert g2.flame_time == 12.5
+        g3 = Genome.from_json(g.to_json())
+        assert g3.flame_time == 12.5
+
     def test_blend_sequence_segments(self):
         from cuburn_tpu.genome.blend import blend_sequence
         gs = [sierpinski(), classic_swirl(), full_feature()]

@@ -279,6 +279,19 @@ class TestStripedAccumulate:
         img = r.finalize_frame(striped, 0.0)
         assert img[..., :3].max() > 0
 
+    def test_striped_with_rotation(self):
+        """Rotation happens in full-frame projection before the stripe
+        offset, so rotated cameras stripe exactly too."""
+        from cuburn_tpu.genome.spline import Spline
+        g = full_feature()
+        g.rotate = Spline(37.0)
+        r = Renderer(g, FAST)
+        assert not r.cam.no_rotation
+        whole, _ = r.accumulate(0.0, seed=8)
+        striped, _ = r.accumulate_striped(0.0, seed=8, n_stripes=4)
+        np.testing.assert_array_equal(np.asarray(whole)[:-1],
+                                      striped[:-1])
+
     def test_banded_finalize_matches_whole_frame(self):
         """finalize_frame_banded must reproduce finalize_frame up to
         float reassociation (XLA tiles convs differently per program
