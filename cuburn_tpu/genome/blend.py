@@ -47,9 +47,43 @@ def _edge_spline(va: float, vb: float, ease: float = 0.0) -> Spline:
     return Spline([0.0, va, 1.0, vb])
 
 
-def _blend_xform(xa: XForm, xb: XForm, t_a: float, t_b: float) -> XForm:
-    def v(sa: Spline, sb: Spline) -> Spline:
-        return _edge_spline(sa(t_a), sb(t_b))
+def _edge_spline4(vp, va, vb, vn) -> Spline:
+    """Four-knot spline: Catmull-Rom over (prev, a, b, next) keyframe
+    values with outer knots at t=-1 and t=2 — flam3's `smooth`
+    sequence interpolation (tangents at the segment ends come from the
+    neighboring keyframes).  Degenerates to _edge_spline when the
+    neighbors extrapolate linearly."""
+    if vp == va == vb == vn:
+        return Spline(va)
+    return Spline([-1.0, vp, 0.0, va, 1.0, vb, 2.0, vn])
+
+
+def _blend_xform(xa: XForm, xb: XForm, t_a: float, t_b: float,
+                 xp: Optional[XForm] = None,
+                 xn: Optional[XForm] = None) -> XForm:
+    """Blend one aligned xform pair.  With neighbor xforms (xp, xn)
+    given, weight/color/opacity/affines interpolate with flam3-smooth
+    4-keyframe tangents; variation weights/params stay 2-knot (smooth
+    overshoot would swing fading variations negative)."""
+    smooth = xp is not None and xn is not None
+
+    def v(attr: str) -> Spline:
+        a = getattr(xa, attr)(t_a)
+        b = getattr(xb, attr)(t_b)
+        if smooth:
+            return _edge_spline4(getattr(xp, attr)(0.0), a, b,
+                                 getattr(xn, attr)(0.0))
+        return _edge_spline(a, b)
+
+    def aff(attr: str, i: int) -> Spline:
+        def coef(xf, t):
+            c = getattr(xf, attr)
+            return (c[i] if c is not None
+                    else Spline(IDENTITY_AFFINE[i]))(t)
+        if smooth:
+            return _edge_spline4(coef(xp, 0.0), coef(xa, t_a),
+                                 coef(xb, t_b), coef(xn, 0.0))
+        return _edge_spline(coef(xa, t_a), coef(xb, t_b))
 
     vars_union = sorted(set(xa.vars) | set(xb.vars))
     vars_out: Dict[str, Spline] = {}
@@ -64,17 +98,16 @@ def _blend_xform(xa: XForm, xb: XForm, t_a: float, t_b: float) -> XForm:
             params_out[attr] = _edge_spline(pa, pb)
 
     return XForm(
-        weight=v(xa.weight, xb.weight),
-        color=v(xa.color, xb.color),
-        color_speed=v(xa.color_speed, xb.color_speed),
-        opacity=v(xa.opacity, xb.opacity),
-        affine=tuple(_edge_spline(sa(t_a), sb(t_b))
-                     for sa, sb in zip(xa.affine, xb.affine)),
-        post=(tuple(_edge_spline(
-            (xa.post[i] if xa.post else Spline(IDENTITY_AFFINE[i]))(t_a),
-            (xb.post[i] if xb.post else Spline(IDENTITY_AFFINE[i]))(t_b))
-            for i in range(6))
-            if (xa.post is not None or xb.post is not None) else None),
+        weight=v("weight"),
+        color=v("color"),
+        color_speed=v("color_speed"),
+        opacity=v("opacity"),
+        affine=tuple(aff("affine", i) for i in range(6)),
+        post=(tuple(aff("post", i) for i in range(6))
+              if (xa.post is not None or xb.post is not None
+                  or (smooth and (xp.post is not None
+                                  or xn.post is not None)))
+              else None),
         vars=vars_out,
         params=params_out,
     )
@@ -162,13 +195,41 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
                   t_b: float = 0.0, spin: float = 0.0,
                   sort_by_weight: bool = False,
                   pairing: str = "greedy",
-                  name: Optional[str] = None) -> Genome:
+                  name: Optional[str] = None,
+                  prev: Optional[Genome] = None,
+                  nxt: Optional[Genome] = None) -> Genome:
     """Build the edge genome sweeping from a@t_a to b@t_b over t in
     [0, 1].  `spin` adds that many extra full camera rotations across
-    the edge (flam3's edge spin)."""
+    the edge (flam3's edge spin).
+
+    `prev`/`nxt` (neighboring sequence keyframes) enable flam3's
+    `smooth` interpolation: Catmull-Rom tangents at the segment ends
+    come from the neighbors, paired locally against a and b."""
     xa, xb, n, perm_a, perm_b = align_xforms(
         a, b, sort_by_weight, pairing, t_a, t_b)
-    xforms = [_blend_xform(xa[i], xb[i], t_a, t_b) for i in range(n)]
+    smooth = prev is not None and nxt is not None
+    if smooth:
+        xp_l = list(prev.xforms)[:n]
+        xn_l = list(nxt.xforms)[:n]
+        while len(xp_l) < n:
+            xp_l.append(_identity_xform())
+        while len(xn_l) < n:
+            xn_l.append(_identity_xform())
+        # pair each neighbor against its adjacent endpoint
+        xp_l = [xp_l[j] for j in _greedy_pairing(xa, xp_l, t_a, 0.0)]
+        xn_l = [xn_l[j] for j in _greedy_pairing(xb, xn_l, t_b, 0.0)]
+        xforms = [_blend_xform(xa[i], xb[i], t_a, t_b,
+                               xp_l[i], xn_l[i]) for i in range(n)]
+    else:
+        xforms = [_blend_xform(xa[i], xb[i], t_a, t_b)
+                  for i in range(n)]
+
+    def tv(get) -> Spline:
+        """Top-level camera/color spline: smooth when neighbors."""
+        if smooth:
+            return _edge_spline4(get(prev)(0.0), get(a)(t_a),
+                                 get(b)(t_b), get(nxt)(0.0))
+        return _edge_spline(get(a)(t_a), get(b)(t_b))
 
     # xaos: pad both to n x n with 1.0, permute rows+columns the same
     # way the xform lists were permuted, blend entrywise
@@ -204,28 +265,20 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         xforms=xforms, final_xform=final, xaos=xaos,
         palettes=[(0.0, palette_at(a.palettes, t_a)),
                   (1.0, palette_at(b.palettes, t_b))],
-        spatial_filter=_edge_spline(a.spatial_filter(t_a),
-                                    b.spatial_filter(t_b)),
-        center=(_edge_spline(a.center[0](t_a), b.center[0](t_b)),
-                _edge_spline(a.center[1](t_a), b.center[1](t_b))),
-        scale=_edge_spline(a.scale(t_a), b.scale(t_b)),
+        spatial_filter=tv(lambda g: g.spatial_filter),
+        center=(tv(lambda g: g.center[0]), tv(lambda g: g.center[1])),
+        scale=tv(lambda g: g.scale),
         rotate=rot_spline,
-        brightness=_edge_spline(a.brightness(t_a), b.brightness(t_b)),
-        gamma=_edge_spline(a.gamma(t_a), b.gamma(t_b)),
-        gamma_threshold=_edge_spline(a.gamma_threshold(t_a),
-                                     b.gamma_threshold(t_b)),
-        vibrancy=_edge_spline(a.vibrancy(t_a), b.vibrancy(t_b)),
-        highlight_power=_edge_spline(a.highlight_power(t_a),
-                                     b.highlight_power(t_b)),
+        brightness=tv(lambda g: g.brightness),
+        gamma=tv(lambda g: g.gamma),
+        gamma_threshold=tv(lambda g: g.gamma_threshold),
+        vibrancy=tv(lambda g: g.vibrancy),
+        highlight_power=tv(lambda g: g.highlight_power),
         background=tuple(
-            _edge_spline(sa(t_a), sb(t_b))
-            for sa, sb in zip(a.background, b.background)),
-        estimator_radius=_edge_spline(a.estimator_radius(t_a),
-                                      b.estimator_radius(t_b)),
-        estimator_minimum=_edge_spline(a.estimator_minimum(t_a),
-                                       b.estimator_minimum(t_b)),
-        estimator_curve=_edge_spline(a.estimator_curve(t_a),
-                                     b.estimator_curve(t_b)),
+            tv(lambda g, i=i: g.background[i]) for i in range(3)),
+        estimator_radius=tv(lambda g: g.estimator_radius),
+        estimator_minimum=tv(lambda g: g.estimator_minimum),
+        estimator_curve=tv(lambda g: g.estimator_curve),
         size=a.size,
         name=name or f"{a.name}=>{b.name}",
         time_range=(0.0, 1.0),
@@ -233,7 +286,8 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
 
 
 def blend_sequence(genomes, spin: float = 0.0,
-                   sort_by_weight: bool = False):
+                   sort_by_weight: bool = False,
+                   smooth: Optional[bool] = None):
     """Build the edge list for an animation through a keyframe list —
     the flam3-animate workflow (SURVEY.md §3.2): a multi-flame file's
     stills become N-1 edge genomes, each sweeping its own [0, 1].
@@ -242,10 +296,18 @@ def blend_sequence(genomes, spin: float = 0.0,
     keyframe carries one and they strictly increase (flam3-animate's
     keyframe spacing); otherwise list order with unit spacing.
 
+    `smooth` (default: on when any flame declares
+    interpolation="smooth") gives interior segments 4-keyframe
+    Catmull-Rom tangents from their neighbors — flam3's smooth
+    sequence interpolation.  End segments clamp to their own keyframe.
+
     Returns [(edge_genome, seg_start, seg_end)] with segment bounds in
     global time."""
     if len(genomes) < 2:
         raise ValueError("a sequence needs at least two keyframes")
+    if smooth is None:
+        smooth = any(getattr(g, "interpolation", "linear") == "smooth"
+                     for g in genomes)
     times = [g.flame_time for g in genomes]
     if (all(t is not None for t in times)
             and all(b > a for a, b in zip(times, times[1:]))):
@@ -254,8 +316,12 @@ def blend_sequence(genomes, spin: float = 0.0,
         bounds = [float(i) for i in range(len(genomes))]
     out = []
     for i in range(len(genomes) - 1):
+        kw = {}
+        if smooth:
+            kw = {"prev": genomes[max(i - 1, 0)],
+                  "nxt": genomes[min(i + 2, len(genomes) - 1)]}
         edge = blend_genomes(genomes[i], genomes[i + 1], spin=spin,
                              sort_by_weight=sort_by_weight,
-                             name=f"seq[{i}]")
+                             name=f"seq[{i}]", **kw)
         out.append((edge, bounds[i], bounds[i + 1]))
     return out

@@ -261,6 +261,7 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         temporal_filter_exp=scalars["temporal_filter_exp"],
         size=size, name=attrs.get("name", "untitled"),
         flame_time=(float(attrs["time"]) if "time" in attrs else None),
+        interpolation=attrs.get("interpolation", "linear"),
     )
 
 
@@ -317,6 +318,8 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
     })
     if g.flame_time is not None:
         flame.set("time", f"{g.flame_time:.9g}")
+    if g.interpolation != "linear":
+        flame.set("interpolation", g.interpolation)
 
     def emit_xform(tag: str, xf: XForm, chaos_row=None):
         at = {

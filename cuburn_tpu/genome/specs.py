@@ -236,6 +236,9 @@ class Genome:
     # flam3 <flame time="..."> keyframe position within a multi-flame
     # sequence (None = use list order; see blend.blend_sequence)
     flame_time: Optional[float] = None
+    # flam3 <flame interpolation="linear|smooth">: smooth pulls
+    # Catmull-Rom tangents from neighboring keyframes in sequences
+    interpolation: str = "linear"
 
     def __post_init__(self):
         defaults = {
@@ -437,6 +440,8 @@ class Genome:
         }
         if self.flame_time is not None:
             doc["flame_time"] = self.flame_time
+        if self.interpolation != "linear":
+            doc["interpolation"] = self.interpolation
         if self.final_xform is not None:
             doc["final_xform"] = enc_xform(self.final_xform)
         if self.xaos is not None:
@@ -498,4 +503,5 @@ class Genome:
             name=doc.get("name", "untitled"),
             time_range=tuple(doc.get("time_range", (0.0, 1.0))),
             flame_time=doc.get("flame_time"),
+            interpolation=doc.get("interpolation", "linear"),
         )

@@ -79,8 +79,10 @@ def init_state(key: jax.Array, batch: int) -> IterState:
 def xform_cdf_rows(params: GenomeParams) -> jnp.ndarray:
     """(N, N) row-normalized CDFs: row i is the selection CDF over next
     xforms given previous xform i (weights row-conditioned by xaos,
-    SURVEY.md §1 item 2)."""
-    probs = params.weights[None, :] * params.xaos
+    SURVEY.md §1 item 2).  Clamped at zero: smooth sequence
+    interpolation can overshoot fading weights slightly negative."""
+    probs = jnp.maximum(params.weights[None, :], 0.0) \
+        * jnp.maximum(params.xaos, 0.0)
     cdf = jnp.cumsum(probs, axis=1)
     total = jnp.maximum(cdf[:, -1:], np.float32(1e-20))
     return cdf / total
@@ -162,7 +164,7 @@ def extend_palette_opacity(palette_hi, opacity, op_bits: int):
         [palette_hi, jnp.ones((k, 1), palette_hi.dtype)], axis=1)
     n_slots = 1 << op_bits
     op = jnp.zeros((n_slots,), jnp.float32).at[
-        :opacity.shape[0]].set(opacity)
+        :opacity.shape[0]].set(jnp.clip(opacity, 0.0, 1.0))
     return (op[:, None, None] * pal4[None]).reshape(n_slots * k, 4)
 
 
@@ -258,6 +260,7 @@ def iterate_chunk(
         state, addr, pcolor, opacity = iterate_step(
             key, cam, fuse, params, cdf_rows, ppu, state,
             tile_row0=tile_row0)
+        opacity = jnp.clip(opacity, 0.0, 1.0)
         rgb = _palette_rgb(params.palette, pcolor)
         rgba = jnp.concatenate(
             [rgb * opacity[:, None], opacity[:, None]], axis=1)

@@ -223,6 +223,52 @@ class TestSequence:
         segs = blend_sequence(gs)
         assert [(s, e) for _, s, e in segs] == [(0.0, 1.0), (1.0, 2.0)]
 
+    def test_smooth_sequence_c1_at_keyframes(self):
+        """flam3 smooth interpolation: adjacent edges share tangents
+        at interior keyframes (4-keyframe Catmull-Rom), unlike the
+        linear default whose slope jumps."""
+        from cuburn_tpu.genome.blend import blend_sequence
+        from cuburn_tpu.genome.spline import Spline
+        gs = []
+        for scale in (100.0, 200.0, 150.0, 300.0):
+            g = sierpinski()
+            g.scale = Spline(scale)
+            g.interpolation = "smooth"
+            gs.append(g)
+        segs = blend_sequence(gs)
+        e0, e1 = segs[0][0], segs[1][0]
+        # endpoints exact
+        assert e0.scale(0.0) == pytest.approx(100.0)
+        assert e0.scale(1.0) == pytest.approx(200.0)
+        assert e1.scale(0.0) == pytest.approx(200.0)
+        # C1: slope leaving edge0 at t=1 == slope entering edge1 at 0
+        h = 1e-4
+        s_out = (e0.scale(1.0) - e0.scale(1.0 - h)) / h
+        s_in = (e1.scale(h) - e1.scale(0.0)) / h
+        assert s_out == pytest.approx(s_in, rel=1e-2)
+        # and it's genuinely non-linear (CR tangent != chord slope)
+        assert s_out != pytest.approx(100.0, rel=0.2)
+        # linear mode by contrast has a slope break
+        segs_l = blend_sequence(gs, smooth=False)
+        l0, l1 = segs_l[0][0], segs_l[1][0]
+        lo = (l0.scale(1.0) - l0.scale(1.0 - h)) / h
+        li = (l1.scale(h) - l1.scale(0.0)) / h
+        assert abs(lo - li) > 10.0
+
+    def test_smooth_sequence_renders(self):
+        from cuburn_tpu.genome.blend import blend_sequence
+        from cuburn_tpu.render import Renderer
+        gs = [sierpinski(), classic_swirl(), sierpinski()]
+        for g in gs:
+            g.interpolation = "smooth"
+        segs = blend_sequence(gs)
+        prof = RenderProfile(width=48, height=48, quality=20,
+                             batch=1024, iters_per_chunk=8, fuse=8,
+                             hist_backend="scatter", de_enabled=False)
+        img, st = Renderer(segs[0][0], prof).render_frame(0.5, seed=2)
+        assert st.plotted_samples > 0
+        assert img[..., :3].max() > 0
+
     def test_flame_time_roundtrips(self):
         from cuburn_tpu.genome import convert
         from cuburn_tpu.genome.specs import Genome
