@@ -285,9 +285,46 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
     )
 
 
+_LOOP_KNOTS = 33
+
+
+def loop_genome(g: Genome, periods: float = 1.0) -> Genome:
+    """flam3-animate's LOOP segment: the flame holds still while every
+    xform whose `animate` flag is set rotates its affine linear part
+    through `periods` full turns over t in [0, 1] (the signature
+    spinning-flame idle between sequence edges).
+
+    The rotation is lowered to densely sampled splines on the affine
+    coefficients (A' = A @ R(-2*pi*t*periods)), so it flows through
+    every downstream path like any other animation."""
+    import copy
+    out = copy.deepcopy(g)
+    out.time_range = (0.0, 1.0)
+    out.name = f"{g.name}:loop"
+    ts = np.linspace(0.0, 1.0, _LOOP_KNOTS)
+    for xf in out.xforms:
+        if not xf.animate:
+            continue
+        a, b, c, d, e, f = (s(0.0) for s in xf.affine)
+        th = -2.0 * np.pi * periods * ts
+        ct, st = np.cos(th), np.sin(th)
+        # x' = A R(th) x + translation: columns (a,d),(b,e) rotate
+        knots = lambda vals: [x for tv in zip(ts, vals) for x in tv]
+        xf.affine = (
+            Spline(knots(a * ct + b * st)),
+            Spline(knots(-a * st + b * ct)),
+            Spline(c),
+            Spline(knots(d * ct + e * st)),
+            Spline(knots(-d * st + e * ct)),
+            Spline(f),
+        )
+    return out
+
+
 def blend_sequence(genomes, spin: float = 0.0,
                    sort_by_weight: bool = False,
-                   smooth: Optional[bool] = None):
+                   smooth: Optional[bool] = None,
+                   loops: float = 0.0):
     """Build the edge list for an animation through a keyframe list —
     the flam3-animate workflow (SURVEY.md §3.2): a multi-flame file's
     stills become N-1 edge genomes, each sweeping its own [0, 1].
@@ -300,6 +337,10 @@ def blend_sequence(genomes, spin: float = 0.0,
     interpolation="smooth") gives interior segments 4-keyframe
     Catmull-Rom tangents from their neighbors — flam3's smooth
     sequence interpolation.  End segments clamp to their own keyframe.
+
+    `loops` > 0 inserts a flam3-animate LOOP segment before each edge
+    (each keyframe holds for 1 time unit while its animate-flagged
+    xforms spin that many full turns — see loop_genome).
 
     Returns [(edge_genome, seg_start, seg_end)] with segment bounds in
     global time."""
@@ -315,7 +356,12 @@ def blend_sequence(genomes, spin: float = 0.0,
     else:
         bounds = [float(i) for i in range(len(genomes))]
     out = []
+    t_off = 0.0
     for i in range(len(genomes) - 1):
+        if loops:
+            out.append((loop_genome(genomes[i], loops),
+                        bounds[i] + t_off, bounds[i] + t_off + 1.0))
+            t_off += 1.0
         kw = {}
         if smooth:
             kw = {"prev": genomes[max(i - 1, 0)],
@@ -323,5 +369,8 @@ def blend_sequence(genomes, spin: float = 0.0,
         edge = blend_genomes(genomes[i], genomes[i + 1], spin=spin,
                              sort_by_weight=sort_by_weight,
                              name=f"seq[{i}]", **kw)
-        out.append((edge, bounds[i], bounds[i + 1]))
+        out.append((edge, bounds[i] + t_off, bounds[i + 1] + t_off))
+    if loops:
+        out.append((loop_genome(genomes[-1], loops),
+                    bounds[-1] + t_off, bounds[-1] + t_off + 1.0))
     return out

@@ -331,6 +331,8 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         }
         if xf.post is not None:
             at["post"] = _fmt_affine(xf.post, t)
+        if xf.animate:
+            at["animate"] = f"{xf.animate:.9g}"
         for name, w in xf.vars.items():
             at[name] = f"{w(t):.9g}"
         for name, p in xf.params.items():

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blend", metavar="GENOME2",
                    help="build an animated edge genome sweeping from "
                         "GENOME to GENOME2 (use with --animate)")
+    p.add_argument("--loops", type=float, default=0.0,
+                   help="insert a loop segment per keyframe in"
+                        " sequences: animate-flagged xforms spin this"
+                        " many turns in place (flam3-animate loops)")
     p.add_argument("--blend-spin", type=float, default=0.0,
                    help="extra full camera rotations across the edge")
     p.add_argument("--convert", action="store_true",
@@ -139,7 +143,8 @@ def main(argv=None) -> int:
             all_genomes = []
         if len(all_genomes) > 1:
             from cuburn_tpu.genome.blend import blend_sequence
-            sequence = blend_sequence(all_genomes, spin=args.blend_spin)
+            sequence = blend_sequence(all_genomes, spin=args.blend_spin,
+                                      loops=args.loops)
 
     if args.convert:
         print(genome.to_json())

@@ -269,6 +269,42 @@ class TestSequence:
         assert st.plotted_samples > 0
         assert img[..., :3].max() > 0
 
+    def test_loop_genome_spins_animated_xforms(self):
+        """flam3-animate loops: animate-flagged xforms rotate their
+        affine linear part a full turn over [0,1]; others hold."""
+        import numpy as np
+        from cuburn_tpu.genome.blend import loop_genome
+        g = full_feature()
+        g.xforms[0].animate = 1.0
+        lg = loop_genome(g)
+        a0 = np.array([s(0.0) for s in lg.xforms[0].affine])
+        a_half = np.array([s(0.5) for s in lg.xforms[0].affine])
+        a1 = np.array([s(1.0) for s in lg.xforms[0].affine])
+        np.testing.assert_allclose(a1, a0, atol=1e-9)   # full turn
+        # half turn: linear part negated, translation fixed
+        base = np.array([s(0.0) for s in g.xforms[0].affine])
+        np.testing.assert_allclose(
+            a_half[[0, 1, 3, 4]], -base[[0, 1, 3, 4]], atol=1e-6)
+        np.testing.assert_allclose(a_half[[2, 5]], base[[2, 5]])
+        # rotation preserves the linear part's determinant throughout
+        det0 = a0[0] * a0[4] - a0[1] * a0[3]
+        ah = [s(0.31) for s in lg.xforms[0].affine]
+        det = ah[0] * ah[4] - ah[1] * ah[3]
+        assert det == pytest.approx(det0, rel=1e-4)
+        # non-animated xform untouched
+        assert all(s.is_constant for s in lg.xforms[1].affine)
+
+    def test_sequence_with_loops(self):
+        from cuburn_tpu.genome.blend import blend_sequence
+        gs = [sierpinski(), classic_swirl()]
+        gs[0].xforms[0].animate = 1.0
+        segs = blend_sequence(gs, loops=1.0)
+        # loop(g0), edge, loop(g1)
+        assert len(segs) == 3
+        assert segs[0][0].name.endswith(":loop")
+        assert [(s, e) for _, s, e in segs] == \
+            [(0.0, 1.0), (1.0, 2.0), (2.0, 3.0)]
+
     def test_flame_time_roundtrips(self):
         from cuburn_tpu.genome import convert
         from cuburn_tpu.genome.specs import Genome
