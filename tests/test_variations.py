@@ -330,6 +330,70 @@ class TestComplexClosedForms:
         np.testing.assert_allclose(dy, self.W * ey, rtol=tol, atol=tol,
                                    err_msg=f"{name} y")
 
+    def test_blob(self):
+        lo, hi, waves = 0.4, 1.1, 3.0
+        r = np.sqrt(self.r2)
+        theta = np.arctan2(self.x, self.y)
+        rr = r * (lo + (hi - lo)
+                  * (0.5 + 0.5 * np.sin(waves * theta)))
+        self.check("blob", rr * np.sin(theta), rr * np.cos(theta),
+                   params={"blob_low": lo, "blob_high": hi,
+                           "blob_waves": waves}, tol=5e-3)
+
+    def test_perspective(self):
+        pa, pd = 0.6, 2.0
+        ang = pa * np.pi / 2.0
+        t = 1.0 / (pd - self.y * np.sin(ang))
+        self.check("perspective", pd * self.x * t,
+                   pd * np.cos(ang) * self.y * t,
+                   params={"perspective_angle": pa,
+                           "perspective_dist": pd}, tol=5e-3)
+
+    def test_cpow_power_one(self):
+        """power=1 makes the random branch term floor(uniform)=0:
+        deterministic complex power z^(pr + pi*i)."""
+        pr, pi_ = 1.5, 0.3
+        a = np.arctan2(self.y, self.x)
+        lnr = 0.5 * np.log(self.r2)
+        ang = pr * a + pi_ * lnr
+        m = np.exp(pr * lnr - pi_ * a)
+        self.check("cpow", m * np.cos(ang), m * np.sin(ang),
+                   params={"cpow_r": pr, "cpow_i": pi_,
+                           "cpow_power": 1.0}, tol=5e-3)
+
+    def test_loonie(self):
+        w2 = self.W * self.W
+        r = np.sqrt(self.r2)
+        inside = self.r2 < w2
+        rr = self.W * np.sqrt(np.maximum(w2 / self.r2 - 1.0, 0.0))
+        s = np.where(inside, rr, self.W)
+        # check() multiplies by W again, so divide out
+        self.check("loonie", s * self.x / self.W,
+                   s * self.y / self.W, tol=5e-3)
+
+    def test_wedge_sph(self):
+        angle, count, hole, swirl = 0.4, 3.0, 0.1, 0.2
+        r = np.sqrt(self.r2)
+        rr = 1.0 / r
+        a = np.arctan2(self.y, self.x) + swirl * rr
+        cc = np.floor((count * a + np.pi) / (2.0 * np.pi))
+        comp = 1.0 - angle * count / (2.0 * np.pi)
+        a2 = a * comp + cc * angle
+        rr2 = rr + hole
+        # mask fold-boundary ambiguity
+        q = (count * a + np.pi) / (2.0 * np.pi)
+        safe = np.abs(q - np.round(q)) > 1e-3
+        ex, ey = rr2 * np.cos(a2), rr2 * np.sin(a2)
+        got_x, got_y = _eval("wedge_sph", self.tx, self.ty, w=self.W,
+                             params={"wedge_sph_angle": angle,
+                                     "wedge_sph_count": count,
+                                     "wedge_sph_hole": hole,
+                                     "wedge_sph_swirl": swirl})
+        np.testing.assert_allclose(got_x[safe], self.W * ex[safe],
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got_y[safe], self.W * ey[safe],
+                                   rtol=5e-3, atol=5e-3)
+
     def test_rings2(self):
         val = 0.7
         dx = val * val + 1e-10
