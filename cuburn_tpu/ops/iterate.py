@@ -114,8 +114,9 @@ def pack_records(cam: CameraSpec, color_bits: int, addr, pcolor):
     no fidelity loss beyond the reference's own storage)."""
     levels = np.float32((1 << color_bits) - 1)
     q = jnp.clip(pcolor, 0.0, 1.0) * levels + 0.5
+    # i32 hop on the quantized value: Mosaic has no f32->u32 cast
     return (addr.astype(jnp.uint32) << np.uint32(color_bits)) \
-        | q.astype(jnp.uint32)
+        | q.astype(jnp.int32).astype(jnp.uint32)
 
 
 def unpack_records(cam: CameraSpec, color_bits: int, palette_hi, packed):
@@ -181,8 +182,11 @@ def respawn_xy(bits: jnp.ndarray):
     h2 = (bits ^ jnp.uint32(0x5BD1E995)) * jnp.uint32(0xC2B2AE35)
     h2 = h2 ^ (h2 >> jnp.uint32(13))
     inv24 = np.float32(1.0 / (1 << 24))
-    rx = (h1 >> jnp.uint32(8)).astype(jnp.float32) * inv24 * 2.0 - 1.0
-    ry = (h2 >> jnp.uint32(8)).astype(jnp.float32) * inv24 * 2.0 - 1.0
+    # i32 hop: Mosaic has no u32->f32 cast (values fit 24 bits)
+    rx = (h1 >> jnp.uint32(8)).astype(jnp.int32)\
+        .astype(jnp.float32) * inv24 * 2.0 - 1.0
+    ry = (h2 >> jnp.uint32(8)).astype(jnp.int32)\
+        .astype(jnp.float32) * inv24 * 2.0 - 1.0
     return rx, ry
 
 
@@ -206,8 +210,8 @@ def iterate_step(
     writeback)."""
     stream = rng_mod.RngStream(state.rng)
     bits = stream.bits()
-    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * np.float32(
-        1.0 / (1 << 24))
+    u = (bits >> jnp.uint32(8)).astype(jnp.int32)\
+        .astype(jnp.float32) * np.float32(1.0 / (1 << 24))
     table = build_xform_table(key, params)   # loop-invariant, hoisted
     idx, prow = select_and_fetch(key, cdf_rows, table, state.last_xf, u)
 

@@ -60,7 +60,10 @@ def next_bits(state: jax.Array):
 def uniform(state: jax.Array):
     """(new_state, u) with u ~ U[0,1) float32, one per lane."""
     state, bits = next_bits(state)
-    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * _INV24
+    # via int32: Mosaic (Pallas) has no u32->f32 cast; top-24-bit
+    # values are exact either way
+    u = (bits >> jnp.uint32(8)).astype(jnp.int32)\
+        .astype(jnp.float32) * _INV24
     return state, u
 
 
