@@ -202,6 +202,72 @@ class ShardedRenderer(Renderer):
             op_bits=self.op_bits)
         return hist, plotted, n_chunks * per_chunk
 
+    def finalize_frame(self, hist, t: float = 0.0, stats=None):
+        """Sharded filtering: after the accumulate psum every chip
+        holds the full histogram, so each filters its own horizontal
+        band (with enough context rows for the DE/spatial supports —
+        exactly finalize_frame_banded's banding) and the u8 bands
+        gather back.  No extra collective beyond the output gather;
+        filter wall time scales ~1/n_devices."""
+        import time as _time
+        from cuburn_tpu.render import (_filter_band, _to_device,
+                                       de_mod)
+        prof, cam = self.profile, self.cam
+        n = self.n_devices
+        H, W, ss, g = prof.height, prof.width, cam.ss, cam.gutter
+        h_band = -(-H // n)
+        if n == 1 or h_band < 2:
+            return super().finalize_frame(hist, t, stats)
+        t1 = _time.perf_counter()
+        params = _to_device(self.genome.eval_at(t))
+        _times, _w, sumfilt = self._temporal_times(t)
+        q_cell = jnp.float32(prof.quality * sumfilt
+                             / (cam.ss * cam.ss))
+        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
+        de_static = de_r if de_r > 0 else 9.0
+        de_on = self._de_on(params)
+        sf = float(self.genome.spatial_filter(0.0))
+        shape = self.genome.spatial_filter_shape
+        band_rows = h_band * ss
+        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
+                                         de_mod.MAX_RADIUS_CAP)))
+                   if de_on else 0)
+        pad = 0
+        if ss > 1 and sf > 0:
+            from cuburn_tpu.ops.filtering import spatial_filter_taps
+            pad = (spatial_filter_taps(shape, sf, ss).shape[0]
+                   - ss) // 2
+        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        acc_h, acc_w = cam.acc_height, cam.acc_width
+        img = jnp.asarray(hist)[:-1].reshape(acc_h, acc_w, 4)
+        # pad so every band's +-margin slice is in bounds
+        bot = margin + n * band_rows - (acc_h - g)
+        img = jnp.pad(img, ((margin, max(bot, 0)), (0, 0), (0, 0)))
+
+        def device_band(img, params, q_cell):
+            k = jax.lax.axis_index(BATCH_AXIS)
+            lo = g + k * band_rows - margin      # acc coords
+            block = jax.lax.dynamic_slice(
+                img, (lo + margin, 0, 0),
+                (band_rows + 2 * margin, acc_w, 4))
+            band = _filter_band(
+                block, params, q_cell, lo - g, H * ss, ss, margin,
+                band_rows, g, prof.transparent, de_on, de_static,
+                sf, shape)
+            return band[None]                    # (1, h_band, W, 4)
+
+        shard = jax.shard_map(
+            device_band, mesh=self.mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(BATCH_AXIS),
+            check_vma=False,
+        )
+        bands = shard(img, params, q_cell)       # (n, h_band, W, 4)
+        out = np.asarray(bands).reshape(n * h_band, W, 4)[:H]
+        if stats is not None:
+            stats.filter_s = _time.perf_counter() - t1
+        return out
+
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
                              iters_per_sample, tile_row0=None):
         """Single-dispatch sharded motion blur: packed-knot interp

@@ -85,6 +85,32 @@ def test_sharded_temporal_single_dispatch_matches(eight_devices):
     assert m_s == pytest.approx(m_1, rel=0.15)
 
 
+def test_sharded_finalize_matches_single_chip(eight_devices):
+    """Sharded filtering (each chip filters its own row band of the
+    replicated histogram) must match the single-chip filter up to
+    float reassociation (<= 1 u8 step) — with DE, supersampling,
+    gutter, and a spatial filter in play."""
+    import dataclasses
+    from cuburn_tpu.genome.spline import Spline
+    from cuburn_tpu.parallel import ShardedRenderer
+    from cuburn_tpu.render import Renderer
+    from cuburn_tpu.models import classic_swirl
+
+    g = classic_swirl()
+    g.estimator_radius = Spline(4.0)
+    prof = RenderProfile(width=64, height=72, ss=2, quality=40,
+                         batch=2048, iters_per_chunk=8, fuse=8,
+                         hist_backend="scatter", de_enabled=True)
+    sr = ShardedRenderer(g, prof)
+    hist, st = sr.accumulate(0.0, seed=4)
+    img_sharded = sr.finalize_frame(hist, 0.0, st)
+    img_single = Renderer(g, prof).finalize_frame(hist, 0.0)
+    assert img_sharded.shape == img_single.shape == (72, 64, 4)
+    diff = np.abs(img_sharded.astype(int) - img_single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
 def test_dryrun_multichip(eight_devices):
     import sys
     sys.path.insert(0, "/root/repo")
