@@ -202,6 +202,79 @@ class ShardedRenderer(Renderer):
             op_bits=self.op_bits)
         return hist, plotted, n_chunks * per_chunk
 
+    def accumulate_striped(self, t: float = 0.0, seed: int = 0,
+                           n_stripes: Optional[int] = None):
+        """Stripe-PARALLEL accumulation: each chip renders a different
+        horizontal stripe of the frame from the SAME trajectory stream
+        (replicated state, per-chip tile_row0), so the histogram needs
+        NO collective — stripes are disjoint bins, stitched on host.
+
+        Where single-chip striping costs n_stripes x the iterate time,
+        here the n chips absorb it: a frame too big for one device
+        renders in ~one whole-frame time on n chips.  Bit-identical to
+        Renderer.accumulate_striped with the same seed."""
+        from cuburn_tpu.render import FrameStats, _to_device
+        from cuburn_tpu.ops.iterate import (hist_alloc_for,
+                                            hist_to_logical)
+        prof, cam = self.profile, self.cam
+        n = n_stripes if n_stripes is not None else self.n_devices
+        if n != self.n_devices:
+            raise ValueError(
+                f"stripe-parallel accumulation needs n_stripes == "
+                f"n_devices ({self.n_devices}), got {n}")
+        ts_times, ts_weights, _sf = self._temporal_times(t)
+        if len(ts_times) > 1:
+            # motion blur: fall back to sequential stripes, each
+            # sharding trajectories across the mesh
+            return super().accumulate_striped(t, seed, n_stripes=n)
+        stats = FrameStats()
+        full_h = cam.acc_height
+        th = -(-full_h // n)
+        scam = CameraSpec(
+            prof.width, prof.height, prof.ss,
+            no_rotation=cam.no_rotation, gutter=cam.gutter,
+            full_acc_height=full_h, tile_acc_height=th)
+        import time as _time
+        t0 = _time.perf_counter()
+        params = _to_device(self.genome.eval_at(ts_times[0]))
+        cdf_rows = xform_cdf_rows(params)
+        state = init_state(jax.random.PRNGKey(seed * 7919), prof.batch)
+        hist0 = hist_alloc_for(self.backend, scam.n_bins)
+        n_chunks = max(1, int(np.ceil(
+            prof.total_iters / (prof.batch * prof.iters_per_chunk))))
+        key, backend, packed, ob = (self.key, self.backend,
+                                    self.packed, self.op_bits)
+        ppu = params.ppu * jnp.float32(prof.width / self.genome.size[0])
+        ipc, fuse = prof.iters_per_chunk, prof.fuse
+
+        def device_body(params, cdf_rows, state, hist, ppu):
+            row0 = jax.lax.axis_index(BATCH_AXIS) * th
+            state, hist, n_plot = iterate_accumulate(
+                key, scam, backend, params, cdf_rows, state, hist,
+                ppu, jnp.int32(n_chunks), ipc, fuse, packed=packed,
+                tile_row0=row0.astype(jnp.int32), op_bits=ob)
+            return hist[None], n_plot[None]
+
+        shard = jax.shard_map(
+            device_body, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            check_vma=False,
+        )
+        hists, plots = shard(params, cdf_rows, state, hist0, ppu)
+        full = np.zeros((cam.n_bins + 1, 4), np.float32)
+        for s in range(n):
+            h_log = np.asarray(hist_to_logical(
+                self.backend, hists[s], scam.n_bins))
+            rows = min(th, full_h - s * th)
+            lo = s * th * cam.acc_width
+            full[lo:lo + rows * cam.acc_width] += \
+                h_log[:rows * cam.acc_width]
+        stats.plotted_samples = int(np.asarray(plots).sum())
+        stats.total_iters = n_chunks * prof.batch * ipc * n
+        stats.iterate_s = _time.perf_counter() - t0
+        return full, stats
+
     def finalize_frame(self, hist, t: float = 0.0, stats=None):
         """Sharded filtering: after the accumulate psum every chip
         holds the full histogram, so each filters its own horizontal

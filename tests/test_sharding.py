@@ -85,6 +85,27 @@ def test_sharded_temporal_single_dispatch_matches(eight_devices):
     assert m_s == pytest.approx(m_1, rel=0.15)
 
 
+def test_stripe_parallel_accumulate_bitexact(eight_devices):
+    """Stripe-parallel accumulation (one stripe per chip, identical
+    replicated trajectory stream, zero collectives) must reproduce the
+    single-chip striped accumulate bit for bit."""
+    from cuburn_tpu.parallel import ShardedRenderer
+    from cuburn_tpu.render import Renderer
+    from cuburn_tpu.models import full_feature
+
+    g = full_feature()
+    prof = RenderProfile(width=64, height=64, quality=60, batch=2048,
+                         iters_per_chunk=8, fuse=8,
+                         hist_backend="scatter", de_enabled=False)
+    sr = ShardedRenderer(g, prof)
+    h_par, st_par = sr.accumulate_striped(0.0, seed=5)
+    h_one, st_one = Renderer(g, prof).accumulate_striped(
+        0.0, seed=5, n_stripes=8)
+    np.testing.assert_array_equal(h_par[:-1], h_one[:-1])
+    assert st_par.plotted_samples == st_one.plotted_samples
+    assert st_par.total_iters == st_one.total_iters
+
+
 def test_sharded_finalize_matches_single_chip(eight_devices):
     """Sharded filtering (each chip filters its own row band of the
     replicated histogram) must match the single-chip filter up to
