@@ -215,6 +215,35 @@ class TestMergedPallasFlush:
         assert np.asarray(out).reshape(4, -1)[3].sum() \
             == pytest.approx(M)
 
+    def test_windowed_hbm_tiled_boundary_saturation(self):
+        """Adversarial: thousands of records packed tightly around
+        EVERY row-block boundary (max pressure on the side-scatter's
+        fixed diversion capacity) plus empty blocks — still exactly
+        scatter-equivalent."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(17)
+        n_bins = 4 * ph.BLOCK_ROWS * 128 - 100   # 4 row blocks
+        cbits = 10
+        bdry = ph.BLOCK_ROWS * 128
+        addr = np.concatenate([
+            rng.randint(b - 3, b + 3, 1200)      # dense straddles
+            for b in (bdry, 2 * bdry, 3 * bdry)
+        ] + [rng.randint(0, 40, 500)]).astype(np.int32)
+        color = rng.rand(addr.shape[0]).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        hp = ph.to_planes_layout(hm.alloc(n_bins))
+        out = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True)
+        got = np.asarray(ph.from_planes_layout(out, n_bins))
+        np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
+        np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
+                                   rtol=1e-5, atol=1e-5)
+        assert np.asarray(out).reshape(4, -1)[3].sum() \
+            == pytest.approx(addr.shape[0])
+
     def test_windowed_weight_scales(self):
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
