@@ -219,9 +219,9 @@ class ShardedRenderer(Renderer):
         prof, cam = self.profile, self.cam
         n = n_stripes if n_stripes is not None else self.n_devices
         if n != self.n_devices:
-            raise ValueError(
-                f"stripe-parallel accumulation needs n_stripes == "
-                f"n_devices ({self.n_devices}), got {n}")
+            # stripe-parallel wants one stripe per chip; other counts
+            # run stripes sequentially with trajectory sharding
+            return super().accumulate_striped(t, seed, n_stripes=n)
         ts_times, ts_weights, _sf = self._temporal_times(t)
         if len(ts_times) > 1:
             # motion blur: fall back to sequential stripes, each
