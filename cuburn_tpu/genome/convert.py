@@ -198,6 +198,37 @@ def _parse_xform(el: ET.Element, n_xforms: int):
     return xf, chaos
 
 
+def _symmetry_xforms(kind: int) -> List[XForm]:
+    """flam3's flam3_add_symmetry (flam3.c) lowered to explicit xforms.
+
+    kind > 1: rotational symmetry — kind-1 linear xforms rotating by
+    2*pi*i/kind.  kind < 0: dihedral — one mirror xform (x -> -x) plus
+    |kind|-1 rotations.  All added xforms: weight 1, color_speed 0
+    (so they never disturb the color coordinate), linear variation
+    only, not animated.  Colors follow flam3's spread: rotations get
+    (i-1)/(sym-2) for sym >= 3 else 0, the mirror gets 1.0.
+    [M — reconstructed from flam3's published source; the reference
+    mount is empty (SURVEY.md §0), so the exact color constants and
+    xform count for the dihedral case are recalled, not re-verified.]
+    """
+    out: List[XForm] = []
+
+    def sym_xf(affine, color):
+        return XForm(weight=1.0, color=color, color_speed=0.0,
+                     affine=affine, vars={"linear": 1.0})
+
+    n = kind
+    if kind < 0:
+        out.append(sym_xf((-1.0, 0.0, 0.0, 0.0, 1.0, 0.0), 1.0))
+        n = -kind
+    for i in range(1, n):
+        a = 2.0 * np.pi * i / n
+        c = (0.0 if n < 3 else (i - 1.0) / (n - 2.0))
+        out.append(sym_xf((np.cos(a), -np.sin(a), 0.0,
+                           np.sin(a), np.cos(a), 0.0), c))
+    return out
+
+
 def flame_to_genome(flame: ET.Element) -> Genome:
     """Convert one parsed <flame> element to a Genome."""
     attrs = dict(flame.attrib)
@@ -209,21 +240,50 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         xf, chaos = _parse_xform(el, n)
         xforms.append(xf)
         chaos_rows.append(chaos)
+
+    # <symmetry kind="N"/>: lower to explicit linear xforms appended
+    # after the parsed ones (flam3_add_symmetry).  kind 0 asks flam3
+    # for a RANDOM symmetry; stay deterministic and skip it.
+    sel = flame.find("symmetry")
+    if sel is not None:
+        kind = int(float(sel.get("kind", "0")))
+        if kind in (0, 1):
+            if kind == 0:
+                import warnings
+                warnings.warn("<symmetry kind=\"0\"> requests a random "
+                              "symmetry; ignored for determinism")
+        else:
+            added = _symmetry_xforms(kind)
+            xforms.extend(added)
+            chaos_rows.extend([None] * len(added))
+            n = len(xforms)
+
     xaos = None
     if any(c is not None for c in chaos_rows):
-        xaos = [c if c is not None else [1.0] * n for c in chaos_rows]
+        # chaos rows were written against the pre-symmetry xform count;
+        # flam3 pads missing entries (and whole missing rows) with 1.0
+        xaos = [(c + [1.0] * n)[:n] if c is not None else [1.0] * n
+                for c in chaos_rows]
 
     final = None
     fel = flame.find("finalxform")
     if fel is not None:
         final, _ = _parse_xform(fel, n)
 
-    # palette: <palette> hex block, or <color index rgb> entries
+    # palette: <palette> hex block, Apophysis <colors count data>,
+    # <color index rgb> entries, or a legacy palette="N" index
     pal = None
     pel = flame.find("palette")
+    cel_blk = flame.find("colors")
     if pel is not None and pel.text:
         pal = palette_mod.decode_hex_block(
             pel.text, int(pel.get("count", palette_mod.PALETTE_SIZE)))
+    elif cel_blk is not None and cel_blk.get("data"):
+        # Apophysis-style: hex entries in a `data` attribute (8 chars
+        # per entry, leading alpha byte)
+        pal = palette_mod.decode_hex_block(
+            cel_blk.get("data"),
+            int(cel_blk.get("count", palette_mod.PALETTE_SIZE)))
     else:
         colors = flame.findall("color")
         if colors:
@@ -233,6 +293,17 @@ def flame_to_genome(flame: ET.Element) -> Genome:
                 if "rgb" in cel.attrib:
                     rgb = _parse_floats(cel.get("rgb"))
                     pal[idx] = [c / 255.0 for c in rgb]
+        elif "palette" in attrs:
+            # legacy numeric gradient reference; the real flam3
+            # palettes.xml data is unavailable offline — substitute a
+            # deterministic smooth palette so the file still renders
+            import warnings
+            idx = int(float(attrs["palette"]))
+            warnings.warn(
+                f"flame references built-in palette {idx}; flam3's "
+                "palettes.xml is not available — using a deterministic "
+                "stand-in gradient (colors will differ from flam3)")
+            pal = palette_mod.builtin_palette(idx)
     palettes = [(0.0, pal)] if pal is not None else []
 
     size = tuple(int(x) for x in

@@ -87,3 +87,34 @@ def palette_at(keyframes: Sequence[Tuple[float, np.ndarray]],
     p0 = np.asarray(keyframes[lo][1], dtype=np.float64)
     p1 = np.asarray(keyframes[hi][1], dtype=np.float64)
     return (1.0 - w) * p0 + w * p1
+
+
+def builtin_palette(index: int) -> np.ndarray:
+    """Deterministic stand-in for flam3's built-in palette table.
+
+    Old flam3/electricsheep XML can reference a gradient by number
+    (`<flame palette="15">`) instead of embedding it; the real table
+    lives in flam3's palettes.xml, which is data (not algorithm) and is
+    not available in this offline environment.  To keep such files
+    renderable, map the index to a deterministic, smooth, loop-closed
+    palette: a seeded random walk through HSV anchor points, Catmull-Rom
+    interpolated in RGB.  Same index -> same palette, every run.
+    Callers should warn that this is NOT the flam3 gradient of that
+    number (genome/convert.py does)."""
+    rng = np.random.RandomState(0xF1A3 ^ (int(index) & 0x7FFFFFFF))
+    n_anchor = int(rng.randint(4, 7))
+    h0 = rng.uniform(0.0, 1.0)
+    # hues drift around the wheel; saturation/value stay vivid
+    hs = np.mod(h0 + np.cumsum(rng.uniform(-0.25, 0.25, n_anchor)), 1.0)
+    ss = rng.uniform(0.45, 1.0, n_anchor)
+    vs = rng.uniform(0.35, 1.0, n_anchor)
+    import colorsys
+    anchors = np.array([colorsys.hsv_to_rgb(h, s, v)
+                        for h, s, v in zip(hs, ss, vs)])
+    # close the loop so palette-coordinate wraparound is seamless
+    pts = np.vstack([anchors, anchors[:1]])
+    src = np.linspace(0.0, 1.0, pts.shape[0])
+    dst = np.linspace(0.0, 1.0, PALETTE_SIZE, endpoint=False)
+    out = np.stack([np.interp(dst, src, pts[:, c]) for c in range(3)],
+                   axis=1)
+    return np.clip(out, 0.0, 1.0)

@@ -304,3 +304,107 @@ class TestWildFixture:
         img, stats = Renderer(g1, prof).render_frame(0.0, seed=11)
         assert img[..., :3].max() > 0
         assert stats.plotted_samples > 0
+
+
+class TestWildPaletteForms:
+    """Palette encodings seen in wild files beyond the <palette> hex
+    block: Apophysis <colors count data>, and the legacy numeric
+    palette="N" gradient reference (flam3 palettes.xml is data we don't
+    have — a deterministic stand-in palette keeps the file renderable)."""
+
+    def test_apophysis_colors_element(self):
+        entries = "".join(f"00{i:02x}{i:02x}{255 - i:02x}"
+                          for i in range(256))
+        xml = (f'<flame name="apo" size="64 64">'
+               f'<xform weight="1" coefs="0.5 0 0 0.5 0 0" linear="1"/>'
+               f'<colors count="256" data="{entries}"/></flame>')
+        [g] = convert.parse_flam3(xml)
+        pal = g.palettes[0][1]
+        assert pal.shape == (256, 3)
+        assert pal[10, 0] == pytest.approx(10 / 255)
+        assert pal[10, 2] == pytest.approx(245 / 255)
+
+    def test_legacy_palette_index(self):
+        xml = ('<flame name="old" size="64 64" palette="15">'
+               '<xform weight="1" coefs="0.5 0 0 0.5 0 0" linear="1"/>'
+               '</flame>')
+        with pytest.warns(UserWarning, match="palettes.xml"):
+            [g] = convert.parse_flam3(xml)
+        pal = g.palettes[0][1]
+        assert pal.shape == (256, 3)
+        # deterministic: same index -> same palette
+        with pytest.warns(UserWarning):
+            [g2] = convert.parse_flam3(xml)
+        np.testing.assert_array_equal(pal, g2.palettes[0][1])
+        # different index -> different palette
+        with pytest.warns(UserWarning):
+            [g3] = convert.parse_flam3(xml.replace('"15"', '"16"'))
+        assert not np.array_equal(pal, g3.palettes[0][1])
+
+
+class TestSymmetryElement:
+    """<symmetry kind="N"/> lowers to flam3_add_symmetry's explicit
+    linear xforms (rotations; plus a mirror for negative kinds)."""
+
+    XML = ('<flame name="sym" size="64 64">'
+           '<xform weight="1" coefs="0.5 0 0 0.5 0.3 0" linear="1" '
+           'chaos="0.5"/>'
+           '<symmetry kind="{kind}"/>'
+           '<palette count="2" format="RGB">ff0000 00ff00</palette>'
+           '</flame>')
+
+    def test_rotational(self):
+        [g] = convert.parse_flam3(self.XML.format(kind=3))
+        assert len(g.xforms) == 3          # 1 parsed + (kind-1) added
+        for i, xf in enumerate(g.xforms[1:], 1):
+            a, b, c, d, e, f = [s(0) for s in xf.affine]
+            ang = 2 * np.pi * i / 3
+            assert a == pytest.approx(np.cos(ang))
+            assert d == pytest.approx(np.sin(ang))
+            assert (c, f) == (0.0, 0.0)
+            assert xf.color_speed(0) == 0.0
+            assert xf.weight(0) == 1.0
+            assert list(xf.vars) == ["linear"]
+        # chaos row re-padded to the grown xform count
+        assert [v(0) for v in g.xaos[0]] == [0.5, 1.0, 1.0]
+        assert [v(0) for v in g.xaos[1]] == [1.0, 1.0, 1.0]
+
+    def test_dihedral(self):
+        [g] = convert.parse_flam3(self.XML.format(kind=-2))
+        # mirror + (2-1) rotation
+        assert len(g.xforms) == 3
+        a, b, c, d, e, f = [s(0) for s in g.xforms[1].affine]
+        assert (a, e) == (-1.0, 1.0)       # x -> -x mirror
+        assert g.xforms[1].color(0) == 1.0
+        ang = np.pi
+        a2 = [s(0) for s in g.xforms[2].affine]
+        assert a2[0] == pytest.approx(np.cos(ang))
+
+    def test_symmetric_render_is_symmetric(self):
+        """A 2-fold symmetrized genome renders a 180-degree-symmetric
+        density field (up to sampling noise)."""
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        xml = ('<flame name="sym2" size="64 64" scale="25">'
+               '<xform weight="1" coefs="0.5 0 0 0.5 0.3 0.2" '
+               'spherical="0.7" linear="0.3"/>'
+               '<symmetry kind="2"/>'
+               '<palette count="2" format="RGB">ff0000 00ff00</palette>'
+               '</flame>')
+        [g] = convert.parse_flam3(xml)
+        prof = RenderProfile(width=48, height=48, quality=600,
+                             batch=4096, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        r = Renderer(g, prof)
+        hist, _ = r.accumulate(0.0, seed=5)
+        d = np.asarray(hist)[:-1, 3].reshape(48, 48)
+        rot = np.rot90(d, 2)
+        assert d.sum() > 0
+        # NOTE: the chaos-game invariant measure of {f, R} is NOT
+        # mass-symmetric (the lobe through f carries 2x the visits —
+        # verified by direct simulation; flam3 behaves identically and
+        # relies on log tonemapping to hide it).  Symmetry is in the
+        # SUPPORT: the attractor set maps onto itself under R.
+        occ, occ_r = d > 0, rot > 0
+        mismatch = (occ ^ occ_r).sum() / max(occ.sum(), 1)
+        assert mismatch < 0.12    # sampling noise at dim edge pixels
