@@ -256,7 +256,10 @@ def v_rings(c, w, P):
     cc = c.affine[2]
     dx = cc * cc + EPS
     rr = jnp.fmod(c.r + dx, 2.0 * dx) - dx + c.r * (1.0 - dx)
-    return w * rr * jnp.sin(c.atan), w * rr * jnp.cos(c.atan)
+    # flam3 var21_rings emits (cosa, sina) = (y/r, x/r) — one of the
+    # variations whose axes are deliberately swapped in flam3/the paper
+    # (unlike blob/disc which use (sina, cosa))
+    return w * rr * jnp.cos(c.atan), w * rr * jnp.sin(c.atan)
 
 
 @variation("fan")
@@ -266,7 +269,8 @@ def v_fan(c, w, P):
     dx2 = 0.5 * dx
     a = c.atan
     a = jnp.where(jnp.fmod(a + f, dx) > dx2, a - dx2, a + dx2)
-    return w * c.r * jnp.sin(a), w * c.r * jnp.cos(a)
+    # flam3 var22_fan: (cos a, sin a) with a measured from +y (atan2(x,y))
+    return w * c.r * jnp.cos(a), w * c.r * jnp.sin(a)
 
 
 @variation("blob")
@@ -998,8 +1002,9 @@ def v_flux(c, w, P):
     xmw = c.tx - w
     num = jnp.sqrt(c.ty * c.ty + xpw * xpw)
     den = jnp.sqrt(c.ty * c.ty + xmw * xmw)
-    avgr = w * (2.0 + spread) * jnp.sqrt(
-        jnp.sqrt(num / jnp.maximum(den, EPS)))
+    # flam3 var97_flux: avgr = w*(2+spread)*sqrt(d+ / d-) where d+/d-
+    # are the focus distances (exactly ONE sqrt of their ratio)
+    avgr = w * (2.0 + spread) * jnp.sqrt(num / jnp.maximum(den, EPS))
     avga = (jnp.arctan2(c.ty, xmw) - jnp.arctan2(c.ty, xpw)) * 0.5
     return avgr * jnp.cos(avga), avgr * jnp.sin(avga)
 

@@ -609,3 +609,196 @@ class TestComplexClosedForms:
         self.check("curve", ex, ey,
                    params={"curve_xamp": xa, "curve_yamp": ya,
                            "curve_xlength": xl, "curve_ylength": yl})
+
+
+class TestMoreClosedForms:
+    """Round-2 continuation: the remaining deterministic variations,
+    each against an independently transcribed flam3 formula
+    (theta = atan2(x, y), so sin(theta) = x/r, cos(theta) = y/r)."""
+
+    W = 0.7
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(24)
+        self.x = np.asarray(self.tx, np.float64)
+        self.y = np.asarray(self.ty, np.float64)
+        self.r2 = self.x**2 + self.y**2
+        self.r = np.sqrt(self.r2)
+        self.st = self.x / self.r          # sin(theta)
+        self.ct = self.y / self.r          # cos(theta)
+
+    def check(self, name, ex, ey, tol=2e-3, **kw):
+        dx, dy = _eval(name, self.tx, self.ty, w=self.W, **kw)
+        np.testing.assert_allclose(dx, self.W * ex, rtol=tol, atol=tol,
+                                   err_msg=f"{name} x")
+        np.testing.assert_allclose(dy, self.W * ey, rtol=tol, atol=tol,
+                                   err_msg=f"{name} y")
+
+    def test_spiral(self):
+        self.check("spiral", (self.ct + np.sin(self.r)) / self.r,
+                   (self.st - np.cos(self.r)) / self.r)
+
+    def test_hyperbolic(self):
+        self.check("hyperbolic", self.st / self.r, self.ct * self.r)
+
+    def test_diamond(self):
+        self.check("diamond", self.st * np.cos(self.r),
+                   self.ct * np.sin(self.r))
+
+    def test_ex(self):
+        theta = np.arctan2(self.x, self.y)
+        p0 = np.sin(theta + self.r) ** 3
+        p1 = np.cos(theta - self.r) ** 3
+        self.check("ex", self.r * (p0 + p1), self.r * (p0 - p1),
+                   tol=5e-3)
+
+    def test_power(self):
+        rp = self.r ** self.st
+        self.check("power", rp * self.ct, rp * self.st, tol=5e-3)
+
+    def test_rings_uses_affine(self):
+        # flam3 var21_rings reads the xform's x-translation (c) as the
+        # ring spacing: dx = c^2; r' = mod(r+dx, 2dx) - dx + r(1-dx)
+        aff = (1.0, 0.0, 0.45, 0.0, 1.0, 0.2)
+        dxp = 0.45 * 0.45 + 1e-10
+        rr = np.mod(self.r + dxp, 2 * dxp) - dxp + self.r * (1 - dxp)
+        got_x, got_y = _eval("rings", self.tx, self.ty, w=self.W,
+                             affine=aff)
+        # mask ring-boundary points (float32 mod placement ambiguity)
+        q = (self.r + dxp) / (2 * dxp)
+        safe = np.abs(q - np.round(q)) > 1e-3
+        np.testing.assert_allclose(got_x[safe],
+                                   self.W * (rr * self.ct)[safe],
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got_y[safe],
+                                   self.W * (rr * self.st)[safe],
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_fan_uses_affine(self):
+        # flam3 var22_fan: dx = pi*(c^2), dy = f; blades of width dx
+        # alternate between rotating the angle by +-dx/2
+        aff = (1.0, 0.0, 0.5, 0.0, 1.0, 0.3)
+        dxp = np.pi * (0.5 * 0.5 + 1e-10)
+        dy_, dx2 = 0.3, dxp / 2
+        theta = np.arctan2(self.x, self.y)
+        v = theta + dy_
+        m = v - dxp * np.trunc(v / dxp)    # C fmod (sign of dividend)
+        a = np.where(m > dx2, theta - dx2, theta + dx2)
+        ex, ey = self.r * np.cos(a), self.r * np.sin(a)
+        got_x, got_y = _eval("fan", self.tx, self.ty, w=self.W,
+                             affine=aff)
+        safe = (np.abs(m - dx2) > 1e-3) \
+            & (np.abs(m) > 1e-3) & (np.abs(np.abs(m) - dxp) > 1e-3)
+        assert safe.mean() > 0.9
+        np.testing.assert_allclose(got_x[safe], self.W * ex[safe],
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got_y[safe], self.W * ey[safe],
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_butterfly(self):
+        wx = 1.3029400317411197908970256609023   # 4/sqrt(3*pi)
+        y2 = 2.0 * self.y
+        rb = wx * np.sqrt(np.abs(self.x * self.y)
+                          / (self.x**2 + y2**2 + 1e-10))
+        self.check("butterfly", rb * self.x, rb * y2, tol=5e-3)
+
+    def test_cross(self):
+        s = self.x**2 - self.y**2
+        rr = np.sqrt(1.0 / (s * s + 1e-10))
+        self.check("cross", rr * self.x, rr * self.y, tol=5e-3)
+
+    def test_popcorn2(self):
+        px, py, c = 0.3, -0.2, 1.4
+        self.check("popcorn2",
+                   self.x + px * np.sin(np.tan(self.y * c)),
+                   self.y + py * np.sin(np.tan(self.x * c)),
+                   params={"popcorn2_x": px, "popcorn2_y": py,
+                           "popcorn2_c": c}, tol=5e-3)
+
+    def test_secant2(self):
+        # weight sits INSIDE the cosine: r = w*|p|, cr = cos(r);
+        # y-out = 1/cr + (-1 if cr >= 0 else +1)
+        cr = np.cos(self.W * self.r)
+        icr = 1.0 / cr
+        ey = np.where(cr < 0, icr + 1.0, icr - 1.0)
+        safe = np.abs(cr) > 0.05           # near-pole points explode
+        got_x, got_y = _eval("secant2", self.tx, self.ty, w=self.W)
+        np.testing.assert_allclose(got_x[safe],
+                                   self.W * self.x[safe],
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got_y[safe], self.W * ey[safe],
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_flux(self):
+        # nonlinear in w: the weight is the focus offset
+        spread = 0.4
+        w = self.W
+        xpw, xmw = self.x + w, self.x - w
+        avgr = w * (2.0 + spread) * np.sqrt(
+            np.sqrt(self.y**2 + xpw**2) / np.sqrt(self.y**2 + xmw**2))
+        avga = (np.arctan2(self.y, xmw)
+                - np.arctan2(self.y, xpw)) * 0.5
+        got_x, got_y = _eval("flux", self.tx, self.ty, w=w,
+                             params={"flux_spread": spread})
+        np.testing.assert_allclose(got_x, avgr * np.cos(avga),
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got_y, avgr * np.sin(avga),
+                                   rtol=5e-3, atol=5e-3)
+
+
+class TestComplexTrigFamily:
+    """The cothe complex-trig variation family: each is the complex
+    function applied to z = x + iy (real -> x, imag -> y), verified
+    against numpy's complex implementations — fully independent of
+    the variation code."""
+
+    W = 0.6
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(20)
+        x = np.asarray(self.tx, np.float64)
+        y = np.asarray(self.ty, np.float64)
+        self.z = x + 1j * y
+
+    def check_fn(self, name, fz, tol=2e-3):
+        dx, dy = _eval(name, self.tx, self.ty, w=self.W)
+        np.testing.assert_allclose(dx, self.W * fz.real, rtol=tol,
+                                   atol=tol, err_msg=f"{name} x")
+        np.testing.assert_allclose(dy, self.W * fz.imag, rtol=tol,
+                                   atol=tol, err_msg=f"{name} y")
+
+    def test_cos(self):
+        self.check_fn("cos", np.cos(self.z))
+
+    def test_tan(self):
+        self.check_fn("tan", np.tan(self.z))
+
+    def test_sec(self):
+        self.check_fn("sec", 1.0 / np.cos(self.z))
+
+    def test_csc(self):
+        self.check_fn("csc", 1.0 / np.sin(self.z))
+
+    def test_cot(self):
+        self.check_fn("cot", 1.0 / np.tan(self.z))
+
+    def test_sinh(self):
+        self.check_fn("sinh", np.sinh(self.z))
+
+    def test_cosh(self):
+        self.check_fn("cosh", np.cosh(self.z))
+
+    def test_tanh(self):
+        self.check_fn("tanh", np.tanh(self.z))
+
+    def test_sech(self):
+        self.check_fn("sech", 1.0 / np.cosh(self.z))
+
+    def test_csch(self):
+        self.check_fn("csch", 1.0 / np.sinh(self.z))
+
+    def test_coth(self):
+        # flam3's coth (cothe's family) ships the CONJUGATE of the
+        # mathematical cotanh — the sign quirk is part of the de-facto
+        # spec, so flam3 compatibility means matching it, not math
+        self.check_fn("coth", np.conj(1.0 / np.tanh(self.z)))
