@@ -802,3 +802,134 @@ class TestComplexTrigFamily:
         # mathematical cotanh — the sign quirk is part of the de-facto
         # spec, so flam3 compatibility means matching it, not math
         self.check_fn("coth", np.conj(1.0 / np.tanh(self.z)))
+
+
+class TestAugerLazysusan:
+    W = 0.7
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(24)
+        self.x = np.asarray(self.tx, np.float64)
+        self.y = np.asarray(self.ty, np.float64)
+
+    def test_auger(self):
+        """flam3 var auger: cross-coupled sine warp — the y output is
+        driven by sin(freq*x) and vice versa."""
+        sym, aw, freq, scale = 0.3, 0.8, 2.0, 0.5
+        s = np.sin(freq * self.x)
+        t = np.sin(freq * self.y)
+        dy = self.y + aw * (scale * s / 2.0 + np.abs(self.y) * s)
+        dx = self.x + aw * (scale * t / 2.0 + np.abs(self.x) * t)
+        ex = self.x + sym * (dx - self.x)
+        got_x, got_y = _eval("auger", self.tx, self.ty, w=self.W,
+                             params={"auger_sym": sym,
+                                     "auger_weight": aw,
+                                     "auger_freq": freq,
+                                     "auger_scale": scale})
+        np.testing.assert_allclose(got_x, self.W * ex, rtol=2e-3,
+                                   atol=2e-3)
+        np.testing.assert_allclose(got_y, self.W * dy, rtol=2e-3,
+                                   atol=2e-3)
+
+    def test_lazysusan_both_branches(self):
+        lx, ly, spin, space, twist = 0.2, -0.1, 0.4, 0.3, 0.6
+        x = self.x - lx
+        y = self.y + ly
+        rr = np.sqrt(x * x + y * y)
+        w = self.W
+        a = np.arctan2(y, x) + spin + twist * (w - rr)
+        ex_in = w * rr * np.cos(a) + lx
+        ey_in = w * rr * np.sin(a) - ly
+        ro = w * (1.0 + space / rr)
+        ex_out = ro * x + lx
+        ey_out = ro * y - ly
+        inside = rr < w
+        assert 0.02 < inside.mean() < 0.98   # both branches exercised
+        ex = np.where(inside, ex_in, ex_out)
+        ey = np.where(inside, ey_in, ey_out)
+        got_x, got_y = _eval(
+            "lazysusan", self.tx, self.ty, w=w,
+            params={"lazysusan_x": lx, "lazysusan_y": ly,
+                    "lazysusan_spin": spin, "lazysusan_space": space,
+                    "lazysusan_twist": twist})
+        safe = np.abs(rr - w) > 1e-3         # branch-edge ambiguity
+        np.testing.assert_allclose(got_x[safe], ex[safe], rtol=5e-3,
+                                   atol=5e-3)
+        np.testing.assert_allclose(got_y[safe], ey[safe], rtol=5e-3,
+                                   atol=5e-3)
+
+
+class TestStochasticInvariants:
+    """Implementation-independent invariants for the remaining
+    stochastic variations: properties every correct flam3-compatible
+    implementation must satisfy regardless of RNG draws."""
+
+    def test_blade_radius_invariant(self):
+        # blade: (x(cos r + sin r), x(cos r - sin r)) for random r
+        # => dx^2 + dy^2 == 2 x^2 exactly, for every sample
+        tx, ty = _grid(32)
+        x = np.asarray(tx, np.float64)
+        dx, dy = _eval("blade", tx, ty, w=0.8, seed=11)
+        np.testing.assert_allclose(dx * dx + dy * dy,
+                                   (0.8 ** 2) * 2.0 * x * x,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_flower_collinear_with_input(self):
+        # flower scales the point along its own direction: outputs are
+        # collinear with inputs (cross product ~ 0), with random length
+        tx, ty = _grid(32)
+        x = np.asarray(tx, np.float64)
+        y = np.asarray(ty, np.float64)
+        dx, dy = _eval("flower", tx, ty, w=0.9, seed=12)
+        cross = dx * y - dy * x
+        np.testing.assert_allclose(cross, 0.0, atol=1e-3)
+        # and lengths vary (stochastic)
+        scale = np.hypot(dx, dy) / np.hypot(x, y)
+        assert scale.std() > 1e-3
+
+    def test_pie_slice_quantization(self):
+        # pie with slices=4, rotation=0: output angles cluster at
+        # multiples of 2pi/4 +- thickness*slice width
+        slices, thickness = 4.0, 0.0
+        B = 4096
+        tx = jnp.full((B,), 0.3, jnp.float32)
+        ty = jnp.full((B,), 0.2, jnp.float32)
+        dx, dy = _eval("pie", tx, ty, w=1.0, seed=13,
+                       params={"pie_slices": slices,
+                               "pie_rotation": 0.0,
+                               "pie_thickness": thickness})
+        ang = np.arctan2(dy, dx)
+        # thickness 0 -> angles exactly on slice centers k*2pi/4
+        frac = np.mod(ang / (2 * np.pi / slices) + 0.5, 1.0) - 0.5
+        np.testing.assert_allclose(frac, 0.0, atol=1e-3)
+        # all four slices hit
+        k = np.round(ang / (2 * np.pi / slices)).astype(int) % 4
+        assert len(np.unique(k)) == 4
+
+    def test_radial_blur_pure_spin_preserves_radius(self):
+        # flam3 radial_blur contributes (spun/zoomed point) - (input):
+        # with angle=1 (spinvar=1, zoomvar=0, rz=-1) the contribution
+        # plus the input is the input point spun by a random angle, so
+        # |contribution + input| == |input| exactly, per sample
+        tx, ty = _grid(24)
+        x = np.asarray(tx, np.float64)
+        y = np.asarray(ty, np.float64)
+        r_in = np.hypot(x, y)
+        dx, dy = _eval("radial_blur", tx, ty, w=0.6, seed=14,
+                       params={"radial_blur_angle": 1.0})
+        r_out = np.hypot(dx + x, dy + y)
+        np.testing.assert_allclose(r_out, r_in, rtol=2e-3, atol=2e-3)
+        # and the spin really is random (angles move)
+        dang = np.arctan2(dy + y, dx + x) - np.arctan2(y, x)
+        assert np.abs(dang).max() > 0.05
+
+    def test_juliascope_power_two_clusters(self):
+        # power=2, dist=1: finitely many branch outputs per input point
+        B = 4096
+        tx = jnp.full((B,), 0.8, jnp.float32)
+        ty = jnp.full((B,), 0.5, jnp.float32)
+        dx, dy = _eval("juliascope", tx, ty, w=1.0, seed=15,
+                       params={"juliascope_power": 2.0,
+                               "juliascope_dist": 1.0})
+        pts = np.unique(np.round(np.stack([dx, dy], 1), 3), axis=0)
+        assert 1 < len(pts) <= 4
