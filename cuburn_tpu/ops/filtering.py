@@ -242,9 +242,11 @@ def downsample(img, ss: int, spatial_filter: float = 0.0,
     `spatial_filter` (static, output-pixel units) is flam3's `filter`
     attribute and `filter_shape` its kernel family: each output pixel
     is the kernel-weighted window of accumulator cells, stride ss
-    (flam3 rect.c filtered accumulation).  radius <= 0 (or ss == 1)
-    degenerates to a plain box average."""
-    if ss == 1:
+    (flam3 rect.c filtered accumulation).  flam3 applies the filter
+    even at ss == 1 (a 3-tap kernel at the 0.5-gaussian default);
+    radius <= 0 degenerates to a plain box average (identity at
+    ss == 1)."""
+    if ss == 1 and (not spatial_filter or spatial_filter <= 0.0):
         return img
     if not spatial_filter or spatial_filter <= 0.0:
         hs, ws, c = img.shape

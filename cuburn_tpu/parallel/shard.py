@@ -81,12 +81,16 @@ def sharded_accumulate(
         tile_row0 = jnp.int32(0)
 
     def device_body(params, cdf_rows, state, hist, ppu, tile_row0):
-        state, hist, n = iterate_accumulate(
-            key, cam, backend, params, cdf_rows, state, hist, ppu,
+        # accumulate into ZEROS and add the (replicated) input hist
+        # after the psum: summing the input replica n_devices times
+        # would multiply resumed checkpoint mass by the mesh size
+        state, delta, n = iterate_accumulate(
+            key, cam, backend, params, cdf_rows, state,
+            jnp.zeros_like(hist), ppu,
             jnp.int32(n_chunks), n_iters, fuse, packed=packed,
             tile_row0=tile_row0, op_bits=op_bits)
         # the single collective: reduce partial histograms over ICI
-        hist = jax.lax.psum(hist, BATCH_AXIS)
+        hist = hist + jax.lax.psum(delta, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
@@ -136,12 +140,14 @@ def sharded_accumulate_temporal(
 
     def device_body(params_T, state, hist, ppu_T, weights_T,
                     tile_row0):
-        state, hist, n = iterate_accumulate_temporal(
-            key, cam, backend, params_T, state, hist, ppu_T,
-            jnp.int32(n_chunks), n_iters, fuse, packed=packed,
+        # zeros + add-after-psum: see sharded_accumulate (resumed
+        # checkpoint mass must not be multiplied by the mesh size)
+        state, delta, n = iterate_accumulate_temporal(
+            key, cam, backend, params_T, state, jnp.zeros_like(hist),
+            ppu_T, jnp.int32(n_chunks), n_iters, fuse, packed=packed,
             weights_T=weights_T, tile_row0=tile_row0,
             op_bits=op_bits)
-        hist = jax.lax.psum(hist, BATCH_AXIS)
+        hist = hist + jax.lax.psum(delta, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
@@ -306,7 +312,7 @@ class ShardedRenderer(Renderer):
                                          de_mod.MAX_RADIUS_CAP)))
                    if de_on else 0)
         pad = 0
-        if ss > 1 and sf > 0:
+        if sf > 0:
             from cuburn_tpu.ops.filtering import spatial_filter_taps
             pad = (spatial_filter_taps(shape, sf, ss).shape[0]
                    - ss) // 2

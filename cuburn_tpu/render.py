@@ -421,7 +421,7 @@ class Renderer:
                                          de_mod.MAX_RADIUS_CAP)))
                    if de_on else 0)
         pad = 0
-        if ss > 1 and sf > 0:
+        if sf > 0:
             from cuburn_tpu.ops.filtering import spatial_filter_taps
             pad = (spatial_filter_taps(shape, sf, ss).shape[0]
                    - ss) // 2

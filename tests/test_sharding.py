@@ -146,3 +146,38 @@ def test_entry_compiles(eight_devices):
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_sharded_resume_mass_not_multiplied(eight_devices):
+    """Resuming from a checkpoint histogram on an n-device mesh must
+    ADD new samples to it, not multiply the resumed mass by n (the
+    input replica must stay out of the psum)."""
+    from cuburn_tpu.parallel import ShardedRenderer
+
+    g = sierpinski()
+    prof = RenderProfile(width=48, height=48, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=False, fuse=8)
+    r = ShardedRenderer(g, prof)
+    h1, st1 = r.accumulate(0.0, seed=3)
+    m1 = float(np.asarray(h1)[:, 3].sum())
+    h2, st2 = r.accumulate(0.0, seed=3, hist0=np.asarray(h1))
+    m2 = float(np.asarray(h2)[:, 3].sum())
+    # total mass (incl. junk bin) is fixed by the iteration budget, so
+    # resume = carry m1 ONCE + one fresh pass of the same budget = 2*m1
+    assert m2 == pytest.approx(2.0 * m1, rel=1e-6)
+
+
+def test_sharded_temporal_resume_mass(eight_devices):
+    from cuburn_tpu.parallel import ShardedRenderer
+
+    g = sierpinski()
+    prof = RenderProfile(width=48, height=48, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=False, fuse=8, temporal_samples=3)
+    r = ShardedRenderer(g, prof)
+    h1, st1 = r.accumulate(0.0, seed=3)
+    m1 = float(np.asarray(h1)[:, 3].sum())
+    h2, st2 = r.accumulate(0.0, seed=3, hist0=np.asarray(h1))
+    m2 = float(np.asarray(h2)[:, 3].sum())
+    assert m1 < m2 < 3.0 * m1
