@@ -933,3 +933,28 @@ class TestStochasticInvariants:
                                "juliascope_dist": 1.0})
         pts = np.unique(np.round(np.stack([dx, dy], 1), 3), axis=0)
         assert 1 < len(pts) <= 4
+
+
+# flam3 embeds the variation weight INSIDE these formulas (random
+# angles scaled by w*pi, w-radius discs, w-offset foci); every other
+# variation contributes linearly in its weight.  Pinning the exact
+# partition catches accidental weight-semantics changes in BOTH
+# directions.
+WEIGHT_NONLINEAR = {
+    "arch", "blade", "flux", "lazysusan", "loonie", "radial_blur",
+    "rays", "scry", "secant2", "twintrian", "whorl",
+}
+
+
+@pytest.mark.parametrize("name", ALL_VARIATIONS)
+def test_weight_linearity_partition(name):
+    tx, ty = _grid(12)
+    params = {a: d + 0.23 for a, d in VARIATION_PARAMS[name]}
+    d1x, d1y = _eval(name, tx, ty, w=0.4, params=params, seed=9)
+    d2x, d2y = _eval(name, tx, ty, w=0.8, params=params, seed=9)
+    lin = (np.allclose(d2x, 2 * d1x, rtol=2e-3, atol=2e-3)
+           and np.allclose(d2y, 2 * d1y, rtol=2e-3, atol=2e-3))
+    expected_lin = name not in WEIGHT_NONLINEAR
+    assert lin == expected_lin, (
+        f"{name}: weight-{'linear' if lin else 'nonlinear'}, expected "
+        f"{'linear' if expected_lin else 'nonlinear'}")
