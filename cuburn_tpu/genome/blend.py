@@ -268,6 +268,9 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         spatial_filter=tv(lambda g: g.spatial_filter),
         center=(tv(lambda g: g.center[0]), tv(lambda g: g.center[1])),
         scale=tv(lambda g: g.scale),
+        # zoom blends linearly in its own (log2) domain — exactly
+        # flam3's log-scale zoom interpolation
+        zoom=tv(lambda g: g.zoom),
         rotate=rot_spline,
         brightness=tv(lambda g: g.brightness),
         gamma=tv(lambda g: g.gamma),

@@ -36,7 +36,8 @@ _FLAME_SCALAR_ATTRS = {
     "brightness": 4.0, "gamma": 4.0, "gamma_threshold": 0.01,
     "vibrancy": 1.0, "highlight_power": -1.0,
     "estimator_radius": 9.0, "estimator_minimum": 0.0,
-    "estimator_curve": 0.4, "scale": 100.0, "rotate": 0.0,
+    "estimator_curve": 0.4, "scale": 100.0, "zoom": 0.0,
+    "rotate": 0.0,
     "filter": 0.5, "temporal_filter_width": 1.0,
     "temporal_filter_exp": 0.0,
 }
@@ -316,7 +317,8 @@ def flame_to_genome(flame: ET.Element) -> Genome:
 
     return Genome(
         xforms=xforms, final_xform=final, xaos=xaos, palettes=palettes,
-        center=center, scale=scalars["scale"], rotate=scalars["rotate"],
+        center=center, scale=scalars["scale"], zoom=scalars["zoom"],
+        rotate=scalars["rotate"],
         brightness=scalars["brightness"], gamma=scalars["gamma"],
         gamma_threshold=scalars["gamma_threshold"],
         vibrancy=scalars["vibrancy"],
@@ -371,6 +373,7 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "size": f"{g.size[0]} {g.size[1]}",
         "center": f"{g.center[0](t):.9g} {g.center[1](t):.9g}",
         "scale": f"{g.scale(t):.9g}",
+        "zoom": f"{g.zoom(t):.9g}",
         "rotate": f"{g.rotate(t):.9g}",
         "brightness": f"{g.brightness(t):.9g}",
         "gamma": f"{g.gamma(t):.9g}",

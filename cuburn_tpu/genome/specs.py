@@ -209,6 +209,11 @@ class Genome:
     palettes: List[Tuple[float, np.ndarray]] = field(default_factory=list)
     center: Tuple[Spline, Spline] = None
     scale: Spline = None            # pixels per unit (flam3 `scale`)
+    # flam3 `zoom`: effective ppu = scale * 2^zoom (flam3 rect.c;
+    # flam3 also scales sample density by 4^zoom to hold noise
+    # constant — here the quality budget is profile-driven, so only
+    # the geometric part applies)
+    zoom: Spline = None
     rotate: Spline = None           # degrees
     brightness: Spline = None
     gamma: Spline = None
@@ -242,7 +247,8 @@ class Genome:
 
     def __post_init__(self):
         defaults = {
-            "center": (0.0, 0.0), "scale": 100.0, "rotate": 0.0,
+            "center": (0.0, 0.0), "scale": 100.0, "zoom": 0.0,
+            "rotate": 0.0,
             "brightness": 4.0, "gamma": 4.0, "gamma_threshold": 0.01,
             "vibrancy": 1.0, "highlight_power": -1.0,
             "background": (0.0, 0.0, 0.0),
@@ -372,7 +378,8 @@ class Genome:
             final_var_weights=f_vw, final_var_params=f_vp,
             palette=palette_mod.palette_at(self.palettes, t).astype(f32),
             center=np.array([self.center[0](t), self.center[1](t)], dtype=f32),
-            ppu=np.array(self.scale(t), dtype=f32),
+            ppu=np.array(self.scale(t) * 2.0 ** self.zoom(t),
+                         dtype=f32),
             rotate=np.array(self.rotate(t), dtype=f32),
             brightness=np.array(self.brightness(t), dtype=f32),
             gamma=np.array(self.gamma(t), dtype=f32),
@@ -413,6 +420,7 @@ class Genome:
             "camera": {
                 "center": [self.center[0].to_json(), self.center[1].to_json()],
                 "scale": self.scale.to_json(),
+                "zoom": self.zoom.to_json(),
                 "rotate": self.rotate.to_json(),
             },
             "color": {
@@ -480,6 +488,7 @@ class Genome:
             palettes=palettes,
             center=tuple(cam.get("center", (0.0, 0.0))),
             scale=cam.get("scale", 100.0),
+            zoom=cam.get("zoom", 0.0),
             rotate=cam.get("rotate", 0.0),
             brightness=col.get("brightness", 4.0),
             gamma=col.get("gamma", 4.0),

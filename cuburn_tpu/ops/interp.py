@@ -187,6 +187,7 @@ def pack_genome(genome: Genome) -> PackedGenome:
 
     idx["center"] = [reg(genome.center[0]), reg(genome.center[1])]
     idx["ppu"] = reg(genome.scale)
+    idx["zoom"] = reg(genome.zoom)
     idx["rotate"] = reg(genome.rotate)
     for name in ("brightness", "gamma", "gamma_threshold", "vibrancy",
                  "highlight_power"):
@@ -235,7 +236,8 @@ def pack_genome(genome: Genome) -> PackedGenome:
             final_var_params=a(idx["final_var_params"]),
             palette=palette,
             center=a(idx["center"]),
-            ppu=a(idx["ppu"]),
+            # flam3 zoom: effective ppu = scale * 2^zoom (specs.eval_at)
+            ppu=a(idx["ppu"]) * 2.0 ** a(idx["zoom"]),
             rotate=a(idx["rotate"]),
             brightness=a(idx["brightness"]),
             gamma=a(idx["gamma"]),

@@ -408,3 +408,42 @@ class TestSymmetryElement:
         occ, occ_r = d > 0, rot > 0
         mismatch = (occ ^ occ_r).sum() / max(occ.sum(), 1)
         assert mismatch < 0.12    # sampling noise at dim edge pixels
+
+
+class TestZoom:
+    """flam3 `zoom`: effective pixels-per-unit = scale * 2^zoom (the
+    geometric half of flam3's zoom; sample-density compensation is
+    profile-driven here)."""
+
+    def test_parse_and_ppu(self):
+        xml = ('<flame name="z" size="64 64" scale="50" zoom="1.5">'
+               '<xform weight="1" coefs="0.5 0 0 0.5 0 0" linear="1"/>'
+               '</flame>')
+        [g] = convert.parse_flam3(xml)
+        assert g.zoom(0) == 1.5
+        p = g.eval_at(0.0)
+        assert float(p.ppu) == pytest.approx(50 * 2 ** 1.5, rel=1e-6)
+
+    def test_packed_interp_matches_eval_at(self):
+        from cuburn_tpu.ops.interp import pack_genome
+        g = Genome(
+            xforms=[XForm(weight=1.0, vars={"linear": 1.0})],
+            scale=100.0,
+            zoom=[0.0, 0.0, 1.0, 2.0],      # animates 0 -> 2
+            palettes=[(0.0, np.zeros((256, 3)))])
+        pk = pack_genome(g)
+        for t in (0.0, 0.3, 1.0):
+            pT = pk.eval_params(np.asarray([t], np.float32))
+            want = float(g.eval_at(t).ppu)
+            got = float(np.asarray(pT.ppu)[0])
+            assert got == pytest.approx(want, rel=1e-5), t
+
+    def test_json_and_xml_roundtrip(self):
+        g = Genome(
+            xforms=[XForm(weight=1.0, vars={"linear": 1.0})],
+            scale=80.0, zoom=0.75,
+            palettes=[(0.0, np.zeros((256, 3)))])
+        g2 = Genome.from_json(g.to_json())
+        assert g2.zoom(0) == 0.75
+        [g3] = convert.parse_flam3(convert.genome_to_flame_xml(g))
+        assert g3.zoom(0) == pytest.approx(0.75)
