@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render the frame as N horizontal sub-programs"
                         " (exact partition; for frames whose histogram"
                         " exceeds device limits)")
+    p.add_argument("--bands", type=int, default=0,
+                   help="filter the frame as N horizontal sub-programs"
+                        " (pairs with --stripes for frames whose full"
+                        " filter program exceeds device limits)")
     p.add_argument("--trace-dir",
                    help="capture a jax.profiler trace (Perfetto) of the "
                         "render into this directory")
@@ -221,21 +225,36 @@ def main(argv=None) -> int:
               f"({n / max(dt, 1e-9):.2f} fps)")
     else:
         import numpy as np
+        if args.resume_hist and args.stripes and args.stripes > 1:
+            raise SystemExit(
+                "--resume-hist is not supported with --stripes "
+                "(striped accumulation rebuilds the histogram "
+                "from scratch)")
         hist0 = None
         if args.resume_hist:
-            hist0 = np.load(args.resume_hist)
+            try:
+                hist0 = np.load(args.resume_hist)
+            except FileNotFoundError:
+                raise SystemExit(
+                    f"resume histogram not found: {args.resume_hist}")
+        def finalize(hist, stats):
+            if args.bands and args.bands > 1:
+                return renderer.finalize_frame_banded(
+                    hist, args.time, stats, n_bands=args.bands)
+            return renderer.finalize_frame(hist, args.time, stats)
+
         if args.stripes and args.stripes > 1:
             hist, stats = renderer.accumulate_striped(
                 args.time, args.seed, n_stripes=args.stripes)
             if args.save_hist:
                 np.save(args.save_hist, np.asarray(hist))
-            img = renderer.finalize_frame(hist, args.time, stats)
-        elif args.save_hist or args.resume_hist:
+            img = finalize(hist, stats)
+        elif args.save_hist or args.resume_hist or args.bands > 1:
             hist, stats = renderer.accumulate(args.time, args.seed,
                                               hist0=hist0)
             if args.save_hist:
                 np.save(args.save_hist, np.asarray(hist))
-            img = renderer.finalize_frame(hist, args.time, stats)
+            img = finalize(hist, stats)
         else:
             img, stats = renderer.render_frame(args.time,
                                                seed=args.seed)

@@ -239,6 +239,30 @@ class TestCLI:
         img = np.asarray(Image.open(out))
         assert img[..., :3].max() > 0
 
+
+    def test_banded_cli_matches_unbanded(self, tmp_path):
+        """--bands must produce the same image as the whole-frame
+        filter (the banding is an exact partition up to float
+        reassociation -> <= 1 u8 step)."""
+        from cuburn_tpu.main import main
+        a = tmp_path / "whole.png"
+        b = tmp_path / "banded.png"
+        args = ["gallery:classic_swirl", "--profile", "preview",
+                "--width", "64", "--height", "64", "--quality", "40"]
+        assert main(args + ["-o", str(a)]) == 0
+        assert main(args + ["-o", str(b), "--bands", "3"]) == 0
+        from PIL import Image
+        ia = np.asarray(Image.open(a)).astype(int)
+        ib = np.asarray(Image.open(b)).astype(int)
+        assert np.abs(ia - ib).max() <= 1
+
+    def test_stripes_resume_rejected(self, tmp_path):
+        from cuburn_tpu.main import main
+        import pytest as _pytest
+        with _pytest.raises(SystemExit, match="not supported"):
+            main(["gallery:sierpinski", "-o", str(tmp_path / "x.png"),
+                  "--stripes", "2", "--resume-hist", "none.npy"])
+
     def test_convert(self, capsys):
         from cuburn_tpu.main import main
         rc = main(["gallery:full_feature", "--convert"])
