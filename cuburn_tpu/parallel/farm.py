@@ -247,3 +247,80 @@ def run_worker(address, max_tasks: Optional[int] = None,
     finally:
         conn.close()
     return done
+
+
+def _main(argv=None):
+    """CLI: `python -m cuburn_tpu.parallel.farm server|worker|client`
+    (the reference's dist/ server/worker/client entry points)."""
+    import argparse
+    import sys
+
+    p = argparse.ArgumentParser(prog="cuburn-tpu-farm")
+    sub = p.add_subparsers(dest="role", required=True)
+
+    ps = sub.add_parser("server", help="run the job server")
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--port", type=int, default=7555)
+    ps.add_argument("--lease", type=float, default=LEASE_SECONDS,
+                    help="task lease seconds before requeue")
+
+    pw = sub.add_parser("worker", help="pull tasks and render")
+    pw.add_argument("server", help="host:port of the farm server")
+    pw.add_argument("--max-tasks", type=int)
+
+    pc = sub.add_parser("client", help="submit an animation and "
+                                       "collect frames")
+    pc.add_argument("server", help="host:port of the farm server")
+    pc.add_argument("genome", help="genome file (.flam3/.json)")
+    pc.add_argument("-o", "--output-dir", default="frames")
+    pc.add_argument("--profile", default="preview")
+    pc.add_argument("--frames", type=int, default=24)
+    pc.add_argument("--seed", type=int, default=0)
+
+    args = p.parse_args(argv)
+
+    def addr(s):
+        host, _, port = s.rpartition(":")
+        return (host or "127.0.0.1", int(port))
+
+    if args.role == "server":
+        srv = FarmServer(args.host, args.port, args.lease)
+        print(f"farm server on {srv.address[0]}:{srv.address[1]}",
+              file=sys.stderr)
+        try:
+            srv._srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
+
+    if args.role == "worker":
+        n = run_worker(addr(args.server), max_tasks=args.max_tasks)
+        print(f"worker rendered {n} frames", file=sys.stderr)
+        return 0
+
+    # client
+    import os
+    from cuburn_tpu.genome.convert import load_genomes
+    from cuburn_tpu.profile import get_profile
+
+    genome = load_genomes(args.genome)[0]
+    profile = get_profile(args.profile)
+    t0, t1 = genome.time_range
+    times = [t0 + (t1 - t0) * i / max(args.frames - 1, 1)
+             for i in range(args.frames)]
+    client = FarmClient(addr(args.server))
+    ids = client.submit_animation(genome, profile, times,
+                                  seed=args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    from cuburn_tpu.output import write_image
+    for i, jid in enumerate(ids):
+        frame = client.fetch(jid)
+        path = os.path.join(args.output_dir, f"frame_{i:05d}.png")
+        write_image(path, frame)
+        print(path, file=sys.stderr)
+    client.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
