@@ -447,3 +447,48 @@ class TestZoom:
         assert g2.zoom(0) == 0.75
         [g3] = convert.parse_flam3(convert.genome_to_flame_xml(g))
         assert g3.zoom(0) == pytest.approx(0.75)
+
+
+class TestMalformedInputs:
+    """Clean, named errors for broken files (flam3 forward-compat says
+    unknown ATTRIBUTES are ignored, but structurally broken input must
+    fail loudly, not render garbage)."""
+
+    def test_truncated_palette_block(self):
+        xml = ('<flame name="bad" size="64 64">'
+               '<xform weight="1" linear="1"/>'
+               '<palette count="256" format="RGB">ff00</palette>'
+               '</flame>')
+        with pytest.raises(ValueError, match="palette"):
+            convert.parse_flam3(xml)
+
+    def test_wrong_coefs_arity(self):
+        xml = ('<flame name="bad" size="64 64">'
+               '<xform weight="1" linear="1" coefs="1 0 0 1"/>'
+               '</flame>')
+        with pytest.raises(ValueError, match="coefs"):
+            convert.parse_flam3(xml)
+
+    def test_unknown_xform_attribute_ignored(self):
+        xml = ('<flame name="fwd" size="64 64">'
+               '<xform weight="1" linear="1" coefs="1 0 0 1 0 0" '
+               'some_future_plugin_knob="3.2"/>'
+               '</flame>')
+        [g] = convert.parse_flam3(xml)
+        assert list(g.xforms[0].vars) == ["linear"]
+        assert g.xforms[0].params == {}
+
+    def test_not_xml(self):
+        with pytest.raises(Exception):
+            convert.parse_flam3("<flame")
+
+    def test_no_flames_in_document(self):
+        assert convert.parse_flam3("<flames></flames>") == []
+
+    def test_unknown_motion_function(self):
+        xml = ('<flame name="bad" size="64 64">'
+               '<xform weight="1" linear="1">'
+               '<motion motion_frequency="1" motion_function="sawtooth" '
+               'weight="0.1"/></xform></flame>')
+        with pytest.raises(ValueError, match="motion_function"):
+            convert.parse_flam3(xml)
