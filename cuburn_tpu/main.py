@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render the full time range as video")
     p.add_argument("--temporal-samples", type=int,
                    help="genome evaluations per frame (motion blur)")
+    p.add_argument("--fps", type=float,
+                   help="override profile frames per second")
+    p.add_argument("--duration", type=float,
+                   help="override animation duration in seconds")
     p.add_argument("--hist-backend",
                    choices=["auto", "scatter", "sortcum", "pallas",
                             "pallas_merged", "pallas_win"],
@@ -165,6 +169,10 @@ def main(argv=None) -> int:
             overrides[field] = v
     if args.temporal_samples is not None:
         overrides["temporal_samples"] = args.temporal_samples
+    if args.fps is not None:
+        overrides["fps"] = args.fps
+    if args.duration is not None:
+        overrides["duration"] = args.duration
     if args.hist_backend is not None:
         overrides["hist_backend"] = args.hist_backend
     if args.no_de:

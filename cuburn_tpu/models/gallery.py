@@ -121,11 +121,38 @@ def animated_spark() -> Genome:
                   time_range=(0.0, 1.0))
 
 
+def kaleido() -> Genome:
+    """Round-2 compat showcase: a 5-fold <symmetry> flame with an
+    animated flam3 `zoom` — parsed from XML so the wild-file path
+    (symmetry lowering, zoom spline) is exercised end-to-end."""
+    from cuburn_tpu.genome.convert import parse_flam3
+    entries = "".join(
+        f"{int(120 + 120 * np.sin(i / 18.0)):02x}"
+        f"{int(90 + 80 * np.sin(i / 30.0 + 2)):02x}"
+        f"{int(140 + 110 * np.sin(i / 24.0 + 4)):02x}"
+        for i in range(256))
+    xml = (
+        '<flame name="kaleido" size="640 640" scale="160" '
+        'zoom="0.25" brightness="4.5" gamma="4">'
+        '<xform weight="1" coefs="0.62 0.18 0.22 -0.18 0.62 0.05" '
+        'spherical="0.55" swirl="0.3" linear="0.15" color="0.15"/>'
+        '<xform weight="0.7" coefs="0.45 -0.3 -0.25 0.3 0.45 0.3" '
+        'julian="0.8" julian_power="3" julian_dist="1" color="0.85"/>'
+        '<symmetry kind="5"/>'
+        f'<palette count="256" format="RGB">{entries}</palette>'
+        '</flame>')
+    [g] = parse_flam3(xml)
+    # animate the zoom for motion-blur demos
+    g.zoom = type(g.scale)([0.0, 0.0, 1.0, 0.6])
+    return g
+
+
 GALLERY = {
     "sierpinski": sierpinski,
     "classic_swirl": classic_swirl,
     "full_feature": full_feature,
     "animated_spark": animated_spark,
+    "kaleido": kaleido,
 }
 
 
