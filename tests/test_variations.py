@@ -958,3 +958,71 @@ def test_weight_linearity_partition(name):
     assert lin == expected_lin, (
         f"{name}: weight-{'linear' if lin else 'nonlinear'}, expected "
         f"{'linear' if expected_lin else 'nonlinear'}")
+
+
+class TestMoreInvariantsAndForms:
+    W = 0.7
+
+    def setup_method(self, _m):
+        self.tx, self.ty = _grid(24)
+        self.x = np.asarray(self.tx, np.float64)
+        self.y = np.asarray(self.ty, np.float64)
+        self.r2 = self.x**2 + self.y**2
+        self.r = np.sqrt(self.r2)
+
+    def test_conic_collinear_and_draw_recoverable(self):
+        # flam3 conic: out = k*(rand - holes)*(x, y) with
+        # k = w*ecc / ((1 + ecc*cos_t) * r); recovering rand from the
+        # output must land in [0, 1]
+        ecc, holes = 0.8, 0.2
+        dx, dy = _eval("conic", self.tx, self.ty, w=self.W, seed=21,
+                       params={"conic_eccentricity": ecc,
+                               "conic_holes": holes})
+        cross = dx * self.y - dy * self.x
+        np.testing.assert_allclose(cross, 0.0, atol=1e-3)
+        ct = self.x / self.r
+        k = self.W * ecc / ((1.0 + ecc * ct) * self.r)
+        rand = dx / (k * self.x) + holes
+        assert rand.min() > -1e-3 and rand.max() < 1 + 1e-3
+        assert rand.std() > 0.1          # actually random
+
+    def test_parabola_draws_recoverable(self):
+        h, wd = 0.9, 1.3
+        dx, dy = _eval("parabola", self.tx, self.ty, w=self.W, seed=22,
+                       params={"parabola_height": h,
+                               "parabola_width": wd})
+        rx = dx / (self.W * h * np.sin(self.r) ** 2)
+        ry = dy / (self.W * wd * np.cos(self.r))
+        for rand in (rx, ry):
+            assert rand.min() > -1e-2 and rand.max() < 1 + 1e-2
+            assert rand.std() > 0.1
+
+    def test_edisc(self):
+        # flam3 var48_edisc (deterministic); the magic constant is
+        # flam3's own normalization
+        tmp = self.r2 + 1.0
+        tmp2 = 2.0 * self.x
+        xmax = 0.5 * (np.sqrt(tmp + tmp2) + np.sqrt(tmp - tmp2))
+        a1 = np.log(xmax + np.sqrt(np.maximum(xmax - 1.0, 0.0)))
+        a2 = -np.arccos(np.clip(self.x / xmax, -1.0, 1.0))
+        ww = self.W / 11.57034632
+        snv = np.where(self.y > 0.0, -np.sin(a1), np.sin(a1))
+        got_x, got_y = _eval("edisc", self.tx, self.ty, w=self.W)
+        np.testing.assert_allclose(got_x, ww * np.cosh(a2) * np.cos(a1),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(got_y, ww * np.sinh(a2) * snv,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_curl_general(self):
+        c1, c2 = 0.4, 0.3
+        re = 1.0 + c1 * self.x + c2 * (self.x**2 - self.y**2)
+        im = c1 * self.y + 2.0 * c2 * self.x * self.y
+        d = re * re + im * im
+        dx, dy = _eval("curl", self.tx, self.ty, w=self.W,
+                       params={"curl_c1": c1, "curl_c2": c2})
+        np.testing.assert_allclose(
+            dx, self.W * (self.x * re + self.y * im) / d,
+            rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            dy, self.W * (self.y * re - self.x * im) / d,
+            rtol=2e-3, atol=2e-3)
