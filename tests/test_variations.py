@@ -1026,3 +1026,28 @@ class TestMoreInvariantsAndForms:
         np.testing.assert_allclose(
             dy, self.W * (self.y * re - self.x * im) / d,
             rtol=2e-3, atol=2e-3)
+
+
+def test_oscilloscope():
+    """Apophysis oscilloscope plugin: points inside the damped-cosine
+    envelope |y| <= amp*exp(-damp*|x|)*cos(2 pi f x) + sep flip their y;
+    everything else passes through."""
+    tx, ty = _grid(24)
+    x = np.asarray(tx, np.float64)
+    y = np.asarray(ty, np.float64)
+    sep, freq, amp, damp = 0.6, 1.5, 0.8, 0.4
+    t = amp * np.exp(-np.abs(x) * damp) * np.cos(2 * np.pi * freq * x) \
+        + sep
+    ey = np.where(np.abs(y) <= t, -y, y)
+    got_x, got_y = _eval("oscilloscope", tx, ty, w=0.7,
+                         params={"oscope_separation": sep,
+                                 "oscope_frequency": freq,
+                                 "oscope_amplitude": amp,
+                                 "oscope_damping": damp})
+    # mask points within 1e-3 of the envelope (flip boundary)
+    safe = np.abs(np.abs(y) - t) > 1e-3
+    np.testing.assert_allclose(got_x[safe], 0.7 * x[safe], rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(got_y[safe], 0.7 * ey[safe], rtol=2e-3,
+                               atol=2e-3)
+    assert (ey != y).any()     # both branches exercised
