@@ -1,0 +1,109 @@
+"""Independent NumPy chaos-game renderer for differential testing.
+
+Written directly from the published flam3 algorithm (Draves & Reckase,
+*The Fractal Flame Algorithm*; SURVEY.md §1/§3.5) with NO code shared
+with cuburn_tpu's device pipeline — its own RNG, its own xform
+selection, its own variation formulas, its own camera.  It exists to
+anchor the JAX pipeline's SEMANTICS end to end: two implementations of
+the same genome must produce the same attractor density distribution
+(up to chaos-game sampling noise), even though their random streams
+differ (tests/test_render.py::TestIndependentReference).
+
+Deliberately slow and tiny-image only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# independent variation formulas (flam3 paper; theta = atan2(x, y))
+_VARS = {
+    "linear": lambda x, y, r2: (x, y),
+    "sinusoidal": lambda x, y, r2: (np.sin(x), np.sin(y)),
+    "spherical": lambda x, y, r2: (x / (r2 + 1e-12), y / (r2 + 1e-12)),
+    "swirl": lambda x, y, r2: (x * np.sin(r2) - y * np.cos(r2),
+                               x * np.cos(r2) + y * np.sin(r2)),
+    "horseshoe": lambda x, y, r2: (
+        (x - y) * (x + y) / np.sqrt(r2 + 1e-12),
+        2.0 * x * y / np.sqrt(r2 + 1e-12)),
+}
+
+
+def render_reference(genome, width: int, height: int, n_samples: int,
+                     seed: int = 0, fuse: int = 20,
+                     batch: int = 4096):
+    """Chaos-game render -> (H*W+1, 4) histogram (junk bin last).
+
+    genome: cuburn_tpu Genome (only read for parameters — weights,
+    affines, variation weights, colors, palette, camera).  Variations
+    limited to the independent set above."""
+    rng = np.random.RandomState(seed ^ 0xBADC0DE)
+    n = len(genome.xforms)
+    t = 0.0
+    weights = np.array([xf.weight(t) for xf in genome.xforms])
+    cdf = np.cumsum(weights) / weights.sum()
+    affines = np.array([[s(t) for s in xf.affine]
+                        for xf in genome.xforms])        # (N, 6)
+    colors = np.array([xf.color(t) for xf in genome.xforms])
+    speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
+    var_sets = []
+    for xf in genome.xforms:
+        for name in xf.vars:
+            if name not in _VARS:
+                raise ValueError(f"reference renderer lacks {name}")
+        var_sets.append({k: v(t) for k, v in xf.vars.items()})
+    palette = np.asarray(genome.palettes[0][1]) if genome.palettes \
+        else np.ones((256, 3))
+
+    ppu = genome.scale(t) * 2.0 ** genome.zoom(t) \
+        * (width / genome.size[0])
+    cx, cy = genome.center[0](t), genome.center[1](t)
+
+    hist = np.zeros((height * width + 1, 4), np.float64)
+    x = rng.uniform(-1, 1, batch)
+    y = rng.uniform(-1, 1, batch)
+    c = rng.uniform(0, 1, batch)
+    age = np.zeros(batch, np.int64)
+    done = 0
+    while done < n_samples:
+        u = rng.uniform(0, 1, batch)
+        idx = np.minimum(np.searchsorted(cdf, u), n - 1)
+        nx = np.empty_like(x)
+        ny = np.empty_like(y)
+        for i in range(n):
+            m = idx == i
+            if not m.any():
+                continue
+            a, b, cc, d, e, f = affines[i]
+            tx = a * x[m] + b * y[m] + cc
+            ty = d * x[m] + e * y[m] + f
+            r2 = tx * tx + ty * ty
+            ox = np.zeros_like(tx)
+            oy = np.zeros_like(ty)
+            for name, w in var_sets[i].items():
+                dx, dy = _VARS[name](tx, ty, r2)
+                ox += w * dx
+                oy += w * dy
+            nx[m], ny[m] = ox, oy
+        c = c * (1.0 - speeds[idx]) + colors[idx] * speeds[idx]
+        bad = ~np.isfinite(nx) | ~np.isfinite(ny) \
+            | (np.abs(nx) > 1e10) | (np.abs(ny) > 1e10)
+        nx[bad] = rng.uniform(-1, 1, bad.sum())
+        ny[bad] = rng.uniform(-1, 1, bad.sum())
+        age = np.where(bad, 0, age + 1)
+        x, y = nx, ny
+
+        px = np.floor((x - cx) * ppu + width * 0.5).astype(np.int64)
+        py = np.floor((y - cy) * ppu + height * 0.5).astype(np.int64)
+        ok = (age >= fuse) & (px >= 0) & (px < width) \
+            & (py >= 0) & (py < height)
+        addr = np.where(ok, py * width + px, height * width)
+        ci = np.clip(c * 255.0, 0, 255)
+        i0 = np.floor(ci).astype(np.int64)
+        i1 = np.minimum(i0 + 1, 255)
+        fr = (ci - i0)[:, None]
+        rgb = palette[i0] * (1 - fr) + palette[i1] * fr
+        np.add.at(hist[:, :3], addr, rgb)
+        np.add.at(hist[:, 3], addr, 1.0)
+        done += int(ok.sum())
+    return hist
