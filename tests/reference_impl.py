@@ -41,17 +41,30 @@ def render_reference(genome, width: int, height: int, n_samples: int,
     n = len(genome.xforms)
     t = 0.0
     weights = np.array([xf.weight(t) for xf in genome.xforms])
-    cdf = np.cumsum(weights) / weights.sum()
-    affines = np.array([[s(t) for s in xf.affine]
-                        for xf in genome.xforms])        # (N, 6)
-    colors = np.array([xf.color(t) for xf in genome.xforms])
-    speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
-    var_sets = []
-    for xf in genome.xforms:
+    if genome.xaos is not None:
+        # per-previous-xform CDF rows (flam3 chaos conditioning)
+        xaos = np.array([[v(t) for v in row] for row in genome.xaos])
+        probs = weights[None, :] * xaos
+        cdf_rows = np.cumsum(probs, axis=1)
+        cdf_rows /= cdf_rows[:, -1:]
+    else:
+        cdf_rows = np.tile(np.cumsum(weights) / weights.sum(), (n, 1))
+
+    def xf_tables(xf):
+        aff = np.array([s(t) for s in xf.affine])
+        post = (np.array([s(t) for s in xf.post])
+                if xf.post is not None else None)
         for name in xf.vars:
             if name not in _VARS:
                 raise ValueError(f"reference renderer lacks {name}")
-        var_sets.append({k: v(t) for k, v in xf.vars.items()})
+        return aff, post, {k: v(t) for k, v in xf.vars.items()}
+
+    affines, posts, var_sets = zip(*[xf_tables(xf)
+                                     for xf in genome.xforms])
+    colors = np.array([xf.color(t) for xf in genome.xforms])
+    speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
+    final = (xf_tables(genome.final_xform)
+             if genome.final_xform is not None else None)
     palette = np.asarray(genome.palettes[0][1]) if genome.palettes \
         else np.ones((256, 3))
 
@@ -59,32 +72,46 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         * (width / genome.size[0])
     cx, cy = genome.center[0](t), genome.center[1](t)
 
+    def apply(aff, post, vset, x, y):
+        a, b, cc, d, e, f = aff
+        tx = a * x + b * y + cc
+        ty = d * x + e * y + f
+        r2 = tx * tx + ty * ty
+        ox = np.zeros_like(tx)
+        oy = np.zeros_like(ty)
+        for name, w in vset.items():
+            dx, dy = _VARS[name](tx, ty, r2)
+            ox += w * dx
+            oy += w * dy
+        if post is not None:
+            a, b, cc, d, e, f = post
+            ox, oy = a * ox + b * oy + cc, d * ox + e * oy + f
+        return ox, oy
+
     hist = np.zeros((height * width + 1, 4), np.float64)
     x = rng.uniform(-1, 1, batch)
     y = rng.uniform(-1, 1, batch)
     c = rng.uniform(0, 1, batch)
+    last = np.zeros(batch, np.int64)
     age = np.zeros(batch, np.int64)
     done = 0
     while done < n_samples:
         u = rng.uniform(0, 1, batch)
-        idx = np.minimum(np.searchsorted(cdf, u), n - 1)
+        # row-conditioned selection (xaos)
+        idx = np.empty(batch, np.int64)
+        for i in range(n):
+            m = last == i
+            if m.any():
+                idx[m] = np.minimum(
+                    np.searchsorted(cdf_rows[i], u[m]), n - 1)
         nx = np.empty_like(x)
         ny = np.empty_like(y)
         for i in range(n):
             m = idx == i
             if not m.any():
                 continue
-            a, b, cc, d, e, f = affines[i]
-            tx = a * x[m] + b * y[m] + cc
-            ty = d * x[m] + e * y[m] + f
-            r2 = tx * tx + ty * ty
-            ox = np.zeros_like(tx)
-            oy = np.zeros_like(ty)
-            for name, w in var_sets[i].items():
-                dx, dy = _VARS[name](tx, ty, r2)
-                ox += w * dx
-                oy += w * dy
-            nx[m], ny[m] = ox, oy
+            nx[m], ny[m] = apply(affines[i], posts[i], var_sets[i],
+                                 x[m], y[m])
         c = c * (1.0 - speeds[idx]) + colors[idx] * speeds[idx]
         bad = ~np.isfinite(nx) | ~np.isfinite(ny) \
             | (np.abs(nx) > 1e10) | (np.abs(ny) > 1e10)
@@ -92,13 +119,22 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         ny[bad] = rng.uniform(-1, 1, bad.sum())
         age = np.where(bad, 0, age + 1)
         x, y = nx, ny
+        last = idx
 
-        px = np.floor((x - cx) * ppu + width * 0.5).astype(np.int64)
-        py = np.floor((y - cy) * ppu + height * 0.5).astype(np.int64)
+        if final is not None:
+            fx, fy = apply(final[0], final[1], final[2], x, y)
+            fspeed = genome.final_xform.color_speed(t)
+            fc = c * (1.0 - fspeed) \
+                + genome.final_xform.color(t) * fspeed
+        else:
+            fx, fy, fc = x, y, c
+
+        px = np.floor((fx - cx) * ppu + width * 0.5).astype(np.int64)
+        py = np.floor((fy - cy) * ppu + height * 0.5).astype(np.int64)
         ok = (age >= fuse) & (px >= 0) & (px < width) \
             & (py >= 0) & (py < height)
         addr = np.where(ok, py * width + px, height * width)
-        ci = np.clip(c * 255.0, 0, 255)
+        ci = np.clip(fc * 255.0, 0, 255)
         i0 = np.floor(ci).astype(np.int64)
         i1 = np.minimum(i0 + 1, 255)
         fr = (ci - i0)[:, None]

@@ -490,3 +490,48 @@ class TestIndependentReference:
         ret_ref = ref[:-1, 3].sum() / ref[:, 3].sum()
         ret_our = ours[:-1, 3].sum() / ours[:, 3].sum()
         assert abs(ret_ref - ret_our) < 0.03, (ret_ref, ret_our)
+
+    def test_xaos_post_final_distribution_matches(self):
+        """Richer anchor: xaos chance matrix, post-affines, and a final
+        xform all active — the selection conditioning and display-only
+        final semantics must match the independent implementation."""
+        from tests.reference_impl import render_reference
+        from cuburn_tpu.genome.specs import Genome, XForm
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.2, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.55, 0.15, 0.25, -0.15, 0.55, 0.1),
+                      post=(1.0, 0.0, 0.1, 0.0, 1.0, -0.05),
+                      vars={"spherical": 0.8, "linear": 0.2}),
+                XForm(weight=0.8, color=0.8, color_speed=0.5,
+                      affine=(-0.45, 0.25, -0.2, 0.25, 0.45, 0.3),
+                      vars={"sinusoidal": 1.0}),
+            ],
+            final_xform=XForm(color=0.5, color_speed=0.3,
+                              affine=(0.9, 0.1, 0.0, -0.1, 0.9, 0.0),
+                              vars={"swirl": 0.5, "linear": 0.5}),
+            xaos=[[0.3, 1.0], [1.0, 0.2]],
+            scale=22.0, size=(32, 32),
+            palettes=[(0.0, pal)], name="anchor2")
+        W = H = 32
+        n = 500_000
+        ref = render_reference(g, W, H, n, seed=6)
+        prof = RenderProfile(width=W, height=H,
+                             quality=int(np.ceil(n / (W * H))),
+                             batch=4096, iters_per_chunk=16, fuse=20,
+                             hist_backend="scatter", de_enabled=False)
+        hist, _ = Renderer(g, prof).accumulate(0.0, seed=13)
+        ours = np.asarray(hist, np.float64)
+        d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
+        d_our = ours[:-1, 3] / ours[:-1, 3].sum()
+        tv = 0.5 * np.abs(d_ref - d_our).sum()
+        assert tv < 0.05, f"TV distance {tv:.4f}"
+        for ch in range(3):
+            rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
+            ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
+            assert abs(rr - ro) < 0.02, (ch, rr, ro)
