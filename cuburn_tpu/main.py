@@ -118,6 +118,14 @@ def load_genome(spec: str, index: int):
             return get_genome(spec.split(":", 1)[1])
         except ValueError as e:
             raise SystemExit(str(e))
+    if spec.startswith("random:"):
+        # flam3-genome-style deterministic random flame
+        from cuburn_tpu.genome.randgen import random_genome
+        try:
+            return random_genome(int(spec.split(":", 1)[1]))
+        except ValueError:
+            raise SystemExit(f"random:<seed> needs an integer, "
+                             f"got {spec!r}")
     try:
         genomes = load_genomes(spec)
     except FileNotFoundError:

@@ -535,3 +535,40 @@ class TestIndependentReference:
             rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
             ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
             assert abs(rr - ro) < 0.02, (ch, rr, ro)
+
+
+class TestRandomGenomes:
+    """flam3-genome-style random flames: determinism + a fuzz sweep
+    over the variation library (every seed must render finite, massy
+    frames — the union-evaluation design means one broken variation
+    poisons everything)."""
+
+    def test_deterministic(self):
+        from cuburn_tpu.genome.randgen import random_genome
+        a, b = random_genome(42), random_genome(42)
+        assert a.structure_key() == b.structure_key()
+        np.testing.assert_array_equal(a.eval_at(0.0).affine,
+                                      b.eval_at(0.0).affine)
+        assert random_genome(43).structure_key() != a.structure_key() \
+            or not np.array_equal(random_genome(43).eval_at(0.0).affine,
+                                  a.eval_at(0.0).affine)
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 5, 8, 13])
+    def test_fuzz_renders(self, seed):
+        from cuburn_tpu.genome.randgen import random_genome
+        from cuburn_tpu.profile import RenderProfile
+        g = random_genome(seed, size=(48, 48))
+        prof = RenderProfile(width=48, height=48, quality=30,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        hist, stats = Renderer(g, prof).accumulate(0.0, seed=seed)
+        h = np.asarray(hist)
+        assert np.isfinite(h).all(), f"seed {seed}: non-finite"
+        assert h[:-1, 3].sum() > 0, f"seed {seed}: empty frame"
+
+    def test_cli_random_spec(self, tmp_path):
+        from cuburn_tpu.main import main
+        out = tmp_path / "rand.png"
+        rc = main(["random:7", "-o", str(out), "--width", "48",
+                   "--height", "48", "--quality", "20"])
+        assert rc == 0 and out.exists()
