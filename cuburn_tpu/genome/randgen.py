@@ -113,3 +113,81 @@ def random_genome(seed: int, size=(640, 640)) -> Genome:
         scale=float(rng.uniform(60, 140)), size=size,
         brightness=4.0, gamma=4.0,
         name=f"random_{seed}")
+
+
+# -- mutation / crossover (the rest of the flam3-genome workflow) -----------
+
+def mutate(genome: Genome, seed: int, kind: str = None) -> Genome:
+    """Deterministic mutation of a genome (flam3-genome's mutate modes).
+
+    kinds: affine (jitter every coefficient), weights (reroll xform
+    weights), colors (reroll color coordinates/speeds), palette (swap
+    for another stand-in gradient), variation (add one random variation
+    to one xform).  kind=None picks one from the seed."""
+    import copy
+    rng = np.random.RandomState(0xA117 ^ (int(seed) & 0x7FFFFFFF))
+    kinds = ("affine", "weights", "colors", "palette", "variation")
+    if kind is None:
+        kind = kinds[int(rng.randint(len(kinds)))]
+    if kind not in kinds:
+        raise ValueError(f"unknown mutation kind {kind!r}; "
+                         f"have {kinds}")
+    out = copy.deepcopy(genome)
+    out.name = f"{genome.name}:mut_{kind}_{seed}"
+    if kind == "affine":
+        for xf in out.xforms:
+            coefs = [s(0.0) for s in xf.affine]
+            jit = rng.uniform(-0.1, 0.1, 6)
+            xf.affine = tuple(float(c + j)
+                              for c, j in zip(coefs, jit))
+    elif kind == "weights":
+        for xf in out.xforms:
+            xf.weight = float(rng.uniform(0.2, 1.0))
+    elif kind == "colors":
+        for xf in out.xforms:
+            xf.color = float(rng.uniform(0, 1))
+            xf.color_speed = float(rng.uniform(0.2, 0.9))
+    elif kind == "palette":
+        out.palettes = [(0.0, builtin_palette(
+            int(rng.randint(0, 1 << 16))))]
+    elif kind == "variation":
+        from cuburn_tpu.genome.variations import VARIATION_PARAMS
+        xf = out.xforms[int(rng.randint(len(out.xforms)))]
+        name = str(rng.choice(
+            [v for v in _SAFE_VARS if v not in xf.vars]))
+        xf.vars = dict(xf.vars)
+        xf.vars[name] = float(rng.uniform(0.2, 0.6))
+        params = dict(xf.params)
+        for attr, _d in VARIATION_PARAMS[name]:
+            lo, hi = _PARAM_RANGES.get(attr, (0.0, 1.0))
+            params[attr] = float(rng.uniform(lo, hi))
+        xf.params = params
+    # re-splinify every field touched with raw floats/tuples (and
+    # re-validate new variation sets)
+    for xf in out.xforms:
+        xf.__post_init__()
+    return out
+
+
+def crossover(a: Genome, b: Genome, seed: int) -> Genome:
+    """flam3-genome union crossover: each xform slot drawn from one
+    parent at random; camera/palette from a random parent."""
+    import copy
+    rng = np.random.RandomState(0xC505 ^ (int(seed) & 0x7FFFFFFF))
+    n = max(len(a.xforms), len(b.xforms))
+    xforms = []
+    for i in range(n):
+        pool = [g.xforms[i] for g in (a, b) if i < len(g.xforms)]
+        xforms.append(copy.deepcopy(
+            pool[int(rng.randint(len(pool)))]))
+    cam = a if rng.rand() < 0.5 else b
+    pal = a if rng.rand() < 0.5 else b
+    return Genome(
+        xforms=xforms,
+        final_xform=copy.deepcopy(
+            (a if rng.rand() < 0.5 else b).final_xform),
+        palettes=copy.deepcopy(pal.palettes),
+        scale=cam.scale(0.0), zoom=cam.zoom(0.0),
+        center=(cam.center[0](0.0), cam.center[1](0.0)),
+        brightness=cam.brightness(0.0), gamma=cam.gamma(0.0),
+        size=cam.size, name=f"{a.name}x{b.name}_{seed}")

@@ -572,3 +572,27 @@ class TestRandomGenomes:
         rc = main(["random:7", "-o", str(out), "--width", "48",
                    "--height", "48", "--quality", "20"])
         assert rc == 0 and out.exists()
+
+    def test_mutate_and_crossover_render(self):
+        from cuburn_tpu.genome.randgen import (crossover, mutate,
+                                               random_genome)
+        from cuburn_tpu.profile import RenderProfile
+        a, b = random_genome(1, size=(48, 48)), \
+            random_genome(2, size=(48, 48))
+        prof = RenderProfile(width=48, height=48, quality=20,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        for kind in ("affine", "weights", "colors", "palette",
+                     "variation"):
+            m = mutate(a, 9, kind)
+            m2 = mutate(a, 9, kind)
+            # deterministic, evaluable, renders
+            np.testing.assert_array_equal(m.eval_at(0.0).affine,
+                                          m2.eval_at(0.0).affine)
+            h, _ = Renderer(m, prof).accumulate(0.0, seed=1)
+            assert np.asarray(h)[:-1, 3].sum() > 0, kind
+        c = crossover(a, b, 4)
+        h, _ = Renderer(c, prof).accumulate(0.0, seed=1)
+        assert np.asarray(h)[:-1, 3].sum() > 0
+        with pytest.raises(ValueError, match="mutation kind"):
+            mutate(a, 1, "bogus")
