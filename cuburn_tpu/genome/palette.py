@@ -96,8 +96,8 @@ def builtin_palette(index: int) -> np.ndarray:
     (`<flame palette="15">`) instead of embedding it; the real table
     lives in flam3's palettes.xml, which is data (not algorithm) and is
     not available in this offline environment.  To keep such files
-    renderable, map the index to a deterministic, smooth, loop-closed
-    palette: a seeded random walk through HSV anchor points, Catmull-Rom
+    renderable, map the index to a deterministic, loop-closed palette:
+    a seeded random walk through HSV anchor points, piecewise-linearly
     interpolated in RGB.  Same index -> same palette, every run.
     Callers should warn that this is NOT the flam3 gradient of that
     number (genome/convert.py does)."""

@@ -135,11 +135,15 @@ def mutate(genome: Genome, seed: int, kind: str = None) -> Genome:
     out = copy.deepcopy(genome)
     out.name = f"{genome.name}:mut_{kind}_{seed}"
     if kind == "affine":
+        from cuburn_tpu.genome.spline import Spline
         for xf in out.xforms:
-            coefs = [s(0.0) for s in xf.affine]
             jit = rng.uniform(-0.1, 0.1, 6)
-            xf.affine = tuple(float(c + j)
-                              for c, j in zip(coefs, jit))
+            # offset every KNOT value so animated affines stay animated
+            xf.affine = tuple(
+                Spline([v for kt, kv in s.knots
+                        for v in (float(kt), float(kv) + float(j))])
+                if not s.is_constant else float(s(0.0)) + float(j)
+                for s, j in zip(xf.affine, jit))
     elif kind == "weights":
         for xf in out.xforms:
             xf.weight = float(rng.uniform(0.2, 1.0))
@@ -171,23 +175,29 @@ def mutate(genome: Genome, seed: int, kind: str = None) -> Genome:
 
 def crossover(a: Genome, b: Genome, seed: int) -> Genome:
     """flam3-genome union crossover: each xform slot drawn from one
-    parent at random; camera/palette from a random parent."""
+    parent at random; ALL camera/color/DE/filter state inherited intact
+    from a random parent (not reset to defaults), palette from another
+    random pick."""
     import copy
     rng = np.random.RandomState(0xC505 ^ (int(seed) & 0x7FFFFFFF))
     n = max(len(a.xforms), len(b.xforms))
-    xforms = []
-    for i in range(n):
-        pool = [g.xforms[i] for g in (a, b) if i < len(g.xforms)]
-        xforms.append(copy.deepcopy(
-            pool[int(rng.randint(len(pool)))]))
     cam = a if rng.rand() < 0.5 else b
     pal = a if rng.rand() < 0.5 else b
-    return Genome(
-        xforms=xforms,
-        final_xform=copy.deepcopy(
-            (a if rng.rand() < 0.5 else b).final_xform),
-        palettes=copy.deepcopy(pal.palettes),
-        scale=cam.scale(0.0), zoom=cam.zoom(0.0),
-        center=(cam.center[0](0.0), cam.center[1](0.0)),
-        brightness=cam.brightness(0.0), gamma=cam.gamma(0.0),
-        size=cam.size, name=f"{a.name}x{b.name}_{seed}")
+    # start from a full copy of the camera parent so every genome-level
+    # field (rotate, background, vibrancy, estimator_*, spatial filter,
+    # temporal filter, time_range, ...) carries over
+    out = copy.deepcopy(cam)
+    out.xforms = []
+    for i in range(n):
+        pool = [g.xforms[i] for g in (a, b) if i < len(g.xforms)]
+        out.xforms.append(copy.deepcopy(
+            pool[int(rng.randint(len(pool)))]))
+    out.final_xform = copy.deepcopy(
+        (a if rng.rand() < 0.5 else b).final_xform)
+    out.palettes = copy.deepcopy(pal.palettes)
+    # the camera parent's xaos rows are sized for ITS xform count;
+    # keep only when it still matches the child's
+    if out.xaos is not None and len(out.xaos) != n:
+        out.xaos = None
+    out.name = f"{a.name}x{b.name}_{seed}"
+    return out

@@ -122,10 +122,11 @@ def load_genome(spec: str, index: int):
         # flam3-genome-style deterministic random flame
         from cuburn_tpu.genome.randgen import random_genome
         try:
-            return random_genome(int(spec.split(":", 1)[1]))
+            seed_val = int(spec.split(":", 1)[1])
         except ValueError:
             raise SystemExit(f"random:<seed> needs an integer, "
                              f"got {spec!r}")
+        return random_genome(seed_val)
     try:
         genomes = load_genomes(spec)
     except FileNotFoundError:
@@ -206,9 +207,17 @@ def main(argv=None) -> int:
         n = 0
         t0 = time.time()
 
+        def run_frames(r, seed):
+            if (args.stripes and args.stripes > 1) or \
+                    (args.bands and args.bands > 1):
+                return r.frames_partitioned(
+                    seed=seed, n_stripes=args.stripes,
+                    n_bands=args.bands)
+            return r.frames(seed=seed)
+
         def frame_iter():
             if sequence is None:
-                yield from renderer.frames(seed=args.seed)
+                yield from run_frames(renderer, args.seed)
                 return
             import dataclasses as _dc
             total_len = sequence[-1][2] - sequence[0][1]
@@ -221,7 +230,7 @@ def main(argv=None) -> int:
                 seg_renderer = (type(renderer))(edge, seg_prof) \
                     if not hasattr(renderer, "mesh") else \
                     type(renderer)(edge, seg_prof, mesh=renderer.mesh)
-                yield from seg_renderer.frames(seed=args.seed + k)
+                yield from run_frames(seg_renderer, args.seed + k)
 
         try:
             for img, stats in frame_iter():

@@ -236,8 +236,8 @@ def spatial_filter_taps(shape: str, radius: float, ss: int):
 
 
 def downsample(img, ss: int, spatial_filter: float = 0.0,
-               filter_shape: str = "gaussian"):
-    """Supersample reduction: (H*ss, W*ss, C) -> (H, W, C).
+               filter_shape: str = "gaussian", gutter=0):
+    """Supersample reduction: gutter-framed accumulator -> (H, W, C).
 
     `spatial_filter` (static, output-pixel units) is flam3's `filter`
     attribute and `filter_shape` its kernel family: each output pixel
@@ -245,10 +245,21 @@ def downsample(img, ss: int, spatial_filter: float = 0.0,
     (flam3 rect.c filtered accumulation).  flam3 applies the filter
     even at ss == 1 (a 3-tap kernel at the 0.5-gaussian default);
     radius <= 0 degenerates to a plain box average (identity at
-    ss == 1)."""
-    if ss == 1 and (not spatial_filter or spatial_filter <= 0.0):
-        return img
+    ss == 1).
+
+    `gutter` (acc px; int, or (gy, gx) for banded callers) is REAL
+    border context around the frame: the filtered path keeps `pad` of
+    it so frame-edge output pixels read true accumulator data — flam3
+    sizes its gutter to include the filter half-width for exactly this
+    (round-2 review: zero-padded edges rendered systematically dark).
+    Any shortfall (gutter < pad) is zero-padded.  The box path crops
+    the gutter exactly."""
+    gy, gx = (gutter, gutter) if isinstance(gutter, int) else gutter
+    H, W, C = img.shape
     if not spatial_filter or spatial_filter <= 0.0:
+        img = img[gy:H - gy if gy else H, gx:W - gx if gx else W]
+        if ss == 1:
+            return img
         hs, ws, c = img.shape
         h, w = hs // ss, ws // ss
         return img.reshape(h, ss, w, ss, c).mean(axis=(1, 3))
@@ -256,17 +267,22 @@ def downsample(img, ss: int, spatial_filter: float = 0.0,
         spatial_filter_taps(filter_shape, float(spatial_filter), ss))
     fwidth = taps.shape[0]
     pad = (fwidth - ss) // 2
-    H, W, C = img.shape
+    # keep exactly `pad` of gutter context (zero-pad any shortfall)
+    py, px = max(pad - gy, 0), max(pad - gx, 0)
+    img = img[max(gy - pad, 0):H - gy + pad,
+              max(gx - pad, 0):W - gx + pad]
+    if py or px:
+        img = jnp.pad(img, ((py, py), (px, px), (0, 0)))
     x = img.transpose(2, 0, 1)[None]               # (1, C, H, W)
     kh = jnp.broadcast_to(taps[None, None, :, None], (C, 1, fwidth, 1))
     kw = jnp.broadcast_to(taps[None, None, None, :], (C, 1, 1, fwidth))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     x = jax.lax.conv_general_dilated(
-        x, kh, (ss, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        x, kh, (ss, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
         feature_group_count=C)
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, ss), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        x, kw, (1, ss), [(0, 0), (0, 0)], dimension_numbers=dn,
         feature_group_count=C)
     return x[0].transpose(1, 2, 0)
 

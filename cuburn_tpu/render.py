@@ -121,15 +121,13 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
             params.estimator_minimum * cam.ss,
             params.estimator_curve,
             static_max_radius=de_static_r)
-    if cam.gutter:
-        g = cam.gutter
-        img = img[g:g + cam.height * cam.ss,
-                  g:g + cam.width * cam.ss]
     # flam3 order: the supersample downsample happens BEFORE colorclip
     # (rect.c folds the spatial filter into DE accumulation, then
     # colorclips output-res pixels) — and it's cheaper: gamma at 1/ss^2
-    # the pixels.
-    img = downsample(img, cam.ss, spatial_filter, filter_shape)
+    # the pixels.  The gutter is consumed inside downsample so the
+    # filtered decimation reads real border context.
+    img = downsample(img, cam.ss, spatial_filter, filter_shape,
+                     gutter=cam.gutter)
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
@@ -140,20 +138,20 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     "ss", "margin", "band_rows", "gutter_x", "transparent", "de_on",
     "de_static_r", "spatial_filter", "filter_shape"))
 def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
-                 row0, frame_rows: int,
                  ss: int, margin: int, band_rows: int, gutter_x: int,
                  transparent: bool, de_on: bool, de_static_r: float,
                  spatial_filter: float, filter_shape: str):
     """_filter_frame on one horizontal band of the accumulator.
 
     hist_band: (band_rows + 2*margin, acc_w, 4) with `margin` rows of
-    real context above/below (zero-padded at the frame edges — exactly
-    the zero padding the full-frame convs apply).  Every filter stage
-    is local (DE radius <= MAX_RADIUS_CAP, spatial filter half-width),
-    so with margin >= those supports the band outputs equal the
-    corresponding rows of the full-frame filter up to float
+    real context above/below (zero-filled only past the accumulator's
+    own bounds — exactly what the full-frame filter sees there).  Every
+    filter stage is local (DE radius <= MAX_RADIUS_CAP, spatial filter
+    half-width), so with margin >= those supports the band outputs
+    equal the corresponding rows of the full-frame filter up to float
     reassociation — lets 1080p-class frames filter as several small
-    programs (Renderer.finalize_frame_banded)."""
+    programs (Renderer.finalize_frame_banded).  The margin doubles as
+    the band's vertical gutter for the filtered decimation."""
     img = hist_band
     raw_density = img[..., 3]
     img = logscale(img, params.brightness, quality_per_cell)
@@ -164,17 +162,8 @@ def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
             params.estimator_minimum * ss,
             params.estimator_curve,
             static_max_radius=de_static_r)
-    if gutter_x:
-        img = img[:, gutter_x:img.shape[1] - gutter_x]
-    # the whole-frame filter crops the gutter BEFORE downsample, so
-    # its decimation kernel sees zeros past the frame edge; zero the
-    # out-of-frame rows (acc row = row0 + i) to match
-    riota = jnp.arange(img.shape[0], dtype=jnp.int32) + row0
-    in_frame = (riota >= 0) & (riota < frame_rows)
-    img = img * in_frame[:, None, None].astype(img.dtype)
-    img = downsample(img, ss, spatial_filter, filter_shape)
-    mo = margin // ss
-    img = img[mo:mo + band_rows // ss]
+    img = downsample(img, ss, spatial_filter, filter_shape,
+                     gutter=(margin, gutter_x))
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
@@ -204,11 +193,19 @@ class Renderer:
         self.profile = profile
         self.key = genome.structure_key()
         no_rot = genome.rotate.is_constant and genome.rotate(0.0) == 0.0
-        # gutter: DE blur must not clip at the frame border (flam3's
-        # gutter margin); sized to the static DE radius at acc scale.
+        # gutter: DE blur must not clip at the frame border, and the
+        # spatial filter's decimation must read REAL border context
+        # (flam3 sizes its gutter to DE radius + filter half-width;
+        # zero-padded edges render dark).
         de_r0 = float(genome.estimator_radius(0.0)) * profile.ss
         gutter = (int(np.ceil(min(de_r0, de_mod.MAX_RADIUS_CAP)))
                   if (profile.de_enabled and de_r0 > 0) else 0)
+        sf0 = float(genome.spatial_filter(0.0))
+        if sf0 > 0:
+            from cuburn_tpu.ops.filtering import spatial_filter_taps
+            gutter += (spatial_filter_taps(
+                genome.spatial_filter_shape, sf0,
+                profile.ss).shape[0] - profile.ss) // 2
         self.cam = CameraSpec(profile.width, profile.height, profile.ss,
                               no_rotation=no_rot, gutter=gutter)
         backend = profile.hist_backend
@@ -437,8 +434,7 @@ class Renderer:
             s0, s1 = max(lo, 0), min(hi, acc_h)
             block[s0 - lo:s1 - lo] = hist_img[s0:s1]
             band = _filter_band(
-                jnp.asarray(block), params, q_cell,
-                jnp.int32(lo - g), H * ss, ss, margin,
+                jnp.asarray(block), params, q_cell, ss, margin,
                 band_rows, g, prof.transparent, de_on, de_static,
                 sf, shape)
             rows = min(h_band, H - b * h_band)
@@ -551,19 +547,44 @@ class Renderer:
 
     # -- animation -------------------------------------------------------
 
-    def frames(self, seed: int = 0) -> Iterator[Tuple[np.ndarray,
-                                                      FrameStats]]:
-        """Yield frames across the genome's time range at profile fps.
-
-        cuburn's RenderManager analog: one compile serves every frame
-        (SURVEY.md §3.2)."""
+    def frame_times(self):
+        """The genome times frames() steps through (profile fps/skip
+        over the genome's time range)."""
         prof = self.profile
         t0, t1 = self.genome.time_range
         if prof.duration is not None:
             n_frames = int(round(prof.duration * prof.fps))
         else:
             n_frames = max(1, int(round((t1 - t0) * prof.fps)))
-        for i in range(0, n_frames, prof.skip):
-            t = t0 + (t1 - t0) * (i / max(n_frames - 1, 1)) \
+        return [t0 + (t1 - t0) * (i / max(n_frames - 1, 1))
                 if n_frames > 1 else t0
+                for i in range(0, n_frames, prof.skip)]
+
+    def frames(self, seed: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                      FrameStats]]:
+        """Yield frames across the genome's time range at profile fps.
+
+        cuburn's RenderManager analog: one compile serves every frame
+        (SURVEY.md §3.2)."""
+        for i, t in enumerate(self.frame_times()):
             yield self.render_frame(t, seed=seed + i)
+
+    def frames_partitioned(self, seed: int = 0, n_stripes: int = 0,
+                           n_bands: int = 0
+                           ) -> Iterator[Tuple[np.ndarray, FrameStats]]:
+        """frames() through the exact frame-partitioning paths: striped
+        accumulation and/or banded filtering per frame — animations of
+        frames whose whole-frame programs exceed device limits (the
+        CLI's --animate --stripes/--bands)."""
+        for i, t in enumerate(self.frame_times()):
+            if n_stripes and n_stripes > 1:
+                hist, stats = self.accumulate_striped(
+                    t, seed + i, n_stripes=n_stripes)
+            else:
+                hist, stats = self.accumulate(t, seed + i)
+            if n_bands and n_bands > 1:
+                img = self.finalize_frame_banded(hist, t, stats,
+                                                 n_bands=n_bands)
+            else:
+                img = self.finalize_frame(hist, t, stats)
+            yield img, stats

@@ -95,7 +95,14 @@ def render_reference(genome, width: int, height: int, n_samples: int,
     last = np.zeros(batch, np.int64)
     age = np.zeros(batch, np.int64)
     done = 0
+    rounds = 0
+    max_rounds = 50 * (n_samples // batch + 1)
     while done < n_samples:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"reference render stalled: {done}/{n_samples} "
+                "in-frame samples — camera misses the attractor?")
         u = rng.uniform(0, 1, batch)
         # row-conditioned selection (xaos)
         idx = np.empty(batch, np.int64)

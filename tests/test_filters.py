@@ -293,3 +293,43 @@ class TestSpatialFilter:
         xml = convert.genome_to_flame_xml(g)
         [g2] = convert.parse_flam3(xml)
         assert g2.spatial_filter(0) == 0.8
+
+
+class TestGutterEdgeFidelity:
+    """Frame-edge pixels must read REAL gutter context through the
+    filtered decimation (flam3 sizes its gutter to include the filter
+    half-width): a uniform field stays uniform to the border."""
+
+    def test_downsample_uniform_stays_uniform_at_edges(self):
+        from cuburn_tpu.ops.filtering import (downsample,
+                                              spatial_filter_taps)
+        for ss in (1, 2):
+            pad = (spatial_filter_taps("gaussian", 0.5, ss).shape[0]
+                   - ss) // 2
+            g = pad
+            img = jnp.ones((32 * ss + 2 * g, 32 * ss + 2 * g, 4))
+            out = np.asarray(downsample(img, ss, 0.5, "gaussian",
+                                        gutter=g))
+            assert out.shape == (32, 32, 4)
+            np.testing.assert_allclose(out, 1.0, rtol=1e-5,
+                                       err_msg=f"ss={ss}")
+
+    def test_downsample_zero_gutter_still_works(self):
+        # shortfall (gutter < pad) zero-pads — the legacy behavior
+        from cuburn_tpu.ops.filtering import downsample
+        img = jnp.ones((64, 64, 4))
+        out = np.asarray(downsample(img, 2, 0.5, "gaussian", gutter=0))
+        assert out.shape == (32, 32, 4)
+        # interior exact, edges darker (documented zero-pad fallback)
+        np.testing.assert_allclose(out[2:-2, 2:-2], 1.0, rtol=1e-5)
+        assert out[0, 0, 0] < 1.0
+
+    def test_renderer_gutter_includes_filter_pad(self):
+        from cuburn_tpu.models import sierpinski
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        prof = RenderProfile(width=64, height=64, quality=10,
+                             batch=1024, iters_per_chunk=4, fuse=8,
+                             hist_backend="scatter", de_enabled=False)
+        r = Renderer(sierpinski(), prof)
+        assert r.cam.gutter >= 1      # filter pad at ss=1, 0.5 gaussian

@@ -385,7 +385,7 @@ class TestSymmetryElement:
         density field (up to sampling noise)."""
         from cuburn_tpu.profile import RenderProfile
         from cuburn_tpu.render import Renderer
-        xml = ('<flame name="sym2" size="64 64" scale="25">'
+        xml = ('<flame name="sym2" size="64 64" scale="25" filter="0">'
                '<xform weight="1" coefs="0.5 0 0 0.5 0.3 0.2" '
                'spherical="0.7" linear="0.3"/>'
                '<symmetry kind="2"/>'

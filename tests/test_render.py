@@ -392,7 +392,12 @@ class TestCheckpointResume:
         assert main(base + ["-o", out2, "--resume-hist", hist_file,
                             "--seed", "5"]) == 0
         a = np.load(hist_file)
-        assert a.shape == (64 * 64 + 1, 4)
+        # accumulator carries the gutter (DE + spatial-filter support)
+        from cuburn_tpu.models import sierpinski
+        from cuburn_tpu.profile import get_profile
+        r = Renderer(sierpinski(), get_profile(
+            "preview", width=64, height=64, quality=20))
+        assert a.shape == (r.cam.n_bins + 1, 4)
 
 
 class TestShardedCLI:
@@ -451,7 +456,7 @@ class TestIndependentReference:
                       affine=(0.5, 0.0, 0.0, 0.0, 0.5, -0.3),
                       vars={"horseshoe": 1.0}),
             ],
-            scale=24.0, size=(32, 32),
+            scale=24.0, size=(32, 32), spatial_filter=0.0,
             palettes=[(0.0, pal)], name="anchor")
 
     def test_density_distribution_matches(self):
@@ -516,7 +521,7 @@ class TestIndependentReference:
                               affine=(0.9, 0.1, 0.0, -0.1, 0.9, 0.0),
                               vars={"swirl": 0.5, "linear": 0.5}),
             xaos=[[0.3, 1.0], [1.0, 0.2]],
-            scale=22.0, size=(32, 32),
+            scale=22.0, size=(32, 32), spatial_filter=0.0,
             palettes=[(0.0, pal)], name="anchor2")
         W = H = 32
         n = 500_000
@@ -596,3 +601,60 @@ class TestRandomGenomes:
         assert np.asarray(h)[:-1, 3].sum() > 0
         with pytest.raises(ValueError, match="mutation kind"):
             mutate(a, 1, "bogus")
+
+    def test_crossover_inherits_camera_fields(self):
+        from cuburn_tpu.genome.randgen import crossover, random_genome
+        import dataclasses
+        a = random_genome(1, size=(48, 48))
+        b = random_genome(2, size=(48, 48))
+        a = dataclasses.replace(a) if dataclasses.is_dataclass(a) else a
+        a.rotate = 90.0
+        a.vibrancy = 0.7
+        a.__post_init__()
+        c = crossover(a, b, seed=5)
+        cam_parent = a if abs(c.scale(0) - a.scale(0)) < 1e-9 else b
+        assert c.rotate(0) == cam_parent.rotate(0)
+        assert c.vibrancy(0) == cam_parent.vibrancy(0)
+        assert c.background[0](0) == cam_parent.background[0](0)
+
+    def test_mutate_affine_preserves_animation(self):
+        from cuburn_tpu.genome.randgen import mutate
+        from cuburn_tpu.models import animated_spark
+        g = animated_spark()
+        m = mutate(g, 7, "affine")
+        s = m.xforms[0].affine[0]       # animated in the source genome
+        assert not s.is_constant
+        assert s(0.0) != s(1.0)         # still animates
+        # jitter applied uniformly: the animation delta is unchanged
+        g0 = g.xforms[0].affine[0]
+        assert (s(1.0) - s(0.0)) == pytest.approx(g0(1.0) - g0(0.0),
+                                                  abs=1e-6)
+
+
+class TestAnimatePartitioned:
+    def test_cli_animate_with_stripes_and_bands(self, tmp_path):
+        """--animate must honor --stripes/--bands (review finding:
+        they were silently ignored in animation mode)."""
+        from cuburn_tpu.main import main
+        out = str(tmp_path / "a.y4m")
+        rc = main(["gallery:animated_spark", "-o", out, "--animate",
+                   "--width", "64", "--height", "64", "--quality",
+                   "15", "--fps", "4", "--duration", "0.6",
+                   "--stripes", "2", "--bands", "2"])
+        assert rc == 0
+        data = open(out, "rb").read()
+        assert data.startswith(b"YUV4MPEG2")
+        assert data.count(b"FRAME\n") == 2
+
+    def test_frames_partitioned_matches_frames(self):
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, fps=4.0, duration=0.5,
+                                   width=64, height=64)
+        r = Renderer(g, prof)
+        plain = [img for img, _ in r.frames(seed=3)]
+        part = [img for img, _ in r.frames_partitioned(
+            seed=3, n_stripes=2, n_bands=2)]
+        assert len(plain) == len(part) == 2
+        for a, b in zip(plain, part):
+            # striping is bit-exact, banding within 1 u8 step
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
