@@ -181,3 +181,24 @@ def test_sharded_temporal_resume_mass(eight_devices):
     h2, st2 = r.accumulate(0.0, seed=3, hist0=np.asarray(h1))
     m2 = float(np.asarray(h2)[:, 3].sum())
     assert m1 < m2 < 3.0 * m1
+
+
+def test_sharded_frames_partitioned(eight_devices):
+    """Animation through the partitioned paths on the mesh: striped
+    accumulation (one stripe per chip) + banded finalize per frame."""
+    from cuburn_tpu.models import animated_spark
+    from cuburn_tpu.parallel import ShardedRenderer
+    import dataclasses
+    g = animated_spark()
+    prof = RenderProfile(width=64, height=64, quality=15, batch=2048,
+                         iters_per_chunk=8, fuse=8, fps=4.0,
+                         duration=0.5, hist_backend="scatter",
+                         de_enabled=False)
+    r = ShardedRenderer(g, prof)
+    frames = list(r.frames_partitioned(seed=2, n_stripes=8,
+                                       n_bands=2))
+    assert len(frames) == 2
+    for img, stats in frames:
+        assert img.shape == (64, 64, 4)
+        assert img[..., :3].max() > 0
+        assert stats.plotted_samples > 0
