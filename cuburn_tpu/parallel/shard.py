@@ -331,8 +331,7 @@ class ShardedRenderer(Renderer):
                 (band_rows + 2 * margin, acc_w, 4))
             band = _filter_band(
                 block, params, q_cell, ss, margin,
-                band_rows, g, prof.transparent, de_on, de_static,
-                sf, shape)
+                g, prof.transparent, de_on, de_static, sf, shape)
             return band[None]                    # (1, h_band, W, 4)
 
         shard = jax.shard_map(

@@ -135,10 +135,10 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ss", "margin", "band_rows", "gutter_x", "transparent", "de_on",
+    "ss", "margin", "gutter_x", "transparent", "de_on",
     "de_static_r", "spatial_filter", "filter_shape"))
 def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
-                 ss: int, margin: int, band_rows: int, gutter_x: int,
+                 ss: int, margin: int, gutter_x: int,
                  transparent: bool, de_on: bool, de_static_r: float,
                  spatial_filter: float, filter_shape: str):
     """_filter_frame on one horizontal band of the accumulator.
@@ -198,7 +198,10 @@ class Renderer:
         # (flam3 sizes its gutter to DE radius + filter half-width;
         # zero-padded edges render dark).
         de_r0 = float(genome.estimator_radius(0.0)) * profile.ss
-        gutter = (int(np.ceil(min(de_r0, de_mod.MAX_RADIUS_CAP)))
+        # DE kernel support is 1.5x the radius (3 sigma at sigma=r/2,
+        # ops/de.py band_ladder) — the gutter must cover the full
+        # support or edge pixels lose DE mass
+        gutter = (int(np.ceil(1.5 * min(de_r0, de_mod.MAX_RADIUS_CAP)))
                   if (profile.de_enabled and de_r0 > 0) else 0)
         sf0 = float(genome.spatial_filter(0.0))
         if sf0 > 0:
@@ -435,8 +438,7 @@ class Renderer:
             block[s0 - lo:s1 - lo] = hist_img[s0:s1]
             band = _filter_band(
                 jnp.asarray(block), params, q_cell, ss, margin,
-                band_rows, g, prof.transparent, de_on, de_static,
-                sf, shape)
+                g, prof.transparent, de_on, de_static, sf, shape)
             rows = min(h_band, H - b * h_band)
             if rows > 0:
                 out[b * h_band:b * h_band + rows] = \
@@ -548,16 +550,18 @@ class Renderer:
     # -- animation -------------------------------------------------------
 
     def frame_times(self):
-        """The genome times frames() steps through (profile fps/skip
-        over the genome's time range)."""
+        """(frame_index, genome_time) pairs frames() steps through
+        (profile fps/skip over the genome's time range).  The index is
+        the UNSKIPPED frame number so a skip>1 preview renders the
+        exact frames (same per-frame seed) of the full render."""
         prof = self.profile
         t0, t1 = self.genome.time_range
         if prof.duration is not None:
             n_frames = int(round(prof.duration * prof.fps))
         else:
             n_frames = max(1, int(round((t1 - t0) * prof.fps)))
-        return [t0 + (t1 - t0) * (i / max(n_frames - 1, 1))
-                if n_frames > 1 else t0
+        return [(i, t0 + (t1 - t0) * (i / max(n_frames - 1, 1))
+                 if n_frames > 1 else t0)
                 for i in range(0, n_frames, prof.skip)]
 
     def frames(self, seed: int = 0) -> Iterator[Tuple[np.ndarray,
@@ -566,8 +570,7 @@ class Renderer:
 
         cuburn's RenderManager analog: one compile serves every frame
         (SURVEY.md §3.2)."""
-        for i, t in enumerate(self.frame_times()):
-            yield self.render_frame(t, seed=seed + i)
+        return self.frames_partitioned(seed=seed)
 
     def frames_partitioned(self, seed: int = 0, n_stripes: int = 0,
                            n_bands: int = 0
@@ -575,13 +578,17 @@ class Renderer:
         """frames() through the exact frame-partitioning paths: striped
         accumulation and/or banded filtering per frame — animations of
         frames whose whole-frame programs exceed device limits (the
-        CLI's --animate --stripes/--bands)."""
-        for i, t in enumerate(self.frame_times()):
+        CLI's --animate --stripes/--bands).  With neither partition it
+        IS frames()."""
+        for i, t in self.frame_times():
             if n_stripes and n_stripes > 1:
                 hist, stats = self.accumulate_striped(
                     t, seed + i, n_stripes=n_stripes)
-            else:
+            elif n_bands and n_bands > 1:
                 hist, stats = self.accumulate(t, seed + i)
+            else:
+                yield self.render_frame(t, seed=seed + i)
+                continue
             if n_bands and n_bands > 1:
                 img = self.finalize_frame_banded(hist, t, stats,
                                                  n_bands=n_bands)

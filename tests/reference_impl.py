@@ -96,7 +96,7 @@ def render_reference(genome, width: int, height: int, n_samples: int,
     age = np.zeros(batch, np.int64)
     done = 0
     rounds = 0
-    max_rounds = 50 * (n_samples // batch + 1)
+    max_rounds = 1000 * (n_samples // batch + 1)
     while done < n_samples:
         rounds += 1
         if rounds > max_rounds:

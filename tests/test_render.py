@@ -658,3 +658,17 @@ class TestAnimatePartitioned:
         for a, b in zip(plain, part):
             # striping is bit-exact, banding within 1 u8 step
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_skip_preview_reproduces_full_render_frames(self):
+        """profile.skip>1 must render the SAME frames (same per-frame
+        seed at the same genome times) as the corresponding frames of
+        a skip=1 render (review finding: enumerate-based seeding broke
+        preview/final reproducibility)."""
+        g = animated_spark()
+        prof1 = dataclasses.replace(FAST, fps=4.0, duration=1.0)
+        prof2 = dataclasses.replace(prof1, skip=2)
+        full = list(Renderer(g, prof1).frames(seed=5))
+        prev = list(Renderer(g, prof2).frames(seed=5))
+        assert len(full) == 4 and len(prev) == 2
+        np.testing.assert_array_equal(prev[0][0], full[0][0])
+        np.testing.assert_array_equal(prev[1][0], full[2][0])
