@@ -492,3 +492,47 @@ class TestMalformedInputs:
                'weight="0.1"/></xform></flame>')
         with pytest.raises(ValueError, match="motion_function"):
             convert.parse_flam3(xml)
+
+
+class TestRoundTripProperties:
+    """Serializer property tests over random genomes: parse(serialize(g))
+    must evaluate identically — across many random structures, not just
+    the fixtures."""
+
+    @pytest.mark.parametrize("seed", [11, 22, 33, 44])
+    def test_json_roundtrip_random(self, seed):
+        from cuburn_tpu.genome.randgen import random_genome
+        g = random_genome(seed)
+        g2 = Genome.from_json(g.to_json())
+        assert g2.structure_key() == g.structure_key()
+        p1, p2 = g.eval_at(0.3), g2.eval_at(0.3)
+        np.testing.assert_allclose(p1.affine, p2.affine, atol=1e-6)
+        np.testing.assert_allclose(p1.var_weights, p2.var_weights,
+                                   atol=1e-6)
+        np.testing.assert_allclose(p1.var_params, p2.var_params,
+                                   atol=1e-6)
+        np.testing.assert_allclose(p1.xaos, p2.xaos, atol=1e-6)
+        np.testing.assert_allclose(p1.opacity, p2.opacity, atol=1e-6)
+        # palettes serialize as 8-bit hex: quantized round-trip
+        np.testing.assert_allclose(p1.palette, p2.palette,
+                                   atol=1.5 / 255)
+        np.testing.assert_allclose(float(p1.ppu), float(p2.ppu),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("seed", [11, 22, 33, 44])
+    def test_xml_roundtrip_random(self, seed):
+        from cuburn_tpu.genome.randgen import random_genome
+        g = random_genome(seed)
+        [g2] = convert.parse_flam3(convert.genome_to_flame_xml(g))
+        assert g2.structure_key() == g.structure_key()
+        p1, p2 = g.eval_at(0.0), g2.eval_at(0.0)
+        np.testing.assert_allclose(p1.affine, p2.affine, atol=1e-5)
+        np.testing.assert_allclose(p1.var_weights, p2.var_weights,
+                                   atol=1e-5)
+        np.testing.assert_allclose(p1.var_params, p2.var_params,
+                                   atol=1e-5)
+        np.testing.assert_allclose(p1.xaos, p2.xaos, atol=1e-5)
+        np.testing.assert_allclose(p1.palette, p2.palette,
+                                   atol=1.5 / 255)
+        np.testing.assert_allclose(float(p1.ppu), float(p2.ppu),
+                                   rtol=1e-5)
