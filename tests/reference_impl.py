@@ -150,3 +150,94 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         np.add.at(hist[:, 3], addr, 1.0)
         done += int(ok.sum())
     return hist
+
+
+# ---------------------------------------------------------------------------
+# Independent color pipeline (flam3 rect.c final accumulation loop),
+# transcribed separately from ops/filtering.py so transcription typos
+# in either copy show up as differential failures.  White level 1.0
+# (flam3's 255 / PREFILTER_WHITE scaled out).
+# ---------------------------------------------------------------------------
+
+def logscale_reference(hist, brightness, quality_per_cell):
+    """flam3 k1/k2 log-density scaling of an (..., 4) accumulator."""
+    hist = np.asarray(hist, np.float64)
+    d = hist[..., 3:4]
+    k1 = brightness * 268.0 / 256.0
+    k2 = 1.0 / max(quality_per_cell, 1e-9)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = np.where(d > 0, k1 * np.log1p(d * k2) / d, 0.0)
+    return hist * ls
+
+
+def _calc_alpha_ref(density, g, linrange):
+    funcval = linrange ** g
+    out = np.zeros_like(density)
+    pos = density > 0
+    lin = pos & (density < linrange)
+    nonlin = pos & ~lin
+    frac = np.where(lin, density / linrange, 0.0)
+    with np.errstate(invalid="ignore"):
+        out = np.where(
+            lin,
+            (1.0 - frac) * density * (funcval / linrange)
+            + frac * np.power(np.maximum(density, 1e-30), g),
+            out)
+        out = np.where(nonlin,
+                       np.power(np.maximum(density, 1e-30), g), out)
+    return out
+
+
+def _rgb2hsv_ref(rgb):
+    import colorsys
+    return np.array([colorsys.rgb_to_hsv(*px) for px in rgb])
+
+
+def _hsv2rgb_ref(hsv):
+    import colorsys
+    return np.array([colorsys.hsv_to_rgb(*px) for px in hsv])
+
+
+def colorclip_reference(img, gamma, vibrancy, highlight_power,
+                        gamma_threshold, background,
+                        transparent=False):
+    """flam3 rect.c final loop: calc_alpha + calc_newrgb + vibrancy
+    blend + background/alpha handling, per pixel, float white level."""
+    img = np.asarray(img, np.float64).reshape(-1, 4)
+    g = 1.0 / max(gamma, 1e-9)
+    d = img[:, 3]
+    rgb = img[:, :3]
+    alpha = np.clip(_calc_alpha_ref(d, g, max(gamma_threshold, 1e-9)),
+                    0.0, 1.0)
+    ls = vibrancy * alpha / np.maximum(d, 1e-9)
+
+    out = np.zeros_like(rgb)
+    maxc = rgb.max(axis=1)
+    maxa = maxc * ls
+    newls = 1.0 / np.maximum(maxc, 1e-9)
+    hi = (highlight_power >= 0.0) & (maxa > 1.0) & (maxc > 0)
+    # saturated + non-negative highpow: rescale to white, desaturate
+    if hi.any():
+        lsr = np.power(np.maximum(newls[hi] / np.maximum(ls[hi], 1e-9),
+                                  1e-9), max(highlight_power, 0.0))
+        base = rgb[hi] * newls[hi][:, None]
+        hsv = _rgb2hsv_ref(base)
+        hsv[:, 1] *= lsr
+        out[hi] = _hsv2rgb_ref(hsv)
+    lo = ~hi
+    adjhlp = np.clip(-highlight_power, 0.0, 1.0)
+    adj = np.where(maxa[lo] <= 1.0, 1.0, adjhlp)
+    k = (1.0 - adj) * newls[lo] + adj * ls[lo]
+    out[lo] = rgb[lo] * k[:, None]
+
+    out = out + (1.0 - vibrancy) \
+        * np.power(np.maximum(rgb, 0.0) + 1e-9, g)
+    if transparent:
+        out = out / np.maximum(alpha[:, None], 1e-9)
+        oa = alpha
+    else:
+        out = out + (1.0 - alpha[:, None]) \
+            * np.asarray(background, np.float64)[None, :]
+        oa = np.ones_like(alpha)
+    return np.concatenate(
+        [np.clip(out, 0.0, 1.0), oa[:, None]], axis=1)

@@ -333,3 +333,47 @@ class TestGutterEdgeFidelity:
                              hist_backend="scatter", de_enabled=False)
         r = Renderer(sierpinski(), prof)
         assert r.cam.gutter >= 1      # filter pad at ss=1, 0.5 gaussian
+
+
+class TestColorPipelineAnchor:
+    """Differential anchor for the tonemap/color math: a SECOND,
+    independently transcribed implementation of flam3's logscale /
+    calc_alpha / calc_newrgb / vibrancy pipeline (tests/reference_impl)
+    must agree with ops/filtering.py on random inputs — transcription
+    typos in either copy surface here."""
+
+    def _random_hist(self, seed, n=4096):
+        rng = np.random.RandomState(seed)
+        d = np.exp(rng.uniform(-3, 8, n))            # heavy-tailed density
+        d[rng.rand(n) < 0.2] = 0.0                   # empty bins
+        c = rng.uniform(0, 1, (n, 3)) * d[:, None]   # premultiplied
+        return np.concatenate([c, d[:, None]], 1).astype(np.float32)
+
+    def test_logscale_matches(self):
+        from cuburn_tpu.ops.filtering import logscale
+        from tests.reference_impl import logscale_reference
+        h = self._random_hist(1)
+        ours = np.asarray(logscale(jnp.asarray(h), jnp.float32(4.0),
+                                   jnp.float32(50.0)))
+        ref = logscale_reference(h, 4.0, 50.0)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("hp,vib,transparent", [
+        (2.0, 1.0, False), (-1.0, 1.0, False), (2.0, 0.6, False),
+        (-0.5, 0.8, True), (0.0, 1.0, False)])
+    def test_colorclip_matches(self, hp, vib, transparent):
+        from cuburn_tpu.ops.filtering import colorclip, logscale
+        from tests.reference_impl import (colorclip_reference,
+                                          logscale_reference)
+        h = self._random_hist(7)
+        img = logscale_reference(h, 4.0, 30.0)
+        bg = (0.05, 0.0, 0.1)
+        ours = np.asarray(colorclip(
+            jnp.asarray(img, jnp.float32), jnp.float32(4.0),
+            jnp.float32(vib), jnp.float32(hp), jnp.float32(0.01),
+            jnp.asarray(bg, jnp.float32), transparent))
+        ref = colorclip_reference(img, 4.0, vib, hp, 0.01, bg,
+                                  transparent)
+        # f32 vs f64 and HSV branch rounding: compare to 1e-3
+        np.testing.assert_allclose(ours, ref.astype(np.float32),
+                                   rtol=2e-3, atol=2e-3)
