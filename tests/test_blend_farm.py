@@ -350,3 +350,47 @@ class TestSequence:
         assert rc == 0
         data = out.read_bytes()
         assert data.count(b"FRAME\n") >= 2
+
+
+class TestFarmCLI:
+    """The three _main entry points driven in-process: server thread,
+    client submit, worker drain, client collect (the reference's dist
+    server/worker/client workflow from the shell)."""
+
+    def test_server_worker_client_roundtrip(self, tmp_path):
+        import threading
+        from cuburn_tpu.parallel.farm import (FarmServer, FarmClient,
+                                              run_worker, _main)
+        from cuburn_tpu.models import sierpinski
+
+        srv = FarmServer("127.0.0.1", 0, lease_seconds=30)
+        srv.serve_background()
+        try:
+            addr = f"127.0.0.1:{srv.address[1]}"
+            # write a genome file for the client CLI
+            gpath = tmp_path / "g.json"
+            gpath.write_text(sierpinski().to_json())
+            outdir = tmp_path / "frames"
+
+            client_rc = {}
+
+            def client():
+                client_rc["rc"] = _main([
+                    "client", addr, str(gpath), "-o", str(outdir),
+                    "--frames", "2", "--profile", "preview"])
+
+            th = threading.Thread(target=client, daemon=True)
+            th.start()
+            import time as _t
+            _t.sleep(0.5)              # let the client submit first
+            rc = _main(["worker", addr, "--max-tasks", "2"])
+            assert rc == 0
+            th.join(timeout=120)
+            assert client_rc.get("rc") == 0
+            frames = sorted(outdir.glob("frame_*.png"))
+            assert len(frames) == 2
+            from PIL import Image
+            img = np.asarray(Image.open(frames[0]))
+            assert img.shape[2] == 4 and img[..., :3].max() > 0
+        finally:
+            srv.shutdown()

@@ -377,3 +377,35 @@ class TestColorPipelineAnchor:
         # f32 vs f64 and HSV branch rounding: compare to 1e-3
         np.testing.assert_allclose(ours, ref.astype(np.float32),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestSpatialFilterTapAnchor:
+    """Second transcription of flam3's filter-row construction
+    (fwidth = int(2*support*ss*radius)+1, parity matched to ss,
+    samples at cell centers on [-support, support], sum-normalized)
+    — anchors the fiddly width/parity rule independently."""
+
+    @pytest.mark.parametrize("shape,support", [
+        ("gaussian", 1.5), ("triangle", 1.0), ("mitchell", 2.0),
+        ("box", 0.5), ("hermite", 1.0)])
+    @pytest.mark.parametrize("ss", [1, 2, 3])
+    def test_width_parity_and_samples(self, shape, support, ss):
+        from cuburn_tpu.ops.filtering import (SPATIAL_FILTERS,
+                                              spatial_filter_taps)
+        radius = 0.6
+        taps = spatial_filter_taps(shape, radius, ss)
+        # independent width computation
+        fw = int(2.0 * support * ss * radius) + 1
+        if (fw ^ ss) & 1:
+            fw += 1
+        fw = max(fw, ss)
+        assert taps.shape[0] == fw
+        # independent sampling at cell centers
+        _sup, fn = SPATIAL_FILTERS[shape]
+        x = ((2.0 * np.arange(fw) + 1.0) / fw - 1.0) * support
+        want = fn(np.abs(x))
+        want = want / want.sum()
+        np.testing.assert_allclose(taps, want, rtol=1e-6)
+        assert taps.sum() == pytest.approx(1.0)
+        # symmetric
+        np.testing.assert_allclose(taps, taps[::-1], rtol=1e-6)
