@@ -16,16 +16,26 @@ from __future__ import annotations
 
 import numpy as np
 
-# independent variation formulas (flam3 paper; theta = atan2(x, y))
+# independent variation formulas (flam3 paper; theta = atan2(x, y));
+# each takes (x, y, r2, rng) — rng only used by the stochastic ones
+def _julia(x, y, r2, rng):
+    # sqrt(r) at theta/2 plus a random half-turn (flam3's coin flip)
+    a = 0.5 * np.arctan2(x, y) + np.pi * rng.randint(0, 2, x.shape)
+    r = np.power(r2, 0.25)
+    return r * np.cos(a), r * np.sin(a)
+
+
 _VARS = {
-    "linear": lambda x, y, r2: (x, y),
-    "sinusoidal": lambda x, y, r2: (np.sin(x), np.sin(y)),
-    "spherical": lambda x, y, r2: (x / (r2 + 1e-12), y / (r2 + 1e-12)),
-    "swirl": lambda x, y, r2: (x * np.sin(r2) - y * np.cos(r2),
-                               x * np.cos(r2) + y * np.sin(r2)),
-    "horseshoe": lambda x, y, r2: (
+    "linear": lambda x, y, r2, rng: (x, y),
+    "sinusoidal": lambda x, y, r2, rng: (np.sin(x), np.sin(y)),
+    "spherical": lambda x, y, r2, rng: (x / (r2 + 1e-12),
+                                        y / (r2 + 1e-12)),
+    "swirl": lambda x, y, r2, rng: (x * np.sin(r2) - y * np.cos(r2),
+                                    x * np.cos(r2) + y * np.sin(r2)),
+    "horseshoe": lambda x, y, r2, rng: (
         (x - y) * (x + y) / np.sqrt(r2 + 1e-12),
         2.0 * x * y / np.sqrt(r2 + 1e-12)),
+    "julia": _julia,
 }
 
 
@@ -80,7 +90,7 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         ox = np.zeros_like(tx)
         oy = np.zeros_like(ty)
         for name, w in vset.items():
-            dx, dy = _VARS[name](tx, ty, r2)
+            dx, dy = _VARS[name](tx, ty, r2, rng)
             ox += w * dx
             oy += w * dy
         if post is not None:

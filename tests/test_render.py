@@ -672,3 +672,38 @@ class TestAnimatePartitioned:
         assert len(full) == 4 and len(prev) == 2
         np.testing.assert_array_equal(prev[0][0], full[0][0])
         np.testing.assert_array_equal(prev[1][0], full[2][0])
+
+    def test_stochastic_variation_distribution_matches(self):
+        """julia's random half-turn branch, end to end: the two-branch
+        stochastic plumbing must produce the same TWO-lobed attractor
+        distribution as the independent implementation."""
+        from tests.reference_impl import render_reference
+        from cuburn_tpu.genome.specs import Genome, XForm
+        from cuburn_tpu.profile import RenderProfile
+
+        pal = np.zeros((256, 3))
+        pal[:, 0] = 1.0
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.3, color_speed=0.5,
+                      affine=(0.7, 0.2, 0.2, -0.2, 0.7, 0.1),
+                      vars={"julia": 0.8, "linear": 0.2}),
+                XForm(weight=0.6, color=0.7, color_speed=0.5,
+                      affine=(0.5, 0.0, -0.3, 0.0, 0.5, 0.2),
+                      vars={"sinusoidal": 1.0}),
+            ],
+            scale=20.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor3")
+        W = H = 32
+        n = 400_000
+        ref = render_reference(g, W, H, n, seed=8)
+        prof = RenderProfile(width=W, height=H,
+                             quality=int(np.ceil(n / (W * H))),
+                             batch=4096, iters_per_chunk=16, fuse=20,
+                             hist_backend="scatter", de_enabled=False)
+        hist, _ = Renderer(g, prof).accumulate(0.0, seed=17)
+        ours = np.asarray(hist, np.float64)
+        d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
+        d_our = ours[:-1, 3] / ours[:-1, 3].sum()
+        tv = 0.5 * np.abs(d_ref - d_our).sum()
+        assert tv < 0.05, f"TV distance {tv:.4f}"
