@@ -707,3 +707,46 @@ class TestAnimatePartitioned:
         d_our = ours[:-1, 3] / ours[:-1, 3].sum()
         tv = 0.5 * np.abs(d_ref - d_our).sum()
         assert tv < 0.05, f"TV distance {tv:.4f}"
+
+
+class TestExamples:
+    """Every examples/ script must run as written (library-API
+    walkthroughs for users switching from cuburn)."""
+
+    @pytest.mark.parametrize("script,args", [
+        ("01_still.py", ["out.png"]),
+        ("03_blend.py", ["blend"]),
+        ("05_checkpoint.py", []),
+    ])
+    def test_example_runs(self, script, args, tmp_path, monkeypatch):
+        import runpy
+        import sys
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [script] + args)
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", script),
+                       run_name="__main__")
+
+    def test_animation_example(self, tmp_path, monkeypatch):
+        import runpy
+        import sys
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", ["02_animation.py", "a.y4m"])
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "02_animation.py"),
+                       run_name="__main__")
+        assert (tmp_path / "a.y4m").read_bytes().startswith(
+            b"YUV4MPEG2")
+
+    def test_multichip_example(self, tmp_path, monkeypatch):
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import runpy
+        import sys
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", ["04_multichip.py"])
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "04_multichip.py"),
+                       run_name="__main__")
+        assert (tmp_path / "multichip.png").exists()
