@@ -327,7 +327,8 @@ def loop_genome(g: Genome, periods: float = 1.0) -> Genome:
 def blend_sequence(genomes, spin: float = 0.0,
                    sort_by_weight: bool = False,
                    smooth: Optional[bool] = None,
-                   loops: float = 0.0):
+                   loops: float = 0.0,
+                   harmonize: bool = True):
     """Build the edge list for an animation through a keyframe list —
     the flam3-animate workflow (SURVEY.md §3.2): a multi-flame file's
     stills become N-1 edge genomes, each sweeping its own [0, 1].
@@ -344,6 +345,11 @@ def blend_sequence(genomes, spin: float = 0.0,
     `loops` > 0 inserts a flam3-animate LOOP segment before each edge
     (each keyframe holds for 1 time unit while its animate-flagged
     xforms spin that many full turns — see loop_genome).
+
+    `harmonize` (default) pads every segment genome to one shared
+    StructureKey (harmonize_structures) so the WHOLE sequence renders
+    with a single compiled program instead of one compile per edge —
+    compiles cost minutes on slow-compile environments.
 
     Returns [(edge_genome, seg_start, seg_end)] with segment bounds in
     global time."""
@@ -376,4 +382,99 @@ def blend_sequence(genomes, spin: float = 0.0,
     if loops:
         out.append((loop_genome(genomes[-1], loops),
                     bounds[-1] + t_off, bounds[-1] + t_off + 1.0))
+    if harmonize and len(out) > 1:
+        hs = harmonize_structures([g for g, _s, _e in out])
+        out = [(h, s, e) for h, (_g, s, e) in zip(hs, out)]
     return out
+
+
+def harmonize_structures(genomes):
+    """Pad a list of genomes to ONE shared StructureKey.
+
+    Animation sequences compile one XLA program per structure key
+    (SURVEY.md §7 trace-time specialization); consecutive edges of a
+    keyframe sequence naturally have different variation unions, so an
+    N-edge animation pays N compiles (minutes each on slow-compile
+    environments).  Harmonizing pads every genome to the union
+    structure — max xform count (identity weight-0 xforms), the union
+    variation set (zero-weight entries, annihilated exactly by the
+    w=0 gating that test_zero_weight_is_zero enforces), matching
+    has_post/has_xaos, and a shared final-xform structure — so ONE
+    compile serves the whole sequence.
+
+    Values are untouched; only zero-weight/identity structure is
+    added.  NOTE: adding a zero-weight STOCHASTIC variation still
+    consumes RNG draws per iteration, so harmonized renders of
+    genomes that lacked it are statistically identical but not
+    bit-identical to their unharmonized renders.
+
+    Returns new genomes (inputs are not mutated)."""
+    import copy
+
+    gs = [copy.deepcopy(g) for g in genomes]
+    n = max(len(g.xforms) for g in gs)
+    all_vars = set()
+    final_vars = set()
+    any_post = False
+    any_xaos = any(g.xaos is not None for g in gs)
+    any_final = any(g.final_xform is not None for g in gs)
+    final_post = False
+    for g in gs:
+        for xf in g.xforms:
+            all_vars.update(xf.vars)
+            any_post = any_post or xf.post is not None
+        if g.final_xform is not None:
+            final_vars.update(g.final_xform.vars or {"linear"})
+            final_post = final_post or g.final_xform.post is not None
+    if not all_vars:
+        all_vars = {"linear"}
+    if any_final and (not final_vars
+                      or any(g.final_xform is None for g in gs)):
+        # genomes lacking a final get an identity (linear) one, so
+        # linear joins the target final union for everyone
+        final_vars = final_vars | {"linear"}
+
+    for g in gs:
+        while len(g.xforms) < n:
+            g.xforms.append(_identity_xform())
+        # the structure key unions variations across xforms, so zero
+        # -weight entries on xform 0 cover the whole genome
+        missing = all_vars - set().union(*(set(xf.vars)
+                                           for xf in g.xforms))
+        if missing:
+            xf = g.xforms[0]
+            xf.vars = dict(xf.vars)
+            for name in sorted(missing):
+                xf.vars[name] = Spline(0.0)
+        if any_post and not any(xf.post is not None
+                                for xf in g.xforms):
+            g.xforms[0].post = IDENTITY_AFFINE
+        if any_xaos and g.xaos is None:
+            g.xaos = [[Spline(1.0) for _ in range(n)]
+                      for _ in range(n)]
+        elif g.xaos is not None and len(g.xaos) < n:
+            # grown xform count: extend existing rows/add unit rows
+            g.xaos = [[row[j] if j < len(row) else Spline(1.0)
+                       for j in range(n)]
+                      for row in g.xaos] + \
+                     [[Spline(1.0) for _ in range(n)]
+                      for _ in range(n - len(g.xaos))]
+        if any_final:
+            if g.final_xform is None:
+                g.final_xform = XForm(color=0.0, color_speed=0.0,
+                                      affine=IDENTITY_AFFINE,
+                                      vars={"linear": 1.0})
+            fx = g.final_xform
+            fmissing = final_vars - set(fx.vars or {"linear"})
+            if fmissing:
+                fx.vars = dict(fx.vars)
+                for name in sorted(fmissing):
+                    fx.vars[name] = Spline(0.0)
+            if final_post and fx.post is None:
+                fx.post = IDENTITY_AFFINE
+        # re-validate / re-splinify the touched xforms
+        for xf in g.xforms:
+            xf.__post_init__()
+        if g.final_xform is not None:
+            g.final_xform.__post_init__()
+    return gs

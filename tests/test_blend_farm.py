@@ -394,3 +394,77 @@ class TestFarmCLI:
             assert img.shape[2] == 4 and img[..., :3].max() > 0
         finally:
             srv.shutdown()
+
+
+class TestHarmonize:
+    """harmonize_structures: one compiled program per SEQUENCE instead
+    of one per edge (structure keys unified by zero-weight padding)."""
+
+    def _genomes(self):
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = [(0.0, np.zeros((256, 3)))]
+        a = Genome(xforms=[XForm(weight=1.0, vars={"linear": 1.0},
+                                 affine=(0.5, 0, 0.2, 0, 0.5, 0.1))],
+                   palettes=pal, name="a")
+        b = Genome(xforms=[
+            XForm(weight=1.0, vars={"spherical": 0.8},
+                  affine=(0.6, 0, -0.2, 0, 0.6, 0.2),
+                  post=(1, 0, 0.1, 0, 1, 0)),
+            XForm(weight=0.5, vars={"swirl": 0.5},
+                  affine=(0.4, 0.2, 0, -0.2, 0.4, -0.2))],
+            xaos=[[1.0, 0.5], [1.0, 1.0]],
+            final_xform=XForm(vars={"bubble": 1.0}),
+            palettes=pal, name="b")
+        c = Genome(xforms=[XForm(weight=1.0,
+                                 vars={"sinusoidal": 1.0},
+                                 affine=(0.5, 0, 0, 0, 0.5, -0.3))],
+                   palettes=pal, name="c")
+        return a, b, c
+
+    def test_sequence_edges_share_structure_key(self):
+        from cuburn_tpu.genome.blend import blend_sequence
+        a, b, c = self._genomes()
+        segs = blend_sequence([a, b, c])
+        keys = {g.structure_key() for g, _s, _e in segs}
+        assert len(keys) == 1, keys
+        # and without harmonization they genuinely differ
+        segs_raw = blend_sequence([a, b, c], harmonize=False)
+        keys_raw = {g.structure_key() for g, _s, _e in segs_raw}
+        assert len(keys_raw) > 1
+
+    def test_harmonized_render_is_bit_identical(self):
+        """Deterministic-variation genomes: zero-weight padding must
+        not change a single bit of the rendered image."""
+        from cuburn_tpu.genome.blend import (blend_genomes,
+                                             harmonize_structures)
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        a, b, c = self._genomes()
+        edge = blend_genomes(a, b)
+        [h] = harmonize_structures([edge])
+        # harmonizing one genome against itself is a no-op; harmonize
+        # against c's union to actually add padding
+        h2, _ = harmonize_structures([edge, c])
+        assert "sinusoidal" in h2.structure_key().variations
+        prof = RenderProfile(width=48, height=48, quality=25,
+                             batch=2048, iters_per_chunk=8, fuse=12,
+                             hist_backend="scatter", de_enabled=False)
+        img_raw, _ = Renderer(edge, prof).render_frame(0.5, seed=6)
+        img_h, _ = Renderer(h2, prof).render_frame(0.5, seed=6)
+        np.testing.assert_array_equal(img_raw, img_h)
+
+    def test_harmonize_preserves_values(self):
+        from cuburn_tpu.genome.blend import harmonize_structures
+        a, b, c = self._genomes()
+        ha, hb, hc = harmonize_structures([a, b, c])
+        # original weights/affines untouched
+        assert ha.xforms[0].weight(0) == 1.0
+        assert ha.xforms[0].vars["linear"](0) == 1.0
+        assert ha.xforms[0].vars["spherical"](0.7) == 0.0
+        # padded xforms have weight 0 (never selected)
+        assert ha.xforms[1].weight(0) == 0.0
+        # xaos filled with ones where absent
+        assert ha.xaos is not None
+        assert all(v(0) == 1.0 for row in ha.xaos for v in row)
+        # b keeps its real xaos
+        assert hb.xaos[0][1](0) == 0.5
