@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="filter the frame as N horizontal sub-programs"
                         " (pairs with --stripes for frames whose full"
                         " filter program exceeds device limits)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (some accelerator "
+                        "plugins override JAX_PLATFORMS; this wins)")
     p.add_argument("--trace-dir",
                    help="capture a jax.profiler trace (Perfetto) of the "
                         "render into this directory")
@@ -144,6 +147,11 @@ def load_genome(spec: str, index: int):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # must land before any device query; plugin sitecustomize
+        # hooks override the JAX_PLATFORMS env var but not this
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     genome = load_genome(args.genome, args.flame_index)
     sequence = None
     if args.blend:
