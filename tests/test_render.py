@@ -750,3 +750,23 @@ class TestExamples:
                                     "examples", "04_multichip.py"),
                        run_name="__main__")
         assert (tmp_path / "multichip.png").exists()
+
+
+class TestStripedOpacity:
+    def test_striped_matches_whole_frame_with_opacity(self):
+        """Opacity-extended packed records under striping: the stripe
+        camera's smaller n_bins re-derives the packing layout while
+        op_bits comes from the full camera — the combination must stay
+        bit-exact vs the whole-frame render."""
+        from cuburn_tpu.genome.spline import Spline
+        g = sierpinski()
+        g.xforms[1].opacity = Spline(0.5)
+        g.xforms[2].opacity = Spline(0.25)
+        prof = dataclasses.replace(FAST, width=64, height=64,
+                                   quality=40)
+        r = Renderer(g, prof)
+        assert r.op_bits > 0          # the extended-record path is on
+        h_whole, _ = r.accumulate(0.0, seed=4)
+        h_striped, _ = r.accumulate_striped(0.0, seed=4, n_stripes=3)
+        np.testing.assert_array_equal(np.asarray(h_whole)[:-1],
+                                      np.asarray(h_striped)[:-1])
