@@ -770,3 +770,36 @@ class TestStripedOpacity:
         h_striped, _ = r.accumulate_striped(0.0, seed=4, n_stripes=3)
         np.testing.assert_array_equal(np.asarray(h_whole)[:-1],
                                       np.asarray(h_striped)[:-1])
+
+    def test_striped_pallas_win_matches_striped_scatter(self):
+        """The binding-config composition (striping + the windowed
+        Pallas flush) must agree with scatter striping on the full
+        histogram (interpret mode on CPU)."""
+        g = sierpinski()
+        prof_s = dataclasses.replace(FAST, width=64, height=64,
+                                     quality=30)
+        prof_w = dataclasses.replace(prof_s, hist_backend="pallas_win")
+        h_s, _ = Renderer(g, prof_s).accumulate_striped(
+            0.0, seed=4, n_stripes=2)
+        h_w, _ = Renderer(g, prof_w).accumulate_striped(
+            0.0, seed=4, n_stripes=2)
+        a, b = np.asarray(h_s)[:-1], np.asarray(h_w)[:-1]
+        # density is exact; rgb differs only by the backends' palette
+        # quantization (pallas_win caps color coords at 8 bits,
+        # scatter packs 10)
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        np.testing.assert_allclose(a[:, :3], b[:, :3],
+                                   rtol=5e-3, atol=5e-3 * a[:, 3:].max())
+
+    def test_striped_temporal_matches_whole_frame(self):
+        """Motion blur under striping: temporal samples + tile_row0
+        must partition exactly like the whole-frame temporal render."""
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, width=64, height=64,
+                                   quality=30, temporal_samples=3)
+        r = Renderer(g, prof)
+        h_whole, _ = r.accumulate(0.5, seed=6)
+        h_striped, _ = r.accumulate_striped(0.5, seed=6, n_stripes=2)
+        np.testing.assert_allclose(np.asarray(h_whole)[:-1],
+                                   np.asarray(h_striped)[:-1],
+                                   rtol=1e-5, atol=1e-4)
