@@ -738,6 +738,16 @@ class TestExamples:
         assert (tmp_path / "a.y4m").read_bytes().startswith(
             b"YUV4MPEG2")
 
+    def test_sequence_example(self, tmp_path, monkeypatch):
+        import runpy
+        import sys
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", ["06_sequence.py", "s.y4m"])
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "06_sequence.py"),
+                       run_name="__main__")
+        assert (tmp_path / "s.y4m").exists()
+
     def test_multichip_example(self, tmp_path, monkeypatch):
         import jax
         if len(jax.devices()) < 2:
