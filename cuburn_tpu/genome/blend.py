@@ -282,6 +282,11 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         estimator_radius=tv(lambda g: g.estimator_radius),
         estimator_minimum=tv(lambda g: g.estimator_minimum),
         estimator_curve=tv(lambda g: g.estimator_curve),
+        # filter-shape strings can't interpolate; carry endpoint a's
+        spatial_filter_shape=a.spatial_filter_shape,
+        temporal_filter_type=a.temporal_filter_type,
+        temporal_filter_width=tv(lambda g: g.temporal_filter_width),
+        temporal_filter_exp=tv(lambda g: g.temporal_filter_exp),
         size=a.size,
         name=name or f"{a.name}=>{b.name}",
         time_range=(0.0, 1.0),

@@ -468,3 +468,23 @@ class TestHarmonize:
         assert all(v(0) == 1.0 for row in ha.xaos for v in row)
         # b keeps its real xaos
         assert hb.xaos[0][1](0) == 0.5
+
+
+def test_blend_carries_filter_settings():
+    """Edge genomes must inherit filter-shape/temporal-filter settings
+    instead of resetting them to defaults."""
+    from cuburn_tpu.genome.blend import blend_genomes
+    from cuburn_tpu.genome.specs import Genome, XForm
+    pal = [(0.0, np.zeros((256, 3)))]
+    a = Genome(xforms=[XForm(weight=1, vars={"linear": 1.0})],
+               spatial_filter_shape="mitchell",
+               temporal_filter_type="gaussian",
+               temporal_filter_width=1.5,
+               palettes=pal, name="a")
+    b = Genome(xforms=[XForm(weight=1, vars={"linear": 1.0})],
+               temporal_filter_width=0.5, palettes=pal, name="b")
+    edge = blend_genomes(a, b)
+    assert edge.spatial_filter_shape == "mitchell"
+    assert edge.temporal_filter_type == "gaussian"
+    assert edge.temporal_filter_width(0.0) == pytest.approx(1.5)
+    assert edge.temporal_filter_width(1.0) == pytest.approx(0.5)
