@@ -411,7 +411,11 @@ def harmonize_structures(genomes):
     added.  NOTE: adding a zero-weight STOCHASTIC variation still
     consumes RNG draws per iteration, so harmonized renders of
     genomes that lacked it are statistically identical but not
-    bit-identical to their unharmonized renders.
+    bit-identical to their unharmonized renders.  Also, padding the
+    xform count can push genomes with non-unit opacities past
+    opacity_bits_for's per-frame-size xform limit, dropping them off
+    the packed fast path — pass harmonize=False to blend_sequence if
+    that trade is wrong for your workload.
 
     Returns new genomes (inputs are not mutated)."""
     import copy
@@ -433,10 +437,16 @@ def harmonize_structures(genomes):
             final_post = final_post or g.final_xform.post is not None
     if not all_vars:
         all_vars = {"linear"}
+    if any(len(g.xforms) < n for g in gs):
+        # xform-count padding appends identity (linear) xforms, so
+        # linear must join everyone's union or keys still differ
+        all_vars = all_vars | {"linear"}
     if any_final and (not final_vars
-                      or any(g.final_xform is None for g in gs)):
-        # genomes lacking a final get an identity (linear) one, so
-        # linear joins the target final union for everyone
+                      or any(g.final_xform is None
+                             or not g.final_xform.vars for g in gs)):
+        # genomes lacking a final get an identity (linear) one, and a
+        # final with EMPTY vars means implicit linear — both put
+        # linear into the target final union
         final_vars = final_vars | {"linear"}
 
     for g in gs:
@@ -470,7 +480,11 @@ def harmonize_structures(genomes):
                                       affine=IDENTITY_AFFINE,
                                       vars={"linear": 1.0})
             fx = g.final_xform
-            fmissing = final_vars - set(fx.vars or {"linear"})
+            if not fx.vars:
+                # materialize the implicit linear BEFORE padding: a
+                # non-empty vars dict without it would zero the map
+                fx.vars = {"linear": Spline(1.0)}
+            fmissing = final_vars - set(fx.vars)
             if fmissing:
                 fx.vars = dict(fx.vars)
                 for name in sorted(fmissing):

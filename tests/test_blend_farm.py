@@ -381,8 +381,14 @@ class TestFarmCLI:
 
             th = threading.Thread(target=client, daemon=True)
             th.start()
+            # wait until the client's submit actually landed (the
+            # worker exits immediately on an empty queue when
+            # --max-tasks is set)
             import time as _t
-            _t.sleep(0.5)              # let the client submit first
+            deadline = _t.time() + 30
+            while not srv.state.tasks and _t.time() < deadline:
+                _t.sleep(0.05)
+            assert srv.state.tasks, "client never submitted"
             rc = _main(["worker", addr, "--max-tasks", "2"])
             assert rc == 0
             th.join(timeout=120)
@@ -442,8 +448,9 @@ class TestHarmonize:
         a, b, c = self._genomes()
         edge = blend_genomes(a, b)
         [h] = harmonize_structures([edge])
-        # harmonizing one genome against itself is a no-op; harmonize
-        # against c's union to actually add padding
+        # harmonizing a genome alone is a no-op
+        assert h.structure_key() == edge.structure_key()
+        # harmonize against c's union to actually add padding
         h2, _ = harmonize_structures([edge, c])
         assert "sinusoidal" in h2.structure_key().variations
         prof = RenderProfile(width=48, height=48, quality=25,
@@ -452,6 +459,45 @@ class TestHarmonize:
         img_raw, _ = Renderer(edge, prof).render_frame(0.5, seed=6)
         img_h, _ = Renderer(h2, prof).render_frame(0.5, seed=6)
         np.testing.assert_array_equal(img_raw, img_h)
+
+
+
+    def test_padding_injects_linear_into_every_union(self):
+        """Xform-count padding adds identity (linear) xforms, so
+        linear must enter EVERY genome's union or keys still differ
+        (review repro: 2-xform no-linear vs 1-xform genomes)."""
+        from cuburn_tpu.genome.blend import harmonize_structures
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = [(0.0, np.zeros((256, 3)))]
+        b = Genome(xforms=[
+            XForm(weight=1.0, vars={"spherical": 1.0}),
+            XForm(weight=0.5, vars={"swirl": 0.5})],
+            palettes=pal, name="b")
+        c = Genome(xforms=[XForm(weight=1.0,
+                                 vars={"sinusoidal": 1.0})],
+                   palettes=pal, name="c")
+        hb, hc = harmonize_structures([b, c])
+        assert hb.structure_key() == hc.structure_key()
+        assert "linear" in hb.structure_key().variations
+
+    def test_empty_vars_final_keeps_implicit_linear(self):
+        """A final xform with EMPTY vars is an implicit linear map;
+        harmonization must materialize it, not zero it out (review
+        repro: final weights went [1.] -> [0.])."""
+        from cuburn_tpu.genome.blend import harmonize_structures
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = [(0.0, np.zeros((256, 3)))]
+        g1 = Genome(xforms=[XForm(weight=1.0, vars={"linear": 1.0})],
+                    final_xform=XForm(affine=(0.9, 0, 0, 0, 0.9, 0)),
+                    palettes=pal, name="g1")
+        g2 = Genome(xforms=[XForm(weight=1.0, vars={"linear": 1.0})],
+                    final_xform=XForm(vars={"bubble": 1.0}),
+                    palettes=pal, name="g2")
+        h1, h2 = harmonize_structures([g1, g2])
+        assert h1.structure_key() == h2.structure_key()
+        assert h1.final_xform.vars["linear"](0.0) == 1.0
+        p = h1.eval_at(0.0)
+        assert p.final_var_weights.max() == 1.0   # not a zero map
 
     def test_harmonize_preserves_values(self):
         from cuburn_tpu.genome.blend import harmonize_structures
