@@ -251,8 +251,19 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
 
     final = None
     if a.final_xform is not None or b.final_xform is not None:
-        fa = a.final_xform or _identity_xform()
-        fb = b.final_xform or _identity_xform()
+        def _final_for_blend(fx):
+            if fx is None:
+                return _identity_xform()
+            if not fx.vars:
+                # empty vars = implicit linear (Genome.eval_at); the
+                # union-fade below needs it explicit or the blended
+                # final zeroes out at this endpoint
+                import copy
+                fx = copy.deepcopy(fx)
+                fx.vars = {"linear": Spline(1.0)}
+            return fx
+        fa = _final_for_blend(a.final_xform)
+        fb = _final_for_blend(b.final_xform)
         final = _blend_xform(fa, fb, t_a, t_b)
 
     # camera rotation takes the short way plus requested spins

@@ -534,3 +534,24 @@ def test_blend_carries_filter_settings():
     assert edge.temporal_filter_type == "gaussian"
     assert edge.temporal_filter_width(0.0) == pytest.approx(1.5)
     assert edge.temporal_filter_width(1.0) == pytest.approx(0.5)
+
+
+def test_blend_empty_vars_final_keeps_linear():
+    """Blending against a final xform with EMPTY vars (implicit
+    linear): the edge's final must fade linear 1 -> 0, not start as a
+    zero map at t=0."""
+    from cuburn_tpu.genome.blend import blend_genomes
+    from cuburn_tpu.genome.specs import Genome, XForm
+    pal = [(0.0, np.zeros((256, 3)))]
+    a = Genome(xforms=[XForm(weight=1, vars={"linear": 1.0})],
+               final_xform=XForm(affine=(0.8, 0, 0, 0, 0.8, 0)),
+               palettes=pal, name="a")
+    b = Genome(xforms=[XForm(weight=1, vars={"linear": 1.0})],
+               final_xform=XForm(vars={"bubble": 1.0}),
+               palettes=pal, name="b")
+    edge = blend_genomes(a, b)
+    assert edge.final_xform.vars["linear"](0.0) == pytest.approx(1.0)
+    assert edge.final_xform.vars["linear"](1.0) == pytest.approx(0.0)
+    assert edge.final_xform.vars["bubble"](1.0) == pytest.approx(1.0)
+    p0 = edge.eval_at(0.0)
+    assert p0.final_var_weights.max() == pytest.approx(1.0)
