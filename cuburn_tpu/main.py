@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blend", metavar="GENOME2",
                    help="build an animated edge genome sweeping from "
                         "GENOME to GENOME2 (use with --animate)")
+    p.add_argument("--no-harmonize", action="store_true",
+                   help="skip sequence structure harmonization (one "
+                        "compile per edge instead of one total; keeps "
+                        "packed opacity records when padding would "
+                        "overflow their bit budget)")
     p.add_argument("--loops", type=float, default=0.0,
                    help="insert a loop segment per keyframe in"
                         " sequences: animate-flagged xforms spin this"
@@ -169,7 +174,8 @@ def main(argv=None) -> int:
         if len(all_genomes) > 1:
             from cuburn_tpu.genome.blend import blend_sequence
             sequence = blend_sequence(all_genomes, spin=args.blend_spin,
-                                      loops=args.loops)
+                                      loops=args.loops,
+                                      harmonize=not args.no_harmonize)
 
     if args.convert:
         print(genome.to_json())

@@ -41,8 +41,13 @@ def test_eval_packed_matches_host_spline():
                                    atol=2e-5)
 
 
+def _kaleido():
+    from cuburn_tpu.models import get_genome
+    return get_genome("kaleido")
+
+
 @pytest.mark.parametrize("make", [sierpinski, full_feature,
-                                  animated_spark])
+                                  animated_spark, _kaleido])
 def test_pack_genome_matches_eval_at(make):
     g = make()
     packed = pack_genome(g)
