@@ -813,3 +813,40 @@ class TestStripedOpacity:
         np.testing.assert_allclose(np.asarray(h_whole)[:-1],
                                    np.asarray(h_striped)[:-1],
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestAdversarialGenomes:
+    """Badvalue respawn under duress: extreme parameters and expanding
+    affines must never leak non-finite values into the image."""
+
+    @pytest.mark.parametrize("seed", [2, 5])
+    def test_extreme_params_render_finite(self, seed):
+        from cuburn_tpu.genome.randgen import random_genome
+        from cuburn_tpu.genome.spline import Spline
+        g = random_genome(seed, size=(48, 48))
+        for xf in g.xforms:
+            xf.params = {k: Spline(float(v(0.0)) * 10.0)
+                         for k, v in xf.params.items()}
+            xf.__post_init__()
+        prof = dataclasses.replace(FAST, width=48, height=48,
+                                   quality=25)
+        img, stats = Renderer(g, prof).render_frame(0.0, seed=seed)
+        assert np.isfinite(img.astype(np.float64)).all()
+
+    def test_expanding_affine_respawns(self):
+        """An IFS with an EXPANDING xform flings points to infinity;
+        respawn must keep the render alive and the junk bin absorbs
+        the escapees."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        g = Genome(xforms=[
+            XForm(weight=1.0, vars={"linear": 1.0},
+                  affine=(3.0, 0.0, 0.1, 0.0, 3.0, 0.1)),   # expands
+            XForm(weight=1.0, vars={"spherical": 1.0},
+                  affine=(0.5, 0, 0.2, 0, 0.5, 0.1)),
+        ], palettes=[(0.0, np.ones((256, 3)))], name="exploder")
+        prof = dataclasses.replace(FAST, width=48, height=48,
+                                   quality=30)
+        hist, stats = Renderer(g, prof).accumulate(0.0, seed=3)
+        h = np.asarray(hist)
+        assert np.isfinite(h).all()
+        assert h[:, 3].sum() > 0         # the render survived
