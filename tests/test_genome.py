@@ -536,3 +536,22 @@ class TestRoundTripProperties:
                                    atol=1.5 / 255)
         np.testing.assert_allclose(float(p1.ppu), float(p2.ppu),
                                    rtol=1e-5)
+
+
+def test_many_xform_genome_renders():
+    """40 xforms through the one-hot parameter fetch and CDF selection
+    (the (B,N)@(N,K) matmul path must scale past toy xform counts)."""
+    from cuburn_tpu.profile import RenderProfile
+    from cuburn_tpu.render import Renderer
+    xml = ('<flame name="many" size="64 64" scale="22" filter="0">'
+           '<xform weight="1" coefs="0.5 0 0 0.5 0.4 0.1" '
+           'spherical="0.8" linear="0.2"/>'
+           '<symmetry kind="40"/></flame>')
+    [g] = convert.parse_flam3(xml)
+    assert len(g.xforms) == 40
+    prof = RenderProfile(width=64, height=64, quality=30, batch=2048,
+                         iters_per_chunk=8, fuse=16,
+                         hist_backend="scatter", de_enabled=False)
+    hist, stats = Renderer(g, prof).accumulate(0.0, seed=1)
+    h = np.asarray(hist)
+    assert np.isfinite(h).all() and h[:-1, 3].sum() > 0
