@@ -850,3 +850,18 @@ class TestAdversarialGenomes:
         h = np.asarray(hist)
         assert np.isfinite(h).all()
         assert h[:, 3].sum() > 0         # the render survived
+
+    def test_rotated_striping_bitexact(self):
+        """Camera rotation happens in full-frame coordinates before the
+        stripe offset subtraction — rotated frames must stripe exactly
+        like unrotated ones."""
+        from cuburn_tpu.genome.spline import Spline
+        g = classic_swirl()
+        g.rotate = Spline(33.0)
+        prof = dataclasses.replace(FAST, width=64, height=64,
+                                   quality=30)
+        r = Renderer(g, prof)
+        h_whole, _ = r.accumulate(0.0, seed=4)
+        h_str, _ = r.accumulate_striped(0.0, seed=4, n_stripes=3)
+        np.testing.assert_array_equal(np.asarray(h_whole)[:-1],
+                                      np.asarray(h_str)[:-1])
