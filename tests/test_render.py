@@ -865,3 +865,16 @@ class TestAdversarialGenomes:
         h_str, _ = r.accumulate_striped(0.0, seed=4, n_stripes=3)
         np.testing.assert_array_equal(np.asarray(h_whole)[:-1],
                                       np.asarray(h_str)[:-1])
+
+    def test_transparent_banded_finalize_bitexact(self):
+        from cuburn_tpu.genome.spline import Spline
+        g = classic_swirl()
+        g.estimator_radius = Spline(4.0)
+        prof = dataclasses.replace(FAST, width=64, height=64,
+                                   quality=40, ss=2, de_enabled=True,
+                                   transparent=True)
+        r = Renderer(g, prof)
+        hist, _ = r.accumulate(0.0, seed=3)
+        whole = r.finalize_frame(hist, 0.0)
+        banded = r.finalize_frame_banded(hist, 0.0, n_bands=3)
+        assert np.abs(whole.astype(int) - banded.astype(int)).max() <= 1
