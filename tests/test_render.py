@@ -878,3 +878,16 @@ class TestAdversarialGenomes:
         whole = r.finalize_frame(hist, 0.0)
         banded = r.finalize_frame_banded(hist, 0.0, n_bands=3)
         assert np.abs(whole.astype(int) - banded.astype(int)).max() <= 1
+
+    def test_sortcum_backend_render(self):
+        """The sort-free prefix-sum backend end to end: equal mass,
+        values within its documented cumsum-roundoff bound."""
+        g = sierpinski()
+        prof_s = dataclasses.replace(FAST, width=64, height=64,
+                                     quality=30)
+        prof_c = dataclasses.replace(prof_s, hist_backend="sortcum")
+        h_s, _ = Renderer(g, prof_s).accumulate(0.0, seed=4)
+        h_c, _ = Renderer(g, prof_c).accumulate(0.0, seed=4)
+        a, b = np.asarray(h_s), np.asarray(h_c)
+        assert a[:, 3].sum() == b[:, 3].sum()
+        assert np.abs(a - b).max() < 0.5
