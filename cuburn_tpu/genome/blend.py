@@ -32,6 +32,19 @@ from cuburn_tpu.genome.spline import Spline
 from cuburn_tpu.genome.variations import VARIATION_PARAMS
 
 
+def _materialize_implicit_linear(fx: XForm) -> XForm:
+    """flam3 rule: a final xform with EMPTY vars is an implicit
+    linear map (Genome.eval_at's fallback); any code about to ADD
+    variation entries must make that explicit first or the final
+    zeroes out.  Returns a copy when materialization was needed."""
+    if fx.vars:
+        return fx
+    import copy
+    fx = copy.deepcopy(fx)
+    fx.vars = {"linear": Spline(1.0)}
+    return fx
+
+
 def _identity_xform() -> XForm:
     return XForm(weight=0.0, color=0.0, color_speed=0.0, opacity=1.0,
                  affine=IDENTITY_AFFINE, vars={"linear": 1.0})
@@ -254,14 +267,7 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         def _final_for_blend(fx):
             if fx is None:
                 return _identity_xform()
-            if not fx.vars:
-                # empty vars = implicit linear (Genome.eval_at); the
-                # union-fade below needs it explicit or the blended
-                # final zeroes out at this endpoint
-                import copy
-                fx = copy.deepcopy(fx)
-                fx.vars = {"linear": Spline(1.0)}
-            return fx
+            return _materialize_implicit_linear(fx)
         fa = _final_for_blend(a.final_xform)
         fb = _final_for_blend(b.final_xform)
         final = _blend_xform(fa, fb, t_a, t_b)
@@ -490,11 +496,9 @@ def harmonize_structures(genomes):
                 g.final_xform = XForm(color=0.0, color_speed=0.0,
                                       affine=IDENTITY_AFFINE,
                                       vars={"linear": 1.0})
+            g.final_xform = _materialize_implicit_linear(
+                g.final_xform)
             fx = g.final_xform
-            if not fx.vars:
-                # materialize the implicit linear BEFORE padding: a
-                # non-empty vars dict without it would zero the map
-                fx.vars = {"linear": Spline(1.0)}
             fmissing = final_vars - set(fx.vars)
             if fmissing:
                 fx.vars = dict(fx.vars)

@@ -156,7 +156,14 @@ def mutate(genome: Genome, seed: int, kind: str = None) -> Genome:
             int(rng.randint(0, 1 << 16))))]
     elif kind == "variation":
         from cuburn_tpu.genome.variations import VARIATION_PARAMS
-        xf = out.xforms[int(rng.randint(len(out.xforms)))]
+        # pick an xform that still has room; if every xform already
+        # carries the whole safe set, degrade to an affine jitter
+        # instead of crashing
+        open_xfs = [x for x in out.xforms
+                    if any(v not in x.vars for v in _SAFE_VARS)]
+        if not open_xfs:
+            return mutate(genome, seed, "affine")
+        xf = open_xfs[int(rng.randint(len(open_xfs)))]
         name = str(rng.choice(
             [v for v in _SAFE_VARS if v not in xf.vars]))
         xf.vars = dict(xf.vars)

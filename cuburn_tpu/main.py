@@ -222,12 +222,10 @@ def main(argv=None) -> int:
         t0 = time.time()
 
         def run_frames(r, seed):
-            if (args.stripes and args.stripes > 1) or \
-                    (args.bands and args.bands > 1):
-                return r.frames_partitioned(
-                    seed=seed, n_stripes=args.stripes,
-                    n_bands=args.bands)
-            return r.frames(seed=seed)
+            # frames_partitioned degenerates to frames() when neither
+            # partition count exceeds 1
+            return r.frames_partitioned(
+                seed=seed, n_stripes=args.stripes, n_bands=args.bands)
 
         def frame_iter():
             if sequence is None:

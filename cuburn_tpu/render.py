@@ -557,7 +557,9 @@ class Renderer:
         prof = self.profile
         t0, t1 = self.genome.time_range
         if prof.duration is not None:
-            n_frames = int(round(prof.duration * prof.fps))
+            # max(1, ...): a sub-frame duration still renders one
+            # frame (matching frame_dt), never a silent empty video
+            n_frames = max(1, int(round(prof.duration * prof.fps)))
         else:
             n_frames = max(1, int(round((t1 - t0) * prof.fps)))
         return [(i, t0 + (t1 - t0) * (i / max(n_frames - 1, 1))

@@ -555,3 +555,17 @@ def test_blend_empty_vars_final_keeps_linear():
     assert edge.final_xform.vars["bubble"](1.0) == pytest.approx(1.0)
     p0 = edge.eval_at(0.0)
     assert p0.final_var_weights.max() == pytest.approx(1.0)
+
+
+def test_mutate_variation_saturated_degrades_gracefully():
+    """When every xform already carries the whole safe variation set,
+    a 'variation' mutation falls back to an affine jitter instead of
+    crashing (review finding)."""
+    from cuburn_tpu.genome.randgen import _SAFE_VARS, mutate
+    from cuburn_tpu.genome.specs import Genome, XForm
+    g = Genome(xforms=[XForm(weight=1.0,
+                             vars={v: 0.01 for v in _SAFE_VARS})],
+               palettes=[(0.0, np.zeros((256, 3)))], name="full")
+    m = mutate(g, 3, "variation")
+    assert "affine" in m.name
+    assert m.xforms[0].affine[0](0) != g.xforms[0].affine[0](0)

@@ -891,3 +891,11 @@ class TestAdversarialGenomes:
         a, b = np.asarray(h_s), np.asarray(h_c)
         assert a[:, 3].sum() == b[:, 3].sum()
         assert np.abs(a - b).max() < 0.5
+
+    def test_subframe_duration_still_renders_one_frame(self):
+        """duration*fps rounding to 0 must yield ONE frame, not a
+        silent empty animation (review finding)."""
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, fps=4.0, duration=0.1)
+        frames = list(Renderer(g, prof).frames(seed=1))
+        assert len(frames) == 1
