@@ -26,6 +26,7 @@ import numpy as np
 
 from cuburn_tpu.genome.spline import Spline, spline
 from cuburn_tpu.genome.variations import (
+    PARAM_DEFAULTS,
     VARIATION_PARAMS,
     is_variation,
 )
@@ -74,6 +75,10 @@ class XForm:
             if not is_variation(name):
                 raise ValueError(f"unknown variation {name!r}")
         self.vars = {k: spline(v) for k, v in self.vars.items()}
+        for attr in self.params:
+            if attr not in PARAM_DEFAULTS:
+                raise ValueError(
+                    f"unknown variation parameter {attr!r}")
         self.params = {k: spline(v) for k, v in self.params.items()}
 
     def param(self, attr: str, t: float) -> float:
@@ -81,11 +86,7 @@ class XForm:
         flam3 default."""
         if attr in self.params:
             return self.params[attr](t)
-        for var, pairs in VARIATION_PARAMS.items():
-            for name, default in pairs:
-                if name == attr:
-                    return default
-        raise KeyError(attr)
+        return PARAM_DEFAULTS[attr]
 
 
 # --------------------------------------------------------------------------
@@ -290,7 +291,9 @@ class Genome:
     def structure_key(self) -> StructureKey:
         union = set()
         for xf in self.xforms:
-            union.update(xf.vars)
+            # an xform with EMPTY vars is an implicit linear map (the
+            # same rule eval_at applies to vars-less final xforms)
+            union.update(xf.vars or {"linear"})
         if not union:
             union = {"linear"}
         fx = self.final_xform
@@ -328,6 +331,12 @@ class Genome:
         V = len(key.variations)
         var_weights = np.zeros((n, V), dtype=f32)
         for i, xf in enumerate(self.xforms):
+            if not xf.vars:
+                # implicit linear (see structure_key): without this
+                # the row is all-zero and the xform collapses every
+                # point to its post-affine origin
+                var_weights[i, key.variations.index("linear")] = 1.0
+                continue
             for j, vname in enumerate(key.variations):
                 if vname in xf.vars:
                     var_weights[i, j] = xf.vars[vname](t)

@@ -53,6 +53,8 @@ class Spline:
                 arr = arr.reshape(-1, 2)
         elif arr.ndim != 2 or arr.shape[1] != 2:
             raise ValueError(f"bad knot shape {arr.shape}")
+        if arr.shape[0] == 0:
+            raise ValueError("spline needs at least one knot")
         order = np.argsort(arr[:, 0], kind="stable")
         self.knots = arr[order]
 

@@ -121,3 +121,10 @@ def param_defaults(var: str):
 
 def is_variation(name: str) -> bool:
     return name in VARIATION_PARAMS
+
+
+# flat attr -> flam3 default, for O(1) fallback lookup (every attr name
+# is globally unique across variations)
+PARAM_DEFAULTS = {attr: default
+                  for pairs in VARIATION_PARAMS.values()
+                  for attr, default in pairs}

@@ -12,9 +12,11 @@ against each other:
     address, per-channel prefix sums, then per-bin range-difference via
     the monotone-fill trick.  All vectorized XLA ops; no data-dependent
     scatter at all.  Error bounded by cumsum roundoff (see note below).
-  * `pallas`   — fused Pallas kernel (ops/pallas_hist.py), the
-    performance path prescribed by BASELINE.json ("tile-local VMEM
-    accumulation with key-sort + segment-sum flushes").
+  * pallas backends — the Pallas kernels of ops/pallas_hist.py
+    (`pallas`, `pallas_merged`, and the default-on-TPU performance
+    path `pallas_win`) are dispatched inside ops/iterate.py's flush
+    loop (they consume packed records, not (addr, rgba) rows), so
+    they are NOT in this module's get_backend registry.
 
 The histogram layout is (n_bins + 1, 4) float32: RGB + density, with a
 junk bin at index n_bins receiving masked/out-of-bounds points

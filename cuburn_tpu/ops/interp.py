@@ -144,8 +144,10 @@ def pack_genome(genome: Genome) -> PackedGenome:
     idx["opacity"] = [reg(xf.opacity) for xf in genome.xforms]
 
     V = len(key.variations)
+    # empty vars = implicit linear weight 1 (Genome.eval_at's rule)
     idx["var_weights"] = [
-        [reg(xf.vars[v]) if v in xf.vars else const(0.0)
+        [reg(xf.vars[v]) if v in xf.vars
+         else const(1.0 if (not xf.vars and v == "linear") else 0.0)
          for v in key.variations]
         for xf in genome.xforms]
     slots = key.param_slots

@@ -57,12 +57,19 @@ class Y4MSink:
             self.stream = stream_or_path
             self._own = False
         num = int(round(fps * 1000))
+        # XCOLORRANGE=FULL: the frames are full-range BT.601; without
+        # the param decoders assume limited range and crush contrast
         self.stream.write(
-            f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 C444\n"
-            .encode())
+            f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 C444 "
+            f"XCOLORRANGE=FULL\n".encode())
 
     def write_frame(self, img: np.ndarray):
         arr = np.ascontiguousarray(img, dtype=np.uint8)
+        if arr.ndim == 3 and arr.shape[2] == 3:
+            # native path needs RGBA; accept RGB on both paths alike
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)],
+                axis=2)
         h, w = arr.shape[:2]
         self.stream.write(b"FRAME\n")
         if _fastout is not None:
@@ -92,19 +99,40 @@ class FFmpegSink:
 
     def __init__(self, path: str, width: int, height: int,
                  fps: float = 24.0, codec: str = "libx264"):
+        import tempfile
+        self.path = path
+        self._err = tempfile.TemporaryFile()
         self.proc = subprocess.Popen(
             ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgba",
              "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
              "-an", "-c:v", codec, "-pix_fmt", "yuv420p", path],
             stdin=subprocess.PIPE,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            stdout=subprocess.DEVNULL, stderr=self._err)
 
     def write_frame(self, img: np.ndarray):
-        self.proc.stdin.write(np.asarray(img, np.uint8).tobytes())
+        try:
+            self.proc.stdin.write(np.asarray(img, np.uint8).tobytes())
+        except BrokenPipeError:
+            raise RuntimeError(
+                f"ffmpeg died while encoding {self.path}:\n"
+                + self._err_tail())
+
+    def _err_tail(self) -> str:
+        try:
+            self._err.seek(0)
+            return self._err.read().decode(
+                errors="replace")[-2000:]
+        except Exception:
+            return "(stderr unavailable)"
 
     def close(self):
         self.proc.stdin.close()
-        self.proc.wait()
+        rc = self.proc.wait()
+        tail = self._err_tail()
+        self._err.close()
+        if rc != 0:
+            raise RuntimeError(
+                f"ffmpeg exited with {rc} for {self.path}:\n{tail}")
 
 
 def make_video_sink(path: str, width: int, height: int, fps: float):

@@ -22,7 +22,7 @@ class RenderProfile:
     fuse: int = 32               # warmup iterations before plotting
     batch: int = 1 << 17         # trajectories advanced in lockstep
     iters_per_chunk: int = 32    # scan length between histogram flushes
-    hist_backend: str = "auto"   # auto | scatter | sortcum | pallas
+    hist_backend: str = "auto"   # auto | scatter | sortcum | pallas | pallas_merged | pallas_win (auto picks pallas_win on TPU)
     de_enabled: bool = True
     transparent: bool = False
     fps: float = 24.0

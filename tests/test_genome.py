@@ -555,3 +555,64 @@ def test_many_xform_genome_renders():
     hist, stats = Renderer(g, prof).accumulate(0.0, seed=1)
     h = np.asarray(hist)
     assert np.isfinite(h).all() and h[:-1, 3].sum() > 0
+
+
+class TestImplicitLinearXform:
+    """An xform with EMPTY vars is an implicit linear map (matching the
+    final-xform rule); review repro showed it previously collapsed
+    every point to its post-affine origin."""
+
+    def test_eval_at_gives_linear_weight(self):
+        g = Genome(xforms=[XForm()])
+        assert g.structure_key().variations == ("linear",)
+        p = g.eval_at(0.0)
+        np.testing.assert_array_equal(p.var_weights, [[1.0]])
+
+    def test_mixed_genome_union_includes_linear(self):
+        g = Genome(xforms=[
+            XForm(vars={"spherical": 1.0}),
+            XForm(affine=(0.5, 0, 0.3, 0, 0.5, 0.1)),   # vars-less
+        ])
+        key = g.structure_key()
+        assert "linear" in key.variations
+        p = g.eval_at(0.0)
+        j = key.variations.index("linear")
+        assert p.var_weights[1, j] == 1.0
+        assert p.var_weights[0, j] == 0.0
+
+    def test_packed_interp_matches(self):
+        from cuburn_tpu.ops.interp import pack_genome
+        g = Genome(xforms=[
+            XForm(vars={"spherical": 1.0}),
+            XForm(affine=(0.5, 0, 0.3, 0, 0.5, 0.1)),
+        ], palettes=[(0.0, np.zeros((256, 3)))])
+        pk = pack_genome(g)
+        pT = pk.eval_params(np.asarray([0.0], np.float32))
+        np.testing.assert_allclose(np.asarray(pT.var_weights)[0],
+                                   g.eval_at(0.0).var_weights)
+
+    def test_renders_the_attractor_not_a_dot(self):
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g = Genome(xforms=[
+            XForm(weight=1.0, affine=(0.5, 0, 0.5, 0, 0.5, 0.0)),
+            XForm(weight=1.0, affine=(0.5, 0, -0.5, 0, 0.5, 0.0)),
+            XForm(weight=1.0, affine=(0.5, 0, 0.0, 0, 0.5, 0.5)),
+        ], scale=180.0, size=(64, 64),
+            palettes=[(0.0, np.ones((256, 3)))], name="pure_affine")
+        prof = RenderProfile(width=64, height=64, quality=40,
+                             batch=2048, iters_per_chunk=8, fuse=16,
+                             hist_backend="scatter", de_enabled=False)
+        hist, _ = Renderer(g, prof).accumulate(0.0, seed=2)
+        d = np.asarray(hist)[:-1, 3]
+        assert (d > 0).sum() > 100     # a gasket, not a single dot
+
+
+def test_param_typo_rejected():
+    with pytest.raises(ValueError, match="unknown variation parameter"):
+        XForm(vars={"julian": 1.0}, params={"julain_power": 3.0})
+
+
+def test_empty_spline_rejected():
+    with pytest.raises(ValueError, match="at least one knot"):
+        Spline([])
