@@ -7,9 +7,11 @@ network sorts packed u32 records so the histogram flush can merge
 duplicate records (hot pixels — the exact contention the reference
 engineered against) before touching memory.
 
-Why not `jax.lax.sort`?  On TPU it lowers to a scalar-heavy path
-measured ~2 M elem/s in this environment — ~100x below what the VPU can
-do.  The XOR-partner bitonic network below uses only `jnp.roll`,
+Why not `jax.lax.sort`?  Chained round-2 remeasurement (CLAUDE.md;
+the round-1 ~2 M elem/s figure was execution-cache-tainted) puts it at
+~25-30 M rec/s on the dev chip vs this network's ~35-58 M — a real but
+modest edge here; re-race both on real silicon (docs/ROADMAP.md).
+The XOR-partner bitonic network below uses only `jnp.roll`,
 compares and selects (~14 element-ops per substage), runs entirely on
 vector lanes, and the identical code works inside Pallas kernels (roll
 and select are Mosaic-supported), which is where round-2's fully fused

@@ -469,7 +469,10 @@ def v_blade(c, w, P):
 @variation("secant2")
 def v_secant2(c, w, P):
     cr = jnp.cos(w * c.r)
-    icr = 1.0 / jnp.where(jnp.abs(cr) < EPS, EPS, cr)
+    # sign-preserving guard: +EPS for a near-zero NEGATIVE cos would
+    # flip the pole's direction vs flam3
+    safe = jnp.where(cr < 0.0, -EPS, EPS)
+    icr = 1.0 / jnp.where(jnp.abs(cr) < EPS, safe, cr)
     dy = jnp.where(cr < 0.0, w * (icr + 1.0), w * (icr - 1.0))
     return w * c.tx, dy
 
@@ -874,7 +877,8 @@ def v_wedge_sph(c, w, P):
 def v_whorl(c, w, P):
     inside, outside = P("whorl_inside"), P("whorl_outside")
     denom = w - c.r
-    denom = jnp.where(jnp.abs(denom) < EPS, EPS, denom)
+    denom = jnp.where(jnp.abs(denom) < EPS,
+                      jnp.where(denom < 0.0, -EPS, EPS), denom)
     a = c.atanyx + jnp.where(c.r < w, inside / denom, outside / denom)
     return w * c.r * jnp.cos(a), w * c.r * jnp.sin(a)
 

@@ -27,10 +27,14 @@ def hard_sync(x) -> float:
     read back — a 4-byte transfer instead of the whole array, so
     syncing a multi-MB histogram doesn't cost a multi-second D2H copy
     on the tunneled dev chip."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    if isinstance(leaf, jax.Array):
-        return float(jax.device_get(leaf.ravel()[0]))
-    return float(np.asarray(leaf).ravel()[0])
+    # sync EVERY leaf: different leaves may come from different
+    # dispatches, and only a leaf's own readback is ordered after its
+    # producers by data dependence.  One batched device_get keeps it a
+    # single host round-trip regardless of leaf count.
+    scalars = [leaf.ravel()[0] if isinstance(leaf, jax.Array)
+               else np.asarray(leaf).ravel()[0]
+               for leaf in jax.tree_util.tree_leaves(x)]
+    return float(sum(float(v) for v in jax.device_get(scalars)))
 
 
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
@@ -39,13 +43,15 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
 
     If `chain` is given, it maps (prev_output, args) -> next args so
     successive calls are data-dependent (defeats any execution caching
-    in the backend).  Returns (seconds_per_call, last_output)."""
-    out = fn(*args)
-    for _ in range(max(warmup - 1, 0)):
-        if chain is not None:
+    in the backend).  `warmup=0` times the very first (compiling)
+    call.  Returns (seconds_per_call, last_output)."""
+    out = None
+    for _ in range(warmup):
+        if chain is not None and out is not None:
             args = chain(out, args)
         out = fn(*args)
-    hard_sync(out)
+    if out is not None:
+        hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         if chain is not None:
