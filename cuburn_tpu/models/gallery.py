@@ -143,7 +143,8 @@ def kaleido() -> Genome:
         '</flame>')
     [g] = parse_flam3(xml)
     # animate the zoom for motion-blur demos
-    g.zoom = type(g.scale)([0.0, 0.0, 1.0, 0.6])
+    from cuburn_tpu.genome.spline import Spline
+    g.zoom = Spline([0.0, 0.0, 1.0, 0.6])
     return g
 
 

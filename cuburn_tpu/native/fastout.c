@@ -45,6 +45,12 @@ static PyObject *fastout_encode_png(PyObject *self, PyObject *args) {
     if (!PyArg_ParseTuple(args, "y*nn|i", &buf, &width, &height,
                           &level))
         return NULL;
+    if (width <= 0 || height <= 0) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError,
+                        "width and height must be positive");
+        return NULL;
+    }
     const Py_ssize_t stride = width * 4;
     if (buf.len < stride * height) {
         PyBuffer_Release(&buf);
@@ -135,6 +141,12 @@ static PyObject *fastout_rgb_to_ycbcr444(PyObject *self,
     Py_ssize_t width, height;
     if (!PyArg_ParseTuple(args, "y*nn", &buf, &width, &height))
         return NULL;
+    if (width <= 0 || height <= 0) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError,
+                        "width and height must be positive");
+        return NULL;
+    }
     Py_ssize_t npix = width * height;
     if (buf.len < npix * 4) {
         PyBuffer_Release(&buf);
