@@ -22,7 +22,14 @@ if not os.environ.get("CUBURN_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated test runs skip recompiles.
+# jax is already imported (sitecustomize), so set the config directly
+# — env vars at this point are not guaranteed to be read.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/jax_cache_cuburn_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+import jax as _jax
+_jax.config.update("jax_compilation_cache_dir",
+                   "/tmp/jax_cache_cuburn_tpu")
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
