@@ -120,7 +120,8 @@ def main():
         # tunnel caches identical executions, so an unchained repeat
         # would measure dispatch latency, not the filter (CLAUDE.md)
         h2 = h_log[:-1] + img[0, 0, 0].astype(jnp.float32) * 1e-6
-        t0 = time.perf_counter()
+        hard_sync(h2)          # materialize the chained input BEFORE
+        t0 = time.perf_counter()  # the timed region starts
         img = _filter_frame(cam, False, True, h2, params, q_cell)
         hard_sync(img)
         extra["de_colorize_ms"] = round((time.perf_counter() - t0) * 1e3,
