@@ -409,3 +409,24 @@ class TestSpatialFilterTapAnchor:
         assert taps.sum() == pytest.approx(1.0)
         # symmetric
         np.testing.assert_allclose(taps, taps[::-1], rtol=1e-6)
+
+
+def test_de_matches_direct_with_minimum_radius():
+    """Banded DE vs the direct splat with estimator_minimum > 0 (the
+    min clamps the ladder's sharp end; previously only min=0 was
+    differenced)."""
+    from cuburn_tpu.ops import de as de_mod
+    rng = np.random.RandomState(3)
+    H = W = 24
+    img = (rng.rand(H, W, 4) * (rng.rand(H, W, 1) < 0.3)) \
+        .astype(np.float32)
+    dens = (np.exp(rng.uniform(-1, 5, (H, W)))
+            * (img[..., 3] > 0)).astype(np.float32)
+    img[..., 3] = dens
+    direct = de_mod.density_filter_direct(img, dens, 6.0, 2.0, 0.4)
+    banded = np.asarray(de_mod.density_filter(
+        jnp.asarray(img), jnp.asarray(dens), jnp.float32(6.0),
+        jnp.float32(2.0), jnp.float32(0.4), static_max_radius=6.0))
+    rel = np.linalg.norm(banded - direct) \
+        / (np.linalg.norm(direct) + 1e-9)
+    assert rel < 0.1, rel
