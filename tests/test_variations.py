@@ -1051,3 +1051,49 @@ def test_oscilloscope():
     np.testing.assert_allclose(got_y[safe], 0.7 * ey[safe], rtol=2e-3,
                                atol=2e-3)
     assert (ey != y).any()     # both branches exercised
+
+
+class TestArchRaysTwintrianInvariants:
+    """Per-sample algebraic invariants of the last three stochastic
+    variations (flam3: random angle scaled by w*pi inside each)."""
+
+    def test_arch(self):
+        # out = (w sin a, w sin^2 a / cos a): recover sin a = dx/w;
+        # then dy * cos a == w sin^2 a for every sample
+        tx, ty = _grid(24)
+        w = 0.6
+        dx, dy = _eval("arch", tx, ty, w=w, seed=31)
+        sa = dx / w
+        assert np.abs(sa).max() <= 1 + 1e-5
+        ca = np.sqrt(np.maximum(1 - sa * sa, 0.0))
+        # w*pi < 2pi so cos of the angle can be negative; flam3 keeps
+        # the signed cos — check the magnitude relation where cos is
+        # comfortably nonzero
+        safe = ca > 0.05
+        np.testing.assert_allclose(np.abs(dy[safe]) * ca[safe],
+                                   (w * sa * sa)[safe], rtol=1e-2,
+                                   atol=1e-3)
+        assert sa.std() > 0.1            # angle really random
+
+    def test_rays(self):
+        # fpx = tanr cos(tx), fpy = tanr sin(ty): the ratio recovers
+        # tanr exactly, independent of the random draw
+        tx, ty = _grid(24)
+        x = np.asarray(tx, np.float64)
+        y = np.asarray(ty, np.float64)
+        dx, dy = _eval("rays", tx, ty, w=0.6, seed=32)
+        safe = (np.abs(np.cos(x)) > 0.1) & (np.abs(np.sin(y)) > 0.1)
+        t1 = dx[safe] / np.cos(x[safe])
+        t2 = dy[safe] / np.sin(y[safe])
+        np.testing.assert_allclose(t1, t2, rtol=1e-3, atol=1e-4)
+
+    def test_twintrian(self):
+        # dy - dx = -w*tx*sin(r)*pi with r random: the recovered sin(r)
+        # must lie in [-1, 1] and vary across samples
+        tx, ty = _grid(24)
+        x = np.asarray(tx, np.float64)
+        w = 0.6
+        dx, dy = _eval("twintrian", tx, ty, w=w, seed=33)
+        sr = (dx - dy) / (w * x * np.pi)
+        assert np.abs(sr).max() <= 1 + 1e-4
+        assert sr.std() > 0.05
