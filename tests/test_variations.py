@@ -1097,3 +1097,50 @@ class TestArchRaysTwintrianInvariants:
         sr = (dx - dy) / (w * x * np.pi)
         assert np.abs(sr).max() <= 1 + 1e-4
         assert sr.std() > 0.05
+
+
+def test_bent():
+    tx, ty = _grid(24)
+    x = np.asarray(tx, np.float64)
+    y = np.asarray(ty, np.float64)
+    dx, dy = _eval("bent", tx, ty, w=0.7)
+    np.testing.assert_allclose(dx, 0.7 * np.where(x < 0, 2 * x, x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dy, 0.7 * np.where(y < 0, 0.5 * y, y),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wedge_julia_cluster_count():
+    """wedge_julia's random branch picks one of `power` julia roots;
+    a fixed input point must land in at most power*count clusters."""
+    B = 4096
+    tx = jnp.full((B,), 0.7, jnp.float32)
+    ty = jnp.full((B,), 0.4, jnp.float32)
+    dx, dy = _eval("wedge_julia", tx, ty, w=1.0, seed=41,
+                   params={"wedge_julia_power": 3.0,
+                           "wedge_julia_count": 2.0,
+                           "wedge_julia_angle": 0.3,
+                           "wedge_julia_dist": 1.0})
+    pts = np.unique(np.round(np.stack([dx, dy], 1), 3), axis=0)
+    assert 1 < len(pts) <= 6, len(pts)
+
+
+def test_pre_blur_perturbs_before_variations():
+    """pre_blur jitters the INPUT point before the variation sum
+    (SURVEY.md §2c): with linear+pre_blur the output scatters around
+    the affine-transformed point with the pre_blur's gaussian-ish
+    spread."""
+    from cuburn_tpu.ops.xform import apply_variation_stack
+    B = 8192
+    tx = jnp.full((B,), 0.4, jnp.float32)
+    ty = jnp.full((B,), -0.2, jnp.float32)
+    stream = rng_mod.RngStream(rng_mod.seed(jax.random.PRNGKey(2), B))
+    vw = jnp.stack([jnp.ones((B,)), jnp.full((B,), 0.5)], 1)
+    ox, oy = apply_variation_stack(
+        ("linear", "pre_blur"), (), tx, ty, vw,
+        jnp.zeros((B, 1)),
+        jnp.stack([jnp.full((B,), v) for v in
+                   (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)], 1), stream)
+    ox, oy = np.asarray(ox), np.asarray(oy)
+    assert abs(ox.mean() - 0.4) < 0.02 and abs(oy.mean() + 0.2) < 0.02
+    assert ox.std() > 0.05 and oy.std() > 0.05
