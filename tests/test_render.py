@@ -899,3 +899,30 @@ class TestAdversarialGenomes:
         prof = dataclasses.replace(FAST, fps=4.0, duration=0.1)
         frames = list(Renderer(g, prof).frames(seed=1))
         assert len(frames) == 1
+
+
+def test_bench_json_driver_contract():
+    """The driver records bench.py's ONE JSON line; pin its schema
+    (metric/value/unit/vs_baseline) by running the real script on the
+    CPU-scaled path."""
+    import json
+    import subprocess
+    import sys
+    bench_path = os.path.join(os.path.dirname(__file__), "..",
+                              "bench.py")
+    # the accelerator plugin's sitecustomize overrides JAX_PLATFORMS,
+    # so force CPU through the config API before bench.py runs
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"exec(open({bench_path!r}).read())")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=600)
+    line = r.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "ifs_samples_per_sec_per_chip"
+    assert rec["unit"] == "samples/s"
+    assert rec["value"] > 0
+    assert "vs_baseline" in rec
+    # mass_parity only appears on the dual-backend (TPU) path
+    if "mass_parity" in rec.get("extra", {}):
+        assert rec["extra"]["mass_parity"] == pytest.approx(
+            1.0, abs=1e-3)
