@@ -100,9 +100,16 @@ def project(spec: CameraSpec, center, ppu, rotate_deg, x, y,
     px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)
     py = ry * ppu_ss + np.float32(full_h * 0.5)
     row0 = spec.tile_row0 if tile_row0 is None else tile_row0
+    # bounds on the FLOAT coordinates: the final xform can emit
+    # NaN/Inf (iterate_step's badvalue guard runs before it), and
+    # f32->int32 of NaN is implementation-defined on TPU (often 0 —
+    # a hot-corner artifact at pixel (0,0)); NaN fails every float
+    # comparison, so these masks reject it before the cast matters
+    row0f = jnp.asarray(row0, px.dtype) if not isinstance(row0, int) \
+        else np.float32(row0)
+    in_bounds = ((px >= 0) & (px < spec.acc_width) &
+                 (py >= row0f) & (py < row0f + spec.acc_height))
     ix = jnp.floor(px).astype(jnp.int32)
     iy = jnp.floor(py).astype(jnp.int32) - row0
-    in_bounds = ((ix >= 0) & (ix < spec.acc_width) &
-                 (iy >= 0) & (iy < spec.acc_height))
     addr = jnp.where(in_bounds, iy * spec.acc_width + ix, spec.junk_bin)
     return addr, in_bounds

@@ -161,12 +161,10 @@ def density_filter(img, density, max_radius, min_radius, curve,
         jnp.abs(logr[..., None] - log_bands[None, None, :]), axis=-1)
 
     out = jnp.zeros_like(img)
+    # taps[k] >= 1 always (radii are clamped to MIN_BAND_RADIUS=0.5,
+    # ceil(1.5*0.5)=1), so every band is a real (if near-identity) conv
     for k in range(N_BANDS):
         mask = (band == k)[..., None].astype(img.dtype)
-        masked = img * mask
-        if taps[k] == 0:
-            out = out + masked      # identity band: stays sharp
-        else:
-            out = out + _sep_blur(
-                masked, _gaussian_taps(radii[k], taps[k]), taps[k])
+        out = out + _sep_blur(
+            img * mask, _gaussian_taps(radii[k], taps[k]), taps[k])
     return out

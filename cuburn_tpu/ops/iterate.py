@@ -83,6 +83,12 @@ def xform_cdf_rows(params: GenomeParams) -> jnp.ndarray:
     interpolation can overshoot fading weights slightly negative."""
     probs = jnp.maximum(params.weights[None, :], 0.0) \
         * jnp.maximum(params.xaos, 0.0)
+    # a row summing to zero (an all-forbidding xaos row, or smooth
+    # interpolation driving every weight to 0) would produce an
+    # all-zero CDF whose one-hot fetch selects NOTHING while the
+    # recorded index says n-1; fall back to uniform selection instead
+    row_sum = probs.sum(axis=1, keepdims=True)
+    probs = jnp.where(row_sum > 0, probs, 1.0)
     cdf = jnp.cumsum(probs, axis=1)
     total = jnp.maximum(cdf[:, -1:], np.float32(1e-20))
     return cdf / total
@@ -379,15 +385,20 @@ def iterate_accumulate(
                     tot_bits,
                     interpret=jax.default_backend() != "tpu",
                     weight=w)
+                # f32 counter: an int32 carry wraps past 2^31 plotted
+                # samples (one 4K-class call exceeds it); per-chunk
+                # sums stay int32-exact, the running total is stats
                 n = n + jnp.sum(
                     (packed_recs >> np.uint32(tot_bits))
-                    .astype(jnp.int32) != cam.junk_bin)
+                    .astype(jnp.int32)
+                    != cam.junk_bin).astype(jnp.float32)
             else:
                 accumulate = _get_accumulate(backend)
                 addrs, rgbas = unpack_records(cam, tot_bits,
                                               palette_hi, packed_recs)
                 hist = accumulate(hist, addrs, rgbas * w)
-                n = n + jnp.sum(addrs != cam.junk_bin)
+                n = n + jnp.sum(
+                    addrs != cam.junk_bin).astype(jnp.float32)
             return state, hist, n
     else:
         accumulate = _get_accumulate(backend)
@@ -398,11 +409,12 @@ def iterate_accumulate(
                 key, cam, params, cdf_rows, state, ppu,
                 iters_per_flush, fuse, tile_row0=tile_row0)
             hist = accumulate(hist, addrs, rgbas * w)
-            n = n + jnp.sum(addrs != cam.junk_bin)
+            n = n + jnp.sum(
+                addrs != cam.junk_bin).astype(jnp.float32)
             return state, hist, n
 
     return jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (state, hist, jnp.int32(0)))
+        0, n_chunks, chunk_body, (state, hist, jnp.float32(0.0)))
 
 
 @partial(jax.jit,
@@ -447,7 +459,7 @@ def iterate_accumulate_temporal(
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(
-        sample_body, (state, hist, jnp.int32(0)),
+        sample_body, (state, hist, jnp.float32(0.0)),
         (params_T, ppu_T, weights_T))
     return state, hist, n
 

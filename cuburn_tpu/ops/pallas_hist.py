@@ -474,8 +474,6 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         s_cnt = (cnt_w[sel] * valid[:, None]).reshape(-1)
         s_rgba = jnp.take(_pal4(palette_hi), s_q, axis=0) \
             * s_cnt[:, None]
-        side = jnp.zeros((4, rows * 128), jnp.float32).at[
-            :, s_addr].add(s_rgba.T)
         cnt_w = jnp.where(straddle[:, None], 0.0, cnt_w)
 
     k = palette_hi.shape[0]
@@ -518,7 +516,12 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
             (visited > 0)[None, :, None, None],
             delta.reshape(4, n_blocks, br, 128),
             np.float32(0.0)).reshape(4, rows, 128)
-        delta = delta + side.reshape(4, rows, 128)
+        # scatter the (at most ~GROUP*(n_blocks+1)*WIN) diverted
+        # straddle updates directly into delta: a dense zeros+add
+        # temporary here costs two full passes over the (up to 143 MB)
+        # tiled histogram per flush
+        delta = delta.reshape(4, rows * 128).at[:, s_addr].add(
+            s_rgba.T).reshape(4, rows, 128)
     if weight is not None:
         delta = delta * weight
     return hist_planes + delta
@@ -543,7 +546,9 @@ def accumulate_packed_pallas(hist_packed, packed_records, palette_hi,
     n_blocks = -(-m // BLOCK)
     pad = n_blocks * BLOCK - m
     if pad:
-        junk_rec = jnp.int32(n_bins << color_bits)
+        # via uint32: for > 2^21 bins the packed junk record exceeds
+        # 2^31 and a direct int32() raises OverflowError (NumPy 2)
+        junk_rec = jnp.uint32(n_bins << color_bits).astype(jnp.int32)
         recs = jnp.concatenate(
             [recs, jnp.full((pad,), junk_rec, jnp.int32)])
 

@@ -108,9 +108,14 @@ def select_and_fetch(key: StructureKey, cdf_rows, table, last_xf, u):
     row (S_{j-1} - S_j), and fetches the point's parameter row with one
     (B, N) @ (N, K) matmul.  Returns (xf_idx, row (B, K))."""
     n = key.n_xforms
+    # HIGHEST precision on both matmuls: the default MXU precision is
+    # bf16-class on TPU (CLAUDE.md's on-device measurement), which
+    # would silently quantize every fetched genome parameter and CDF
+    # threshold to ~8 mantissa bits each iteration
+    hp = jax.lax.Precision.HIGHEST
     if key.has_xaos:
         rows_oh = jax.nn.one_hot(last_xf, n, dtype=u.dtype)   # (B, N)
-        cdf = rows_oh @ cdf_rows                              # (B, N)
+        cdf = jnp.matmul(rows_oh, cdf_rows, precision=hp)     # (B, N)
         step = (u[:, None] >= cdf).astype(u.dtype)
     else:
         step = (u[:, None] >= cdf_rows[0][None, :]).astype(u.dtype)
@@ -118,7 +123,7 @@ def select_and_fetch(key: StructureKey, cdf_rows, table, last_xf, u):
     shifted = jnp.concatenate(
         [jnp.ones_like(step[:, :1]), step[:, :-1]], axis=1)
     onehot = shifted - step          # exactly one 1.0 per row
-    row = onehot @ table             # (B, K) — MXU
+    row = jnp.matmul(onehot, table, precision=hp)  # (B, K) — MXU
     return idx, row
 
 

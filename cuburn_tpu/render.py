@@ -505,7 +505,7 @@ class Renderer:
         # histogram carry over; one compiled program serves all calls)
         cap = (max(1, prof.dispatch_iter_cap // per_chunk)
                if prof.dispatch_iter_cap else n_chunks)
-        plotted = jnp.int32(0)
+        plotted = jnp.float32(0.0)
         left = n_chunks
         while left > 0:
             k = min(left, cap)

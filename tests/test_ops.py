@@ -420,3 +420,34 @@ class TestPackedVsFullRecords:
         np.testing.assert_allclose(a[:, 3], b[:, 3], atol=1e-3)
         np.testing.assert_allclose(a[:, :3], b[:, :3], atol=2e-3,
                                    rtol=2e-2)
+
+
+def test_zero_xaos_row_falls_back_to_uniform():
+    """An all-forbidding xaos row must select uniformly, not fetch an
+    all-zero parameter row with a bogus recorded index (review repro)."""
+    from cuburn_tpu.ops.iterate import xform_cdf_rows
+    g = sierpinski()
+    g.xaos = [[0.0, 0.0, 0.0],
+              [1.0, 1.0, 1.0],
+              [1.0, 1.0, 1.0]]
+    g.__post_init__()
+    params = g.eval_at(0.0)
+    cdf = np.asarray(xform_cdf_rows(
+        jax.tree_util.tree_map(jnp.asarray, params)))
+    # row 0 falls back to uniform: strictly increasing, ends at 1
+    assert cdf[0, -1] == pytest.approx(1.0)
+    assert (np.diff(cdf[0]) > 0).all()
+
+
+def test_pallas_junk_record_over_int32():
+    """Padding with a junk record whose packed value exceeds 2^31 must
+    not raise (NumPy 2 rejects out-of-range int32 construction)."""
+    from cuburn_tpu.ops import pallas_hist as ph
+    from cuburn_tpu.ops.iterate import expand_palette
+    n_bins = (1 << 22) + 8           # junk_rec = n_bins << 8 > 2^31
+    recs = jnp.zeros((1000,), jnp.uint32)   # NOT a BLOCK multiple
+    pal = expand_palette(jnp.ones((256, 3), jnp.float32), 8)
+    hp = jnp.zeros((ph.packed_rows(n_bins), 128), jnp.float32)
+    out = ph.accumulate_packed_pallas(hp, recs, pal, n_bins, 8,
+                                      interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
