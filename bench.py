@@ -26,9 +26,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 # belt-and-braces: sitecustomize imports jax before this script runs,
 # so also set the config directly (env vars are read lazily in this
 # jax version, but that is an implementation detail)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax as _jax
 _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax
 import jax.numpy as jnp

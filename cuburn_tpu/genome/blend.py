@@ -15,8 +15,10 @@ genome whose splines sweep from A (t=0) to B (t=1):
   * palettes become two keyframes (device-side lerp handles the sweep)
 
 The reference's matching heuristics (which xform of A pairs with which
-of B) are index-order here, with an optional weight-sorted mode [M
-confidence vs the reference's exact algorithm, SURVEY.md §0].
+of B) are a greedy min-cost pairing here (variation-set Jaccard +
+weight + color + affine distance, `_pair_xforms`), with index-order
+and weight-sorted modes available [M confidence vs the reference's
+exact algorithm, SURVEY.md §0].
 """
 
 from __future__ import annotations
@@ -439,6 +441,27 @@ def harmonize_structures(genomes):
 
     gs = [copy.deepcopy(g) for g in genomes]
     n = max(len(g.xforms) for g in gs)
+    # surfacing the docstring's perf caveat at run time: padding the
+    # xform count grows opacity_bits_for's xform-id field; a genome
+    # with non-unit opacities whose id field widens can fall off the
+    # packed fast path at large frame sizes
+    for g in genomes:
+        n0 = len(g.xforms)
+        if n0 < n and int(np.ceil(np.log2(max(n0, 2)))) \
+                < int(np.ceil(np.log2(max(n, 2)))):
+            nonunit = any(not (xf.opacity.is_constant
+                               and xf.opacity(0.0) == 1.0)
+                          for xf in g.xforms)
+            if nonunit:
+                import warnings
+                warnings.warn(
+                    f"harmonize_structures pads genome "
+                    f"{getattr(g, 'name', '?')!r} from {n0} to {n} "
+                    f"xforms, widening the packed record's xform-id "
+                    f"field; with its non-unit opacities this can "
+                    f"drop large frames off the packed fast path — "
+                    f"pass harmonize=False (--no-harmonize) if "
+                    f"renders slow down")
     all_vars = set()
     final_vars = set()
     any_post = False

@@ -126,7 +126,13 @@ class FFmpegSink:
             return "(stderr unavailable)"
 
     def close(self):
-        self.proc.stdin.close()
+        try:
+            self.proc.stdin.close()
+        except (BrokenPipeError, OSError):
+            # ffmpeg already died with buffered stdin pending; fall
+            # through so the user sees rc + the stderr tail, not a
+            # raw BrokenPipeError
+            pass
         rc = self.proc.wait()
         tail = self._err_tail()
         self._err.close()

@@ -19,8 +19,9 @@ import numpy as np
 
 
 def hard_sync(x) -> float:
-    """Force completion of everything `x` depends on; returns one
-    element as a float (the readback is the synchronization).
+    """Force completion of everything `x` depends on.  The return value
+    is the SUM of one element from every pytree leaf — a synchronization
+    side effect only, not a probe of any specific array.
 
     For device arrays, a one-element slice is dispatched (ordered after
     every producer of the buffer by data dependence) and THAT scalar is
@@ -54,7 +55,9 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
         hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        if chain is not None:
+        # `out is not None` guard: with warmup=0 the first timed call
+        # has no previous output to chain from
+        if chain is not None and out is not None:
             args = chain(out, args)
         out = fn(*args)
     hard_sync(out)
