@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time", type=float, default=0.0,
                    help="genome time for stills")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-overlap", action="store_true",
+                   help="disable cross-frame pipeline overlap in "
+                        "--animate (overlap yields identical frames; "
+                        "disable only for per-frame device timings)")
     p.add_argument("--animate", action="store_true",
                    help="render the full time range as video")
     p.add_argument("--temporal-samples", type=int,
@@ -223,9 +227,16 @@ def main(argv=None) -> int:
 
         def run_frames(r, seed):
             # frames_partitioned degenerates to frames() when neither
-            # partition count exceeds 1
+            # partition count exceeds 1; unpartitioned single-device
+            # animations default to the cross-frame overlapped driver
+            # (identical images, device never waits on encode)
+            # (sharded renderers filter through their own collective
+            # path and keep the per-frame sync; overlap is the
+            # single-device driver)
+            overlap = not args.no_overlap and not hasattr(r, "mesh")
             return r.frames_partitioned(
-                seed=seed, n_stripes=args.stripes, n_bands=args.bands)
+                seed=seed, n_stripes=args.stripes, n_bands=args.bands,
+                overlap=overlap)
 
         def frame_iter():
             if sequence is None:

@@ -283,7 +283,8 @@ def iterate_chunk(
 
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
-                          "backend", "packed", "op_bits"))
+                          "backend", "packed", "op_bits",
+                          "sort_segments"))
 def iterate_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -300,6 +301,7 @@ def iterate_accumulate(
     weight=None,
     tile_row0=None,
     op_bits: int = 0,
+    sort_segments: int = 1,
 ):
     """Advance n_chunks * iters_per_flush steps, flushing the histogram
     once per chunk — the rendering path.
@@ -380,11 +382,13 @@ def iterate_accumulate(
                        "pallas_merged": ph.accumulate_merged_pallas,
                        "pallas_win": ph.accumulate_windowed_pallas,
                        }[backend]
+                kw = ({"sort_segments": sort_segments}
+                      if backend == "pallas_win" else {})
                 hist = acc(
                     hist, packed_recs, palette_hi, cam.n_bins,
                     tot_bits,
                     interpret=jax.default_backend() != "tpu",
-                    weight=w)
+                    weight=w, **kw)
                 # f32 counter: an int32 carry wraps past 2^31 plotted
                 # samples (one 4K-class call exceeds it); per-chunk
                 # sums stay int32-exact, the running total is stats
@@ -419,7 +423,8 @@ def iterate_accumulate(
 
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
-                          "backend", "packed", "op_bits"))
+                          "backend", "packed", "op_bits",
+                          "sort_segments"))
 def iterate_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -435,6 +440,7 @@ def iterate_accumulate_temporal(
     weights_T=None,           # (T,) temporal-filter weights
     tile_row0=None,
     op_bits: int = 0,
+    sort_segments: int = 1,
 ):
     """Accumulate all temporal samples of a motion-blurred frame in ONE
     device program (SURVEY.md §2b temporal-sample parallelism row: fold
@@ -455,7 +461,8 @@ def iterate_accumulate_temporal(
         state, hist, dn = iterate_accumulate(
             key, cam, backend, params_t, cdf_rows, state, hist, ppu,
             n_chunks_per_sample, iters_per_flush, fuse, packed=packed,
-            weight=w_t, tile_row0=tile_row0, op_bits=op_bits)
+            weight=w_t, tile_row0=tile_row0, op_bits=op_bits,
+            sort_segments=sort_segments)
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(

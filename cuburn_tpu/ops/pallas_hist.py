@@ -262,28 +262,34 @@ GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
 
 
 def _make_win_kernel(block_rows: int):
-    def _win_kernel(rbg_ref, base_ref, ok_ref, addr_s_ref, addr_ref,
-                    q_ref, cnt_ref, palF_ref, out_ref):
+    def _win_kernel(perm_ref, rbg_ref, base_ref, ok_ref, addr_s_ref,
+                    addr_ref, q_ref, cnt_ref, palF_ref, out_ref):
         """One grid step = GROUP windows of WIN sorted unique records.
 
-        Scalar-prefetch refs (full SMEM arrays): rbg_ref — per GROUP,
-        the histogram row block it lands in (non-decreasing: records
-        are sorted; windows not fitting their group's block were
-        diverted to the XLA side-scatter upstream); base_ref/ok_ref —
+        Scalar-prefetch refs (full SMEM arrays): perm_ref — grid step
+        i processes LOGICAL group perm[i]; the permutation orders
+        groups by row block so each block's visits are contiguous even
+        with a segmented sort (whose per-segment block walks would
+        otherwise interleave and re-trigger the first-visit zeroing).
+        rbg_ref — per logical GROUP, the histogram row block it lands
+        in (windows not fitting their group's block were diverted to
+        the XLA side-scatter upstream); base_ref/ok_ref —
         per WINDOW, its 128-aligned base bin and the flush tier:
         2 = all records inside [base, base+128) (one matmul),
         1 = span < 8 lane rows (8 chunked matmuls),
         0 = per-record roll fallback.
         addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads, fallback).
-        addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32.
+        addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32,
+        block-fetched through the same perm[i] index map.
         palF_ref: (4*KH, KL) VMEM — palette^T with the density row,
         factored for the two-level one-hot (see _window).
         out_ref: (4, block_rows, 128) — the group's row block,
         VMEM-resident across its contiguous run of groups.
         """
         gi = pl.program_id(0)
-        rb = rbg_ref[gi]
-        prev_rb = rbg_ref[jnp.maximum(gi - 1, 0)]
+        lg = perm_ref[gi]
+        rb = rbg_ref[lg]
+        prev_rb = rbg_ref[perm_ref[jnp.maximum(gi - 1, 0)]]
 
         @pl.when(jnp.logical_or(gi == 0, rb != prev_rb))
         def _first_visit():
@@ -298,7 +304,7 @@ def _make_win_kernel(block_rows: int):
         liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
         def window(j, _):
-            wi = gi * GROUP + j
+            wi = lg * GROUP + j
             cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
             total = jnp.sum(cnt_row)
 
@@ -339,12 +345,17 @@ def _make_win_kernel(block_rows: int):
                 @pl.when(ok_ref[wi] == 1)
                 def _mid():
                     # span < 8*128 bins (sparse flushes, ~0.1-1
-                    # records/bin): 8 chunked matmuls, one per lane
-                    # row — records outside chunk c just miss its
-                    # one-hot.  ~10x the dense path, ~10x less than
-                    # the per-record fallback.  fori (not unrolled):
-                    # the unrolled version blew the remote compile
-                    # helper's limits inside full render programs.
+                    # records/bin): chunked matmuls, one per lane row
+                    # the window actually touches — records outside
+                    # chunk c just miss its one-hot.  The trip count
+                    # is TRACED from the window's true span (last
+                    # record's row - base row + 1): a window spanning
+                    # 2 lane rows costs 2 matmuls, not a fixed 8 —
+                    # this is what makes ~1-record/bin flush densities
+                    # (720p/1080p configs) cheap.  fori (not
+                    # unrolled): the unrolled version blew the remote
+                    # compile helper's limits inside full render
+                    # programs.
                     def chunk(c, _):
                         Pt = (addr_ref[pl.ds(j, 1), :]
                               - (base + 128 * c)
@@ -362,7 +373,9 @@ def _make_win_kernel(block_rows: int):
                             + out[:, None, :]
                         return 0
 
-                    jax.lax.fori_loop(0, 8, chunk, 0)
+                    last = addr_s_ref[j, WIN - 1]
+                    nc = jnp.clip((last - base) // 128 + 1, 1, 8)
+                    jax.lax.fori_loop(0, nc, chunk, 0)
 
                 @pl.when(ok_ref[wi] == 0)
                 def _sparse():
@@ -390,11 +403,12 @@ def _make_win_kernel(block_rows: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "color_bits", "interpret",
-                                    "merge"))
+                                    "merge", "sort_segments"))
 def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
                                n_bins: int, color_bits: int,
                                interpret: bool = False, weight=None,
-                               merge: bool = False):
+                               merge: bool = False,
+                               sort_segments: int = 1):
     """Key-sort + run-merge + windowed one-hot-matmul Pallas flush —
     the full 'tile-local VMEM accumulation with key-sort + segment-sum
     flushes' design named by BASELINE.json, with the segment sums on
@@ -403,10 +417,23 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
 
     Histograms up to BLOCK_ROWS lane rows (~2 M bins) stay VMEM-resident
     for the whole flush; larger ones (1080p ss2 = 8.6 M bins) are HBM-
-    resident and walked in row blocks via the prefetched block index —
-    sorted records make each block's visits contiguous.  Windows whose
-    sparse fallback would cross a block boundary (at most ~2 per
-    boundary) are diverted to an exact XLA side-scatter.
+    resident and walked in row blocks via the prefetched block index;
+    a group permutation (perm, also prefetched and consumed by the
+    BlockSpec index maps — no data gather) keeps every block's visits
+    contiguous.  Windows whose sparse fallback would cross a block
+    boundary (at most ~2 per boundary) are diverted to an exact XLA
+    side-scatter.
+
+    `sort_segments` > 1 runs the SEGMENTED sub-sort: S independent
+    contiguous sub-sorts instead of one full bitonic network (~1.5x
+    fewer substages at S=16 on 2^21 records).  Windows never straddle
+    segment boundaries (segment length is a multiple of GROUP*WIN) and
+    each window's segment sum is order-independent, so no merge pass
+    exists — the decomposition the full-network rejection in
+    docs/KERNEL_DESIGN.md does NOT cover.  The trade: each segment
+    spreads the same bin range over 1/S the records, so windows span
+    ~S x more bins and can drop a flush tier; measure end-to-end
+    (bench/segsweep.py) before changing the default.
 
     hist_planes: (4, rows, 128) from to_planes_layout."""
     from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
@@ -416,7 +443,13 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     n_blocks = rows // br
     junk_rec = jnp.uint32(n_bins << color_bits)
     cmask = np.uint32((1 << color_bits) - 1)
-    sorted_recs = sort_records(packed_records)
+    nrec = int(np.prod(packed_records.shape))
+    pow2 = 1 << (nrec - 1).bit_length()
+    # each segment must hold a whole number of GROUP*WIN-record groups
+    # (otherwise a window could straddle a segment boundary and its
+    # records would not be sorted relative to each other)
+    segs = min(sort_segments, max(pow2 // (GROUP * WIN), 1))
+    sorted_recs = sort_records(packed_records, segments=segs)
     if merge:
         # run-merge collapses duplicates into counts (fewer active
         # windows on hot-pixel distributions), at the cost of a
@@ -453,16 +486,29 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     # first-visit zeroing would erase real accumulation
     rb = jnp.minimum((base // 128) // br, n_blocks - 1)
     rbg = rb.reshape(n_grp, GROUP)[:, 0]     # per group
+    if n_blocks > 1 and segs > 1:
+        # segmented sort: each segment walks the blocks 0..n_blocks-1
+        # on its own, so grid-order block visits interleave; process
+        # groups in block order instead (stable argsort keeps each
+        # block's per-segment runs intact).  n_grp is a few thousand —
+        # the argsort is trivial, and the reorder itself costs nothing:
+        # the BlockSpec index maps fetch group perm[i] directly.
+        perm = jnp.argsort(rbg, stable=True).astype(jnp.int32)
+    else:
+        # fully sorted records already visit blocks contiguously
+        perm = jnp.arange(n_grp, dtype=jnp.int32)
     side = None
     if n_blocks > 1:
         # windows whose rows don't all fit their GROUP's row block:
         # divert to an exact side-scatter (fixed capacity; at most one
-        # group per block boundary can straddle it)
+        # group per block boundary can straddle it — PER SORTED
+        # SEGMENT, since each segment's ascending walk crosses every
+        # boundary once)
         grp_of_win = jnp.repeat(rbg, GROUP)
         last_rb = jnp.minimum((addr_w[:, -1] // 128) // br,
                               n_blocks - 1)
         straddle = (rb != grp_of_win) | (last_rb != grp_of_win)
-        sc = GROUP * (n_blocks + 1)
+        sc = GROUP * (n_blocks * segs + 1)
         rank = jnp.cumsum(straddle.astype(jnp.int32)) - 1
         slot = jnp.where(straddle, rank, sc)
         winp1 = jnp.zeros((sc,), jnp.int32).at[slot].set(
@@ -482,22 +528,27 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     palF = palT.reshape(4, k // kl, kl).reshape(4 * (k // kl), kl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_grp,),
         in_specs=[
-            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+            pl.BlockSpec((GROUP, WIN),
+                         lambda i, p, rbg, b, o: (p[i], 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+            pl.BlockSpec((GROUP, WIN),
+                         lambda i, p, rbg, b, o: (p[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+            pl.BlockSpec((GROUP, WIN),
+                         lambda i, p, rbg, b, o: (p[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, WIN), lambda i, rbg, b, o: (i, 0),
+            pl.BlockSpec((GROUP, WIN),
+                         lambda i, p, rbg, b, o: (p[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(palF.shape, lambda i, rbg, b, o: (0, 0),
+            pl.BlockSpec(palF.shape, lambda i, p, rbg, b, o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, br, 128),
-                               lambda i, rbg, b, o: (0, rbg[i], 0),
+                               lambda i, p, rbg, b, o:
+                               (0, rbg[p[i]], 0),
                                memory_space=pltpu.VMEM),
     )
     delta = pl.pallas_call(
@@ -505,8 +556,8 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
         interpret=interpret,
-    )(rbg, base, ok, addr_w.reshape(n_grp * GROUP, WIN), addr_w, q_w,
-      cnt_w, palF)
+    )(perm, rbg, base, ok, addr_w.reshape(n_grp * GROUP, WIN), addr_w,
+      q_w, cnt_w, palF)
 
     if n_blocks > 1:
         # unvisited blocks hold uninitialized memory: mask them out

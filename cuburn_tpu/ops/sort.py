@@ -35,20 +35,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bitonic_sort_u32(keys: jnp.ndarray) -> jnp.ndarray:
-    """Ascending sort of a (N,) uint32 array, N a power of two.
+def bitonic_sort_u32(keys: jnp.ndarray,
+                     seg_len: int = None) -> jnp.ndarray:
+    """Ascending sort of a (N,) or (S, L) uint32 array along the LAST
+    axis (each of the S rows sorted independently, in lockstep on the
+    same vector ops).  The sorted length must be a power of two.
 
-    The log N (log N + 1)/2 substages run in ONE fori_loop whose body
+    The log L (log L + 1)/2 substages run in ONE fori_loop whose body
     reads its (block size, stride) pair from a precomputed schedule —
     all shifts are traced, so the program holds a single substage
     instead of ~230 unrolled copies (the unrolled version took minutes
     per remote compile and overflowed the dev environment's compile
-    helper inside full render programs)."""
-    n = keys.shape[0]
+    helper inside full render programs).
+
+    `seg_len` (a power of two dividing N, 1-D input) sorts each
+    contiguous seg_len-segment of the FLAT array independently — the
+    SEGMENTED sub-sort.  On the XOR-partner network this is literally
+    the same substage body with the schedule truncated to stages
+    <= log seg_len: a partner index i^k with k < seg_len never crosses
+    a seg_len boundary (adding k to an index whose k-bit is clear
+    cannot carry past bit log2(seg_len)), so no reshape, no extra
+    masking, no relayout — e.g. 16 segments of 2^17 inside a flat 2^21
+    run 153 substages vs the full sort's 231 (~1.5x sort savings).
+    The windowed histogram flush needs no global order across segments
+    (each window's segment sum is independent), which is what makes
+    the decomposition free of any merge pass."""
+    n = keys.shape[-1]
     if n & (n - 1):
         raise ValueError(f"N must be a power of two, got {n}")
-    log_n = n.bit_length() - 1
+    sort_n = n
+    if seg_len is not None:
+        if keys.ndim != 1:
+            raise ValueError("seg_len applies to 1-D input")
+        if seg_len & (seg_len - 1) or n % seg_len:
+            raise ValueError(
+                f"seg_len must be a power of two dividing {n}, "
+                f"got {seg_len}")
+        sort_n = seg_len
+    log_n = sort_n.bit_length() - 1
     idx = jnp.arange(n, dtype=jnp.uint32)
+    if sort_n != n:
+        # direction bits come from the WITHIN-segment index: at the
+        # final stage (size == seg_len) a flat idx & size would flag
+        # every odd segment as a descending block
+        idx = idx & jnp.uint32(sort_n - 1)
     sched = [(1 << stage, 1 << sub)
              for stage in range(1, log_n + 1)
              for sub in range(stage - 1, -1, -1)]
@@ -56,16 +86,18 @@ def bitonic_sort_u32(keys: jnp.ndarray) -> jnp.ndarray:
         return keys.astype(jnp.uint32)
     sizes = jnp.asarray([s for s, _ in sched], jnp.uint32)
     strides = jnp.asarray([k for _, k in sched], jnp.uint32)
+    axis = keys.ndim - 1
 
     def substage(i, x):
         size = sizes[i]
         k = strides[i]
         # descending blocks where (i & size) != 0 — after the final
-        # stage there is a single ascending block
+        # stage each sorted span has a single ascending block
         desc = (idx & size) != 0
         bit = (idx & k) != 0
         kk = k.astype(jnp.int32)
-        partner = jnp.where(bit, jnp.roll(x, kk), jnp.roll(x, -kk))
+        partner = jnp.where(bit, jnp.roll(x, kk, axis=axis),
+                            jnp.roll(x, -kk, axis=axis))
         lo = jnp.minimum(x, partner)
         hi = jnp.maximum(x, partner)
         return jnp.where(bit ^ desc, hi, lo)
@@ -74,16 +106,29 @@ def bitonic_sort_u32(keys: jnp.ndarray) -> jnp.ndarray:
                              keys.astype(jnp.uint32))
 
 
-def sort_records(records: jnp.ndarray) -> jnp.ndarray:
+def sort_records(records: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
     """Sort a flat array of packed u32 records (any length: pads to the
     next power of two with 0xFFFFFFFF sentinels that sort to the end;
-    the caller slices them off or lets them land in the junk bin)."""
+    the caller slices them off or lets them land in the junk bin).
+
+    `segments` > 1 sorts that many equal contiguous sub-arrays
+    independently (fewer bitonic substages over the same data — see
+    bitonic_sort_u32); the result is ascending WITHIN each segment
+    only.  Requires segments to divide the padded power-of-two length;
+    falls back to fewer segments if it can't keep each one >= 2
+    elements."""
     flat = records.reshape(-1).astype(jnp.uint32)
     n = flat.shape[0]
     pow2 = 1 << (n - 1).bit_length()
     if pow2 != n:
         flat = jnp.concatenate(
             [flat, jnp.full((pow2 - n,), 0xFFFFFFFF, jnp.uint32)])
+    if segments > 1:
+        if segments & (segments - 1):
+            raise ValueError(f"segments must be a power of two, "
+                             f"got {segments}")
+        segments = min(segments, pow2 // 2)
+        return bitonic_sort_u32(flat, seg_len=pow2 // segments)
     return bitonic_sort_u32(flat)
 
 

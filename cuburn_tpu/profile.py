@@ -34,6 +34,11 @@ class RenderProfile:
     # whose TPU worker kills long-running executions; the same
     # compiled program serves every call (traced chunk count).
     dispatch_iter_cap: Optional[int] = None
+    # pallas_win flush: sort the per-flush log as this many independent
+    # sub-sorts (power of two; fewer bitonic substages, wider windows —
+    # ops/pallas_hist.py).  0 = auto (measured default per chip class,
+    # bench/segsweep.py); CUBURN_SORT_SEGMENTS env overrides.
+    sort_segments: int = 0
 
     @property
     def total_iters(self) -> int:

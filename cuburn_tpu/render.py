@@ -237,6 +237,24 @@ class Renderer:
                        if jax.default_backend() == "tpu" and self.packed
                        else "scatter")
         self.backend = backend
+        # segmented sub-sort width for the pallas_win flush
+        # (ops/pallas_hist.py): env > profile > measured auto default
+        import os as _os
+        env_segs = _os.environ.get("CUBURN_SORT_SEGMENTS")
+        if env_segs:
+            self.sort_segments = int(env_segs)
+        elif profile.sort_segments:
+            self.sort_segments = profile.sort_segments
+        else:
+            # measured on the dev chip (bench/segsweep.py, round 3):
+            # the flat segmented sort is real (~1.5x fewer substages
+            # at S=16) but S>2 LOSES end-to-end — windows span ~S x
+            # more bins and drop flush tiers, and the tier penalty
+            # outweighs the substage savings at 512²-class densities
+            # (120.6 / 120.9 / 114.5 / 105.7 / 92.8 M iters/s at
+            # S=1/2/4/8/16).  Keep the full sort; re-race on real
+            # silicon via bench/retune.py
+            self.sort_segments = 1
         if self.backend.startswith("pallas") and not self.packed:
             import warnings
             warnings.warn(
@@ -264,9 +282,36 @@ class Renderer:
                    hist0: Optional[np.ndarray] = None,
                    ) -> Tuple[np.ndarray, FrameStats]:
         """Run the chaos game for one frame's quality budget; returns
-        the *logical* (n_bins+1, 4) histogram and stats."""
-        prof, cam = self.profile, self.cam
+        the *logical* (n_bins+1, 4) histogram and stats.
+
+        Stats-accurate mode: ends in a hard host readback so
+        FrameStats.iterate_s is true device time.  The overlapped
+        animation driver (frames_overlapped) uses accumulate_async
+        instead — dispatch only, sync deferred to the sink."""
         stats = FrameStats()
+        t0 = time.perf_counter()
+        hist, n_plot, n_iter = self.accumulate_async(t, seed, hist0)
+        stats.plotted_samples += int(n_plot)
+        stats.total_iters += n_iter
+        # hard host readback: block_until_ready is unreliable on the
+        # axon backend (utils/timing.py) and would corrupt FrameStats
+        hard_sync(hist)
+        stats.iterate_s = time.perf_counter() - t0
+        return hist_to_logical(self.backend, hist, self.cam.n_bins), \
+            stats
+
+    def accumulate_async(self, t: float = 0.0, seed: int = 0,
+                         hist0: Optional[np.ndarray] = None):
+        """Dispatch one frame's accumulation WITHOUT any host sync.
+
+        Returns (hist in backend layout, plotted-count device scalar,
+        total_iters int) — all device values still in flight.  This is
+        the throughput-mode half of cuburn's 2-stream overlap
+        (cuburn/render.py iter(N) ‖ filter/copy(N-1), SURVEY.md §2b
+        pipeline row): the caller may dispatch further frames before
+        reading any of them back.  (A provided `hist0` still costs one
+        readback for the seed-freshening mass mix.)"""
+        prof, cam = self.profile, self.cam
 
         eff_seed = seed * 7919
         if hist0 is not None:
@@ -286,7 +331,6 @@ class Renderer:
             hist = hist_to_layout(self.backend, hist0)
         else:
             hist = hist_alloc_for(self.backend, cam.n_bins)
-        t0 = time.perf_counter()
         ts_times, ts_weights, _sumfilt = self._temporal_times(t)
         if len(ts_times) == 1:
             params = _to_device(self.genome.eval_at(ts_times[0]))
@@ -300,13 +344,7 @@ class Renderer:
             hist, n_plot, n_iter = self._accumulate_temporal(
                 ts_times, ts_weights, hist, seed=eff_seed,
                 iters_per_sample=prof.total_iters / len(ts_times))
-        stats.plotted_samples += int(n_plot)
-        stats.total_iters += n_iter
-        # hard host readback: block_until_ready is unreliable on the
-        # axon backend (utils/timing.py) and would corrupt FrameStats
-        hard_sync(hist)
-        stats.iterate_s = time.perf_counter() - t0
-        return hist_to_logical(self.backend, hist, cam.n_bins), stats
+        return hist, n_plot, n_iter
 
     def accumulate_striped(self, t: float = 0.0, seed: int = 0,
                            n_stripes: int = 4,
@@ -371,24 +409,30 @@ class Renderer:
                        stats: Optional[FrameStats] = None) -> np.ndarray:
         """logscale -> DE -> colorclip -> downsample a logical
         histogram into a u8 frame."""
-        prof, cam = self.profile, self.cam
         t1 = time.perf_counter()
+        img = np.asarray(self.finalize_frame_device(hist, t))
+        if stats is not None:
+            stats.filter_s = time.perf_counter() - t1
+        return img
+
+    def finalize_frame_device(self, hist, t: float = 0.0):
+        """finalize_frame without the device->host readback: returns
+        the u8 frame as a device array still in flight (the overlapped
+        driver reads it back only when the NEXT frame's work has been
+        dispatched — cuburn's async D2H copy, SURVEY.md §3.1)."""
+        prof, cam = self.profile, self.cam
         params = _to_device(self.genome.eval_at(t))
         # flam3 folds the temporal filter's mean weight (sumfilt) into
         # k2 so brightness is independent of the filter shape
         _times, _w, sumfilt = self._temporal_times(t)
         q_cell = jnp.float32(prof.quality * sumfilt / (cam.ss * cam.ss))
         de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
-        img = _filter_frame(
+        return _filter_frame(
             cam, prof.transparent, self._de_on(params),
             hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
             de_static_r=de_r if de_r > 0 else 9.0,
             spatial_filter=float(self.genome.spatial_filter(0.0)),
             filter_shape=self.genome.spatial_filter_shape)
-        img = np.asarray(img)
-        if stats is not None:
-            stats.filter_s = time.perf_counter() - t1
-        return img
 
     def finalize_frame_banded(self, hist, t: float = 0.0,
                               stats: Optional[FrameStats] = None,
@@ -513,7 +557,8 @@ class Renderer:
                 key, cam, self.backend, params, cdf_rows, state, hist,
                 ppu, jnp.int32(k), prof.iters_per_chunk, prof.fuse,
                 packed=self.packed, tile_row0=tile_row0,
-                op_bits=self.op_bits)
+                op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
             plotted = plotted + n
             left -= k
         return hist, plotted, n_chunks * per_chunk
@@ -544,7 +589,8 @@ class Renderer:
             jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
             packed=self.packed,
             weights_T=jnp.asarray(ts_weights, jnp.float32),
-            tile_row0=tile_row0, op_bits=self.op_bits)
+            tile_row0=tile_row0, op_bits=self.op_bits,
+            sort_segments=self.sort_segments)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)
 
     # -- animation -------------------------------------------------------
@@ -574,14 +620,70 @@ class Renderer:
         (SURVEY.md §3.2)."""
         return self.frames_partitioned(seed=seed)
 
+    def frames_overlapped(self, seed: int = 0
+                          ) -> Iterator[Tuple[np.ndarray, FrameStats]]:
+        """frames() in throughput mode: cross-frame pipeline overlap.
+
+        The TPU-native counterpart of cuburn's 2-stream scheduling
+        (iter of frame N overlapping filter + D2H copy of frame N-1,
+        cuburn/render.py, SURVEY.md §2b pipeline row / §3.1 async
+        D2H):  frame N's ENTIRE device pipeline (accumulate + filter)
+        is dispatched before frame N-1 is read back, so the device
+        never idles on the host's readback + encode, and the host's
+        encode of N-1 runs while the device computes N.  JAX's async
+        dispatch provides the streams; the only sync point is the
+        np.asarray at yield, by which time the next frame's work is
+        queued.
+
+        Frame images are bit-identical to frames() (the same programs
+        run in the same order; only host synchronization moves).
+        FrameStats differences in this mode: iterate_s holds the
+        frame-to-frame PIPELINE wall time (dispatch-to-dispatch, i.e.
+        what an encoder actually waits), and filter_s only the final
+        readback."""
+        pending = None
+        t_prev = time.perf_counter()
+        for i, t in self.frame_times():
+            hist, n_plot, n_iter = self.accumulate_async(t, seed + i)
+            logical = hist_to_logical(self.backend, hist,
+                                      self.cam.n_bins)
+            img_dev = self.finalize_frame_device(logical, t)
+            now = time.perf_counter()
+            if pending is not None:
+                yield self._resolve_pending(pending, now - t_prev)
+            t_prev = now
+            pending = (img_dev, n_plot, n_iter)
+        if pending is not None:
+            yield self._resolve_pending(
+                pending, time.perf_counter() - t_prev)
+
+    @staticmethod
+    def _resolve_pending(pending, wall_s: float):
+        img_dev, n_plot, n_iter = pending
+        stats = FrameStats()
+        t1 = time.perf_counter()
+        img = np.asarray(img_dev)
+        stats.filter_s = time.perf_counter() - t1
+        stats.plotted_samples = int(n_plot)
+        stats.total_iters = int(n_iter)
+        stats.iterate_s = wall_s
+        return img, stats
+
     def frames_partitioned(self, seed: int = 0, n_stripes: int = 0,
-                           n_bands: int = 0
+                           n_bands: int = 0, overlap: bool = False
                            ) -> Iterator[Tuple[np.ndarray, FrameStats]]:
         """frames() through the exact frame-partitioning paths: striped
         accumulation and/or banded filtering per frame — animations of
         frames whose whole-frame programs exceed device limits (the
         CLI's --animate --stripes/--bands).  With neither partition it
-        IS frames()."""
+        IS frames(); `overlap` then switches to the cross-frame
+        pipelined driver (frames_overlapped; identical images).
+        Partitioned paths sync per sub-program by design, so overlap
+        does not apply to them."""
+        if overlap and not (n_stripes and n_stripes > 1) \
+                and not (n_bands and n_bands > 1):
+            yield from self.frames_overlapped(seed=seed)
+            return
         for i, t in self.frame_times():
             if n_stripes and n_stripes > 1:
                 hist, stats = self.accumulate_striped(

@@ -113,6 +113,33 @@ class TestAnimation:
         # animated genome: successive frames differ
         assert not np.array_equal(frames[0][0], frames[-1][0])
 
+    def test_overlapped_frames_bit_identical(self):
+        """The cross-frame pipelined driver (frames_overlapped) must
+        yield the EXACT frames of the serial driver — the same device
+        programs run in the same order; only host synchronization
+        moves (SURVEY.md §2b pipeline-overlap row)."""
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, fps=4.0, duration=1.0,
+                                   temporal_samples=2)
+        r = Renderer(g, prof)
+        serial = list(r.frames(seed=3))
+        overlapped = list(r.frames_overlapped(seed=3))
+        assert len(serial) == len(overlapped) == 4
+        for (a, sa), (b, sb) in zip(serial, overlapped):
+            np.testing.assert_array_equal(a, b)
+            assert sa.plotted_samples == sb.plotted_samples
+            assert sa.total_iters == sb.total_iters
+
+    def test_frames_partitioned_overlap_flag(self):
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, fps=4.0, duration=0.5)
+        r = Renderer(g, prof)
+        a = list(r.frames_partitioned(seed=2, overlap=True))
+        b = list(r.frames_partitioned(seed=2))
+        assert len(a) == len(b)
+        for (ia, _), (ib, _) in zip(a, b):
+            np.testing.assert_array_equal(ia, ib)
+
     def test_animated_genome_time_variation(self):
         g = animated_spark()
         r = Renderer(g, FAST)

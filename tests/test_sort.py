@@ -43,6 +43,29 @@ class TestBitonic:
         np.testing.assert_array_equal(out[:3], [3, 7, 9])
         assert (out[3:] == 0xFFFFFFFF).all()
 
+    @pytest.mark.parametrize("shape", [(4, 256), (16, 64), (2, 2)])
+    def test_rows_sorted_independently(self, shape):
+        """(S, L) form: every row ascending, rows independent — the
+        segmented sub-sort primitive."""
+        rng = np.random.RandomState(shape[0])
+        keys = rng.randint(0, 2**32, shape, dtype=np.uint32)
+        out = np.asarray(bitonic_sort_u32(jnp.asarray(keys)))
+        np.testing.assert_array_equal(out, np.sort(keys, axis=1))
+
+    @pytest.mark.parametrize("segs", [2, 8])
+    def test_segmented_sort_records(self, segs):
+        rng = np.random.RandomState(segs)
+        keys = rng.randint(0, 2**32, 1000, dtype=np.uint32)  # pads
+        out = np.asarray(sort_records(jnp.asarray(keys),
+                                      segments=segs))
+        assert out.shape[0] == 1024
+        for row in out.reshape(segs, -1):
+            np.testing.assert_array_equal(row, np.sort(row))
+        # same multiset (plus sentinels)
+        np.testing.assert_array_equal(
+            np.sort(out)[:1000], np.sort(keys))
+        assert (np.sort(out)[1000:] == 0xFFFFFFFF).all()
+
 
 class TestTiledBitonic:
     def test_matches_numpy(self):
@@ -138,7 +161,8 @@ class TestMergedPallasFlush:
     @pytest.mark.parametrize("merge", [False, True])
     @pytest.mark.parametrize("dist", ["dense", "mid", "sparse",
                                       "mixed"])
-    def test_windowed_matches_scatter(self, dist, merge):
+    def test_windowed_matches_scatter(self, dist, merge,
+                                      sort_segments=1):
         """accumulate_windowed_pallas must reproduce scatter exactly
         across all three flush tiers: 'dense' the single window matmul
         (clustered addresses), 'mid' the 8-chunk path (window spans in
@@ -170,7 +194,7 @@ class TestMergedPallasFlush:
         hp = ph.to_planes_layout(hm.alloc(n_bins))
         out = ph.accumulate_windowed_pallas(
             hp, packed, pal_hi, n_bins, cbits, interpret=True,
-            merge=merge)
+            merge=merge, sort_segments=sort_segments)
         got = np.asarray(ph.from_planes_layout(out, n_bins))
         # density channel counts integers -> exact in any add order
         np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
@@ -180,13 +204,27 @@ class TestMergedPallasFlush:
         assert np.asarray(out).reshape(4, -1)[3].sum() \
             == pytest.approx(M)
 
-    def test_windowed_hbm_tiled_multi_block(self):
+    @pytest.mark.parametrize("segs", [2, 4, 16])
+    @pytest.mark.parametrize("dist", ["dense", "mixed"])
+    def test_windowed_segmented_matches_scatter(self, dist, segs):
+        """The segmented sub-sort (S independent sub-sorts per flush,
+        no merge — ops/pallas_hist.py sort_segments) must stay exactly
+        scatter-equivalent: windows never straddle segment boundaries
+        and each window's segment sum is order-independent."""
+        self.test_windowed_matches_scatter(dist, merge=False,
+                                           sort_segments=segs)
+
+    @pytest.mark.parametrize("segs", [1, 4])
+    def test_windowed_hbm_tiled_multi_block(self, segs):
         """Histograms larger than one VMEM block (> BLOCK_ROWS lane
         rows) flush through the row-block-tiled path: the prefetched
         block index walks sorted windows block by block, boundary-
         straddling windows divert to the side scatter.  Must still be
         exactly scatter-equivalent, including across block boundaries
-        and in blocks that receive no records."""
+        and in blocks that receive no records.  With a segmented sort
+        (segs > 1) each segment walks every block, so the group
+        permutation must keep block visits contiguous or the
+        first-visit zeroing erases earlier segments' mass."""
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
         rng = np.random.RandomState(13)
@@ -207,7 +245,8 @@ class TestMergedPallasFlush:
         hp = ph.to_planes_layout(hm.alloc(n_bins))
         assert hp.shape[1] == 3 * ph.BLOCK_ROWS
         out = ph.accumulate_windowed_pallas(
-            hp, packed, pal_hi, n_bins, cbits, interpret=True)
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            sort_segments=segs)
         got = np.asarray(ph.from_planes_layout(out, n_bins))
         np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
         np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
@@ -215,11 +254,13 @@ class TestMergedPallasFlush:
         assert np.asarray(out).reshape(4, -1)[3].sum() \
             == pytest.approx(M)
 
-    def test_windowed_hbm_tiled_boundary_saturation(self):
+    @pytest.mark.parametrize("segs", [1, 8])
+    def test_windowed_hbm_tiled_boundary_saturation(self, segs):
         """Adversarial: thousands of records packed tightly around
         EVERY row-block boundary (max pressure on the side-scatter's
-        fixed diversion capacity) plus empty blocks — still exactly
-        scatter-equivalent."""
+        fixed diversion capacity — which must scale with the segment
+        count: every sorted segment crosses every boundary) plus empty
+        blocks — still exactly scatter-equivalent."""
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
         rng = np.random.RandomState(17)
@@ -236,7 +277,8 @@ class TestMergedPallasFlush:
             n_bins, cbits, addr, color, palette)
         hp = ph.to_planes_layout(hm.alloc(n_bins))
         out = ph.accumulate_windowed_pallas(
-            hp, packed, pal_hi, n_bins, cbits, interpret=True)
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            sort_segments=segs)
         got = np.asarray(ph.from_planes_layout(out, n_bins))
         np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
         np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
