@@ -17,25 +17,94 @@ from __future__ import annotations
 import numpy as np
 
 # independent variation formulas (flam3 paper; theta = atan2(x, y));
-# each takes (x, y, r2, rng) — rng only used by the stochastic ones
-def _julia(x, y, r2, rng):
+# each takes (x, y, r2, rng, P, aff) — rng only used by the stochastic
+# ones, P(name) reads a parametric knob, aff is the xform's OWN affine
+# row (the affine-dependent family reads its c/f translation terms)
+def _julia(x, y, r2, rng, P, aff):
     # sqrt(r) at theta/2 plus a random half-turn (flam3's coin flip)
     a = 0.5 * np.arctan2(x, y) + np.pi * rng.randint(0, 2, x.shape)
     r = np.power(r2, 0.25)
     return r * np.cos(a), r * np.sin(a)
 
 
+def _julian(x, y, r2, rng, P, aff):
+    # flam3 julian: random branch of the power-th root, radius
+    # exponent dist/power (theta here is atan2(y, x) — the julia
+    # FAMILY uses the mathematical angle, unlike the atan2(x, y)
+    # variations)
+    power = P("julian_power")
+    dist = P("julian_dist")
+    p = int(round(power)) if power else 1
+    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
+    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / p
+    r = np.power(r2 + 1e-30, dist / (2.0 * p))
+    return r * np.cos(a), r * np.sin(a)
+
+
+def _pdj(x, y, r2, rng, P, aff):
+    return (np.sin(P("pdj_a") * y) - np.cos(P("pdj_b") * x),
+            np.sin(P("pdj_c") * x) - np.cos(P("pdj_d") * y))
+
+
+def _popcorn(x, y, r2, rng, P, aff):
+    # affine-dependent: perturbation amplitudes are the xform's own
+    # affine translation coefficients c and f
+    return (x + aff[2] * np.sin(np.tan(3.0 * y)),
+            y + aff[5] * np.sin(np.tan(3.0 * x)))
+
+
+def _rings(x, y, r2, rng, P, aff):
+    # affine-dependent: ring pitch from the affine's c^2; flam3 quirk
+    # (the spec, CLAUDE.md): output uses (cos, sin) of theta =
+    # atan2(x, y)
+    dx = aff[2] * aff[2] + 1e-10
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    rr = np.mod(r + dx, 2.0 * dx) - dx + r * (1.0 - dx)
+    return rr * np.cos(theta), rr * np.sin(theta)
+
+
+def _gaussian_blur(x, y, r2, rng, P, aff):
+    # sum of 4 uniforms - 2 (flam3's cheap gaussian), random angle;
+    # ignores the input point entirely
+    r = (rng.uniform(0, 1, (4,) + x.shape).sum(axis=0) - 2.0)
+    a = rng.uniform(0, 2.0 * np.pi, x.shape)
+    return r * np.cos(a), r * np.sin(a)
+
+
+def _disc(x, y, r2, rng, P, aff):
+    theta = np.arctan2(x, y)
+    r = np.sqrt(r2)
+    return (theta / np.pi * np.sin(np.pi * r),
+            theta / np.pi * np.cos(np.pi * r))
+
+
+def _fisheye(x, y, r2, rng, P, aff):
+    # the famous swapped-output quirk (eyefish is the fixed version)
+    s = 2.0 / (np.sqrt(r2) + 1.0)
+    return s * y, s * x
+
+
 _VARS = {
-    "linear": lambda x, y, r2, rng: (x, y),
-    "sinusoidal": lambda x, y, r2, rng: (np.sin(x), np.sin(y)),
-    "spherical": lambda x, y, r2, rng: (x / (r2 + 1e-12),
-                                        y / (r2 + 1e-12)),
-    "swirl": lambda x, y, r2, rng: (x * np.sin(r2) - y * np.cos(r2),
-                                    x * np.cos(r2) + y * np.sin(r2)),
-    "horseshoe": lambda x, y, r2, rng: (
+    "linear": lambda x, y, r2, rng, P, aff: (x, y),
+    "sinusoidal": lambda x, y, r2, rng, P, aff: (np.sin(x),
+                                                 np.sin(y)),
+    "spherical": lambda x, y, r2, rng, P, aff: (x / (r2 + 1e-12),
+                                                y / (r2 + 1e-12)),
+    "swirl": lambda x, y, r2, rng, P, aff: (
+        x * np.sin(r2) - y * np.cos(r2),
+        x * np.cos(r2) + y * np.sin(r2)),
+    "horseshoe": lambda x, y, r2, rng, P, aff: (
         (x - y) * (x + y) / np.sqrt(r2 + 1e-12),
         2.0 * x * y / np.sqrt(r2 + 1e-12)),
     "julia": _julia,
+    "julian": _julian,
+    "pdj": _pdj,
+    "popcorn": _popcorn,
+    "rings": _rings,
+    "gaussian_blur": _gaussian_blur,
+    "disc": _disc,
+    "fisheye": _fisheye,
 }
 
 
@@ -67,10 +136,12 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         for name in xf.vars:
             if name not in _VARS:
                 raise ValueError(f"reference renderer lacks {name}")
-        return aff, post, {k: v(t) for k, v in xf.vars.items()}
+        # resolve parametric knobs through the schema (defaults incl.)
+        pfn = (lambda attr, _xf=xf: float(_xf.param(attr, t)))
+        return aff, post, {k: v(t) for k, v in xf.vars.items()}, pfn
 
-    affines, posts, var_sets = zip(*[xf_tables(xf)
-                                     for xf in genome.xforms])
+    affines, posts, var_sets, pfns = zip(*[xf_tables(xf)
+                                           for xf in genome.xforms])
     colors = np.array([xf.color(t) for xf in genome.xforms])
     speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
     final = (xf_tables(genome.final_xform)
@@ -82,7 +153,7 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         * (width / genome.size[0])
     cx, cy = genome.center[0](t), genome.center[1](t)
 
-    def apply(aff, post, vset, x, y):
+    def apply(aff, post, vset, pfn, x, y):
         a, b, cc, d, e, f = aff
         tx = a * x + b * y + cc
         ty = d * x + e * y + f
@@ -90,7 +161,7 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         ox = np.zeros_like(tx)
         oy = np.zeros_like(ty)
         for name, w in vset.items():
-            dx, dy = _VARS[name](tx, ty, r2, rng)
+            dx, dy = _VARS[name](tx, ty, r2, rng, pfn, aff)
             ox += w * dx
             oy += w * dy
         if post is not None:
@@ -128,7 +199,7 @@ def render_reference(genome, width: int, height: int, n_samples: int,
             if not m.any():
                 continue
             nx[m], ny[m] = apply(affines[i], posts[i], var_sets[i],
-                                 x[m], y[m])
+                                 pfns[i], x[m], y[m])
         c = c * (1.0 - speeds[idx]) + colors[idx] * speeds[idx]
         bad = ~np.isfinite(nx) | ~np.isfinite(ny) \
             | (np.abs(nx) > 1e10) | (np.abs(ny) > 1e10)
@@ -139,7 +210,8 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         last = idx
 
         if final is not None:
-            fx, fy = apply(final[0], final[1], final[2], x, y)
+            fx, fy = apply(final[0], final[1], final[2], final[3],
+                           x, y)
             fspeed = genome.final_xform.color_speed(t)
             fc = c * (1.0 - fspeed) \
                 + genome.final_xform.color(t) * fspeed

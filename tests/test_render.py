@@ -569,6 +569,89 @@ class TestIndependentReference:
             assert abs(rr - ro) < 0.02, (ch, rr, ro)
 
 
+class TestIndependentReferenceExpanded:
+    """Round-3 anchor expansion (VERDICT round-2 weak #5): parametric
+    (julian, pdj), affine-dependent (popcorn, rings), stochastic
+    (gaussian_blur) and two more quirk-bearing simple variations
+    (disc, fisheye) exercised END-TO-END against the independent NumPy
+    renderer — 13 variations in the anchor set total."""
+
+    def _compare(self, g, n, seed_ref, seed_our, tv_bound=0.05):
+        from tests.reference_impl import render_reference
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        W, H = g.size
+        ref = render_reference(g, W, H, n, seed=seed_ref)
+        prof = RenderProfile(width=W, height=H,
+                             quality=int(np.ceil(n / (W * H))),
+                             batch=4096, iters_per_chunk=16, fuse=20,
+                             hist_backend="scatter", de_enabled=False)
+        hist, _ = Renderer(g, prof).accumulate(0.0, seed=seed_our)
+        ours = np.asarray(hist, np.float64)
+        d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
+        d_our = ours[:-1, 3] / ours[:-1, 3].sum()
+        tv = 0.5 * np.abs(d_ref - d_our).sum()
+        assert tv < tv_bound, f"TV distance {tv:.4f}"
+        for ch in range(3):
+            rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
+            ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
+            assert abs(rr - ro) < 0.02, (ch, rr, ro)
+        return tv
+
+    def test_parametric_and_affine_dependent(self):
+        """julian (random-branch parametric), pdj (4-param), popcorn +
+        rings (read their own affine's c/f terms)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.9, 0.3, 256)
+        pal[:, 1] = np.linspace(0.2, 0.8, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.15, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.35, -0.1, 0.55, 0.12),
+                      vars={"julian": 0.8, "linear": 0.2},
+                      params={"julian_power": 3.0,
+                              "julian_dist": 1.0}),
+                XForm(weight=0.8, color=0.85, color_speed=0.5,
+                      affine=(-0.4, 0.25, -0.22, 0.25, 0.4, 0.28),
+                      vars={"pdj": 0.7, "linear": 0.3},
+                      params={"pdj_a": 1.2, "pdj_b": -1.9,
+                              "pdj_c": 0.6, "pdj_d": 1.4}),
+                XForm(weight=0.6, color=0.5, color_speed=0.4,
+                      affine=(0.5, 0.0, 0.4, 0.0, 0.5, -0.3),
+                      vars={"popcorn": 0.9, "linear": 0.1}),
+                XForm(weight=0.5, color=0.35, color_speed=0.6,
+                      affine=(0.45, -0.1, 0.5, 0.1, 0.45, 0.05),
+                      vars={"rings": 0.8, "linear": 0.2}),
+            ],
+            scale=10.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_parametric")
+        self._compare(g, 500_000, seed_ref=8, seed_our=17)
+
+    def test_stochastic_and_quirks(self):
+        """gaussian_blur (pure-RNG point cloud) mixed with disc and
+        fisheye (the swapped-output quirk) — stochastic mass and the
+        quirk conventions must agree distributionally."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 2] = np.linspace(0.3, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.6, 0.1, 0.2, -0.1, 0.6, 0.1),
+                      vars={"disc": 0.7, "linear": 0.3}),
+                XForm(weight=0.7, color=0.8, color_speed=0.5,
+                      affine=(-0.45, 0.2, -0.15, 0.2, 0.45, 0.2),
+                      vars={"fisheye": 0.8, "linear": 0.2}),
+                XForm(weight=0.4, color=0.5, color_speed=0.7,
+                      affine=(0.5, 0.0, 0.0, 0.0, 0.5, 0.0),
+                      vars={"gaussian_blur": 1.0}),
+            ],
+            scale=9.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_stochastic")
+        self._compare(g, 500_000, seed_ref=9, seed_our=23)
+
+
 class TestRandomGenomes:
     """flam3-genome-style random flames: determinism + a fuzz sweep
     over the variation library (every seed must render finite, massy
