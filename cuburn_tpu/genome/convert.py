@@ -310,6 +310,17 @@ def flame_to_genome(flame: ET.Element) -> Genome:
     size = tuple(int(x) for x in
                  _parse_floats(attrs.get("size", "640 480")))[:2]
     center = tuple(_parse_floats(attrs.get("center", "0 0")))[:2]
+    rot_center = (tuple(_parse_floats(attrs["rot_center"]))[:2]
+                  if "rot_center" in attrs else None)
+    if "earlyclip" in attrs:
+        # flam3's pre-2008 pipeline order (gamma clip BEFORE the DE
+        # filter); parse-and-warn — the modern late clip is rendered
+        # [flam3 rect.c earlyclip, SURVEY.md §0 M/L-confidence tail]
+        import warnings
+        warnings.warn(
+            "flame sets earlyclip; cuburn_tpu renders the modern "
+            "late-clip order — output may differ slightly in "
+            "saturated highlights")
     background = tuple(
         _parse_floats(attrs.get("background", "0 0 0")))[:3]
     scalars = {k: float(attrs.get(k, d))
@@ -317,7 +328,8 @@ def flame_to_genome(flame: ET.Element) -> Genome:
 
     return Genome(
         xforms=xforms, final_xform=final, xaos=xaos, palettes=palettes,
-        center=center, scale=scalars["scale"], zoom=scalars["zoom"],
+        center=center, rot_center=rot_center,
+        scale=scalars["scale"], zoom=scalars["zoom"],
         rotate=scalars["rotate"],
         brightness=scalars["brightness"], gamma=scalars["gamma"],
         gamma_threshold=scalars["gamma_threshold"],
@@ -372,6 +384,9 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "name": g.name,
         "size": f"{g.size[0]} {g.size[1]}",
         "center": f"{g.center[0](t):.9g} {g.center[1](t):.9g}",
+        **({"rot_center": f"{g.rot_center[0](t):.9g} "
+                          f"{g.rot_center[1](t):.9g}"}
+           if g.rot_center is not None else {}),
         "scale": f"{g.scale(t):.9g}",
         "zoom": f"{g.zoom(t):.9g}",
         "rotate": f"{g.rotate(t):.9g}",

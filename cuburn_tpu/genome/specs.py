@@ -169,6 +169,7 @@ class GenomeParams:
     final_var_params: np.ndarray
     palette: np.ndarray
     center: np.ndarray        # (2,)
+    rot_center: np.ndarray    # (2,) rotation pivot (flam3 rot_center)
     ppu: np.ndarray           # pixels per world unit, scalar
     rotate: np.ndarray        # degrees, scalar
     brightness: np.ndarray
@@ -209,6 +210,9 @@ class Genome:
     # palette keyframes: list of (time, (256,3) float array in [0,1]).
     palettes: List[Tuple[float, np.ndarray]] = field(default_factory=list)
     center: Tuple[Spline, Spline] = None
+    # flam3 `rot_center`: the point the camera rotation pivots on;
+    # None = pivot on `center` (flam3's own default)
+    rot_center: Optional[Tuple[Spline, Spline]] = None
     scale: Spline = None            # pixels per unit (flam3 `scale`)
     # flam3 `zoom`: effective ppu = scale * 2^zoom (flam3 rect.c;
     # flam3 also scales sample density by 4^zoom to hold noise
@@ -269,6 +273,9 @@ class Genome:
                 setattr(self, name, tuple(spline(c) for c in cur))
             else:
                 setattr(self, name, spline(cur))
+        if self.rot_center is not None:
+            self.rot_center = tuple(spline(c)
+                                    for c in tuple(self.rot_center))
         if not self.xforms:
             raise ValueError(
                 "a genome needs at least one xform (flam3 rule)")
@@ -387,6 +394,9 @@ class Genome:
             final_var_weights=f_vw, final_var_params=f_vp,
             palette=palette_mod.palette_at(self.palettes, t).astype(f32),
             center=np.array([self.center[0](t), self.center[1](t)], dtype=f32),
+            rot_center=np.array(
+                [(self.rot_center or self.center)[0](t),
+                 (self.rot_center or self.center)[1](t)], dtype=f32),
             ppu=np.array(self.scale(t) * 2.0 ** self.zoom(t),
                          dtype=f32),
             rotate=np.array(self.rotate(t), dtype=f32),
@@ -431,6 +441,9 @@ class Genome:
                 "scale": self.scale.to_json(),
                 "zoom": self.zoom.to_json(),
                 "rotate": self.rotate.to_json(),
+                **({"rot_center": [self.rot_center[0].to_json(),
+                                   self.rot_center[1].to_json()]}
+                   if self.rot_center is not None else {}),
             },
             "color": {
                 "brightness": self.brightness.to_json(),
@@ -496,6 +509,8 @@ class Genome:
             xaos=doc.get("xaos"),
             palettes=palettes,
             center=tuple(cam.get("center", (0.0, 0.0))),
+            rot_center=(tuple(cam["rot_center"])
+                        if "rot_center" in cam else None),
             scale=cam.get("scale", 100.0),
             zoom=cam.get("zoom", 0.0),
             rotate=cam.get("rotate", 0.0),

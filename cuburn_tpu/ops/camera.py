@@ -74,7 +74,7 @@ class CameraSpec:
 
 
 def project(spec: CameraSpec, center, ppu, rotate_deg, x, y,
-            tile_row0=None):
+            tile_row0=None, rot_center=None):
     """World point arrays -> (addr (int32), in_bounds (bool)).
 
     `ppu` is the genome's pixels-per-unit at *nominal* resolution; the
@@ -82,19 +82,28 @@ def project(spec: CameraSpec, center, ppu, rotate_deg, x, y,
     re-render at any resolution (reference: profile-applied camera,
     cuburn/profile.py).
 
+    `rot_center` (flam3 `rot_center` attr): the world point the
+    rotation pivots on; None/same-as-center = flam3's default (rotate
+    about the image center).  The image window stays centered on
+    `center` either way — only the pivot of the spin moves.
+
     `tile_row0` (traced int32) overrides spec.tile_row0 so every stripe
     of a striped render shares ONE compiled program (compiles cost
     minutes on the dev tunnel).
     """
-    dx = x - center[0]
-    dy = y - center[1]
     if spec.no_rotation:
-        rx, ry = dx, dy
+        rx = x - center[0]
+        ry = y - center[1]
     else:
+        rc = center if rot_center is None else rot_center
+        dx = x - rc[0]
+        dy = y - rc[1]
         theta = -rotate_deg * np.float32(np.pi / 180.0)
         ct, st = jnp.cos(theta), jnp.sin(theta)
-        rx = ct * dx - st * dy
-        ry = st * dx + ct * dy
+        # rotate about rot_center, then translate so the window is
+        # still centered on `center`
+        rx = ct * dx - st * dy + (rc[0] - center[0])
+        ry = st * dx + ct * dy + (rc[1] - center[1])
     ppu_ss = ppu * np.float32(spec.ss)
     full_h = spec.full_acc_height or spec.acc_height
     px = rx * ppu_ss + np.float32(spec.acc_width * 0.5)

@@ -188,6 +188,8 @@ def pack_genome(genome: Genome) -> PackedGenome:
         idx["final_var_params"] = [const(0.0)]
 
     idx["center"] = [reg(genome.center[0]), reg(genome.center[1])]
+    rc = genome.rot_center or genome.center
+    idx["rot_center"] = [reg(rc[0]), reg(rc[1])]
     idx["ppu"] = reg(genome.scale)
     idx["zoom"] = reg(genome.zoom)
     idx["rotate"] = reg(genome.rotate)
@@ -238,6 +240,7 @@ def pack_genome(genome: Genome) -> PackedGenome:
             final_var_params=a(idx["final_var_params"]),
             palette=palette,
             center=a(idx["center"]),
+            rot_center=a(idx["rot_center"]),
             # flam3 zoom: effective ppu = scale * 2^zoom (specs.eval_at)
             ppu=a(idx["ppu"]) * 2.0 ** a(idx["zoom"]),
             rotate=a(idx["rotate"]),

@@ -238,7 +238,7 @@ def iterate_step(
         key, params, nx, ny, ncolor, stream)
     addr, in_bounds = project(
         cam, params.center, ppu, params.rotate, px, py,
-        tile_row0=tile_row0)
+        tile_row0=tile_row0, rot_center=params.rot_center)
     visible = (age >= fuse) & in_bounds & (opacity > 0.0)
     addr = jnp.where(visible, addr, cam.junk_bin)
 

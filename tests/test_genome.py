@@ -192,6 +192,37 @@ class TestFlam3Convert:
         np.testing.assert_allclose(p1.xaos, p2.xaos, atol=1e-6)
         np.testing.assert_allclose(p1.palette, p2.palette, atol=1 / 255)
 
+    def test_rot_center_and_earlyclip(self):
+        """flam3 rot_center parses into the genome and survives the
+        XML round trip; earlyclip (unimplemented pipeline-order flag)
+        is parse-and-WARN, not parse-and-drop."""
+        xml = ('<flame name="rc" size="64 64" center="0.1 0.2" '
+               'rot_center="0.5 -0.4" rotate="45" earlyclip="1">'
+               '<xform weight="1" coefs="1 0 0 1 0 0" linear="1"/>'
+               '</flame>')
+        with pytest.warns(UserWarning, match="earlyclip"):
+            [g] = convert.parse_flam3(xml)
+        assert g.rot_center is not None
+        assert (g.rot_center[0](0), g.rot_center[1](0)) == (0.5, -0.4)
+        p = g.eval_at(0.0)
+        np.testing.assert_allclose(p.rot_center, [0.5, -0.4])
+        xml2 = convert.genome_to_flame_xml(g)
+        [g2] = convert.parse_flam3(xml2)
+        np.testing.assert_allclose(g2.eval_at(0.0).rot_center,
+                                   [0.5, -0.4])
+        # JSON round trip too
+        g3 = type(g).from_json(g.to_json())
+        np.testing.assert_allclose(g3.eval_at(0.0).rot_center,
+                                   [0.5, -0.4])
+        # default: rot_center follows center
+        xml_plain = ('<flame name="p" size="64 64" center="0.1 0.2">'
+                     '<xform weight="1" coefs="1 0 0 1 0 0" '
+                     'linear="1"/></flame>')
+        [gp] = convert.parse_flam3(xml_plain)
+        assert gp.rot_center is None
+        np.testing.assert_allclose(gp.eval_at(0.0).rot_center,
+                                   [0.1, 0.2])
+
     def test_multi_flame_document(self):
         doc = f"<flames>{FLAM3_XML}{FLAM3_XML}</flames>"
         genomes = convert.parse_flam3(doc)

@@ -151,6 +151,34 @@ class TestCamera:
         assert spec.n_bins == 256
         assert spec.acc_width == 16
 
+    def test_rot_center_pivot(self):
+        """flam3 rot_center: the pivot point stays fixed in the image
+        under any rotation; rot_center == center reproduces the
+        default rotation exactly."""
+        spec = CameraSpec(100, 100, 1)
+        center = jnp.array([0.2, -0.1])
+        rc = jnp.array([0.7, 0.3])
+        ppu = jnp.float32(20.0)
+        for deg in (0.0, 37.0, 90.0, 210.0):
+            a, inb = project(spec, center, ppu, jnp.float32(deg),
+                             rc[:1], rc[1:], rot_center=rc)
+            assert bool(inb[0])
+            # pivot's pixel is rotation-invariant
+            a0, _ = project(spec, center, ppu, jnp.float32(0.0),
+                            rc[:1], rc[1:], rot_center=rc)
+            assert int(a[0]) == int(a0[0])
+        # rot_center defaulting to center == explicit center pivot
+        xs = jnp.array([0.9, -0.3, 0.0])
+        ys = jnp.array([0.1, 0.6, -0.5])
+        a1, _ = project(spec, center, ppu, jnp.float32(55.0), xs, ys)
+        a2, _ = project(spec, center, ppu, jnp.float32(55.0), xs, ys,
+                        rot_center=center)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        # a different pivot genuinely changes the projection
+        a3, _ = project(spec, center, ppu, jnp.float32(55.0), xs, ys,
+                        rot_center=rc)
+        assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
 
 class TestIterate:
     def _run(self, genome, batch=512, n_iters=64, seed=0):
