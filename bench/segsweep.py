@@ -10,6 +10,7 @@ measurement can price that trade — this script produces it, plus the
 window-tier distribution per S so the result is explainable.
 
 Usage: python bench/segsweep.py [batch_log2=15] [iters_per_chunk=64]
+                                [width=512] [height=width] [S,S,...]
 Emits one JSON line per S and a summary recommendation.
 """
 
@@ -52,6 +53,10 @@ def tier_distribution(recs, n_bins, cbits, segs):
 def main():
     b_log = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    H = int(sys.argv[4]) if len(sys.argv) > 4 else W
+    s_list = ([int(x) for x in sys.argv[5].split(",")]
+              if len(sys.argv) > 5 else [1, 2, 4, 8, 16, 32, 64])
 
     from cuburn_tpu.models import full_feature
     from cuburn_tpu.ops.camera import CameraSpec
@@ -64,9 +69,9 @@ def main():
     g = full_feature()
     key = g.structure_key()
     params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
-    cam = CameraSpec(512, 512, 1)
+    cam = CameraSpec(W, H, 1)
     cdf = xform_cdf_rows(params)
-    ppu = params.ppu * jnp.float32(512 / g.size[0])
+    ppu = params.ppu * jnp.float32(W / g.size[0])
     B = 1 << b_log
     n_chunks = max(1, (1 << 25) // (B * K))
     total = n_chunks * B * K
@@ -103,7 +108,7 @@ def main():
         print(json.dumps(rec))
         return rec
 
-    results = [run(s) for s in (1, 2, 4, 8, 16, 32, 64)]
+    results = [run(s) for s in s_list]
     best = max(results, key=lambda r: r["M_iters_per_s"])
     base = results[0]["M_iters_per_s"]
     print(json.dumps({

@@ -1053,6 +1053,28 @@ def test_oscilloscope():
     assert (ey != y).any()     # both branches exercised
 
 
+def test_unpolar_convention_inverts_polar():
+    """DOCUMENTED CONVENTION (SURVEY.md §2c marks unpolar ≈): this
+    build defines unpolar as the inverse of flam3's polar map
+    (u, v) = (theta/pi, r-1)  ->  (x, y) = ((v+1) sin(pi u),
+    (v+1) cos(pi u)), so unpolar(polar(p)) == p at unit weights.
+    If flam3-binary output ever becomes available and disagrees,
+    change the formula AND this test together."""
+    tx, ty = _grid(16)
+    x = np.asarray(tx, np.float64)
+    y = np.asarray(ty, np.float64)
+    # forward polar at w=1
+    ux, uy = _eval("polar", tx, ty, w=1.0)
+    # unpolar at w=1 must restore the input point
+    rx, ry = _eval("unpolar", jnp.asarray(ux), jnp.asarray(uy), w=1.0)
+    # exclude the branch cut (theta = +-pi) and the origin
+    r = np.hypot(x, y)
+    theta = np.arctan2(x, y)
+    safe = (r > 0.05) & (np.abs(np.abs(theta) - np.pi) > 0.05)
+    np.testing.assert_allclose(rx[safe], x[safe], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ry[safe], y[safe], rtol=1e-4, atol=1e-4)
+
+
 class TestArchRaysTwintrianInvariants:
     """Per-sample algebraic invariants of the last three stochastic
     variations (flam3: random angle scaled by w*pi inside each)."""
