@@ -268,14 +268,21 @@ class ShardedRenderer(Renderer):
             check_vma=False,
         )
         hists, plots = shard(params, cdf_rows, state, hist0, ppu)
-        full = np.zeros((cam.n_bins + 1, 4), np.float32)
+        # stitch ON DEVICE (render._merge_stripe): host-side assembly
+        # cost a D2H per stripe + a full re-upload before filtering
+        from cuburn_tpu.render import _merge_stripe
+        from cuburn_tpu.utils.timing import hard_sync
+        pad_rows = max(cam.n_bins + 1, n * th * cam.acc_width)
+        full = jnp.zeros((pad_rows, 4), jnp.float32)
         for s in range(n):
-            h_log = np.asarray(hist_to_logical(
-                self.backend, hists[s], scam.n_bins))
+            h_log = hist_to_logical(self.backend, hists[s],
+                                    scam.n_bins)
             rows = min(th, full_h - s * th)
-            lo = s * th * cam.acc_width
-            full[lo:lo + rows * cam.acc_width] += \
-                h_log[:rows * cam.acc_width]
+            full = _merge_stripe(full, h_log[:scam.n_bins],
+                                 jnp.int32(s * th), jnp.int32(rows),
+                                 cam.acc_width)
+        full = full[:cam.n_bins + 1]
+        hard_sync(full)
         stats.plotted_samples = int(np.asarray(plots).sum())
         stats.total_iters = n_chunks * prof.batch * ipc * n
         stats.iterate_s = _time.perf_counter() - t0

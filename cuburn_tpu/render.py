@@ -170,8 +170,71 @@ def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
     return to_u8(img)
 
 
+def _load_tune() -> dict:
+    """Per-chip tune record written by bench/retune.py: the
+    CUBURN_TUNE_FILE env var, or ./cuburn_tune.json.  Missing or
+    malformed files silently yield {} (built-in defaults apply)."""
+    import json
+    import os
+    path = os.environ.get("CUBURN_TUNE_FILE", "cuburn_tune.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _to_device(params: GenomeParams) -> GenomeParams:
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+@functools.partial(jax.jit, static_argnames=("acc_w",))
+def _merge_stripe(full, stripe, row0, rows, acc_w: int):
+    """Add a stripe's logical histogram rows [0, rows) into the full
+    device histogram at row offset row0 (traced — one compiled program
+    serves every stripe).  Rows past `rows` (the last stripe's
+    overhang beyond the frame) are masked off, matching the full-frame
+    render exactly (those points fail its bounds test)."""
+    mask = (jnp.arange(stripe.shape[0]) < rows * acc_w)
+    cur = jax.lax.dynamic_slice(
+        full, (row0 * acc_w, 0), (stripe.shape[0], 4))
+    return jax.lax.dynamic_update_slice(
+        full, cur + stripe * mask[:, None], (row0 * acc_w, 0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_bands", "band_rows", "margin", "ss", "gutter_x", "transparent",
+    "de_on", "de_static_r", "spatial_filter", "filter_shape"))
+def _filter_banded_device(himg, params: GenomeParams, quality_per_cell,
+                          n_bands: int, band_rows: int, margin: int,
+                          ss: int, gutter_x: int, transparent: bool,
+                          de_on: bool, de_static_r: float,
+                          spatial_filter: float, filter_shape: str):
+    """ALL bands of finalize_frame_banded in ONE device program: a
+    lax.map over band starts whose body is the band-sized _filter_band
+    (programs stay small — the reason banding exists — while the
+    histogram image never leaves the device and the whole filter costs
+    ONE dispatch instead of n_bands; per-dispatch latency is ~0.5-1 s
+    on the dev tunnel).  Returns (n_bands, band_rows/ss, W, 4) u8."""
+    acc_h, acc_w = himg.shape[0], himg.shape[1]
+    need_h = gutter_x + n_bands * band_rows + 2 * margin
+    pad_bot = max(0, need_h - margin - acc_h)
+    padded = jnp.pad(himg, ((margin, pad_bot), (0, 0), (0, 0)))
+
+    def band_at(start):
+        # padded coords: original row r sits at r + margin, so the
+        # slice [start - margin, ...) begins at `start`
+        block = jax.lax.dynamic_slice(
+            padded, (start, 0, 0),
+            (band_rows + 2 * margin, acc_w, 4))
+        return _filter_band(block, params, quality_per_cell, ss,
+                            margin, gutter_x, transparent, de_on,
+                            de_static_r, spatial_filter, filter_shape)
+
+    starts = gutter_x + band_rows * jnp.arange(n_bands,
+                                               dtype=jnp.int32)
+    return jax.lax.map(band_at, starts)
 
 
 class Renderer:
@@ -227,15 +290,24 @@ class Renderer:
                                       len(genome.xforms))
             self.packed = cb > 0
             self.op_bits = ob
+        tune = _load_tune()
         if backend == "auto":
-            # the windowed key-sort + MXU segment-sum flush measured
-            # 2.3x scatter end-to-end on TPU (BASELINE.md round 2);
-            # scatter remains the baseline elsewhere (interpret-mode
-            # Pallas on CPU is for tests only)
             import jax
-            backend = ("pallas_win"
-                       if jax.default_backend() == "tpu" and self.packed
-                       else "scatter")
+            if (tune.get("hist_backend") in ("scatter", "pallas_win")
+                    and jax.default_backend() == "tpu"):
+                # per-chip tune record (bench/retune.py)
+                backend = tune["hist_backend"]
+                if backend.startswith("pallas") and not self.packed:
+                    backend = "scatter"
+            else:
+                # built-in default: the windowed key-sort + MXU
+                # segment-sum flush measured 2.6x scatter end-to-end
+                # on the dev TPU (BASELINE.md); scatter remains the
+                # baseline elsewhere (interpret-mode Pallas on CPU is
+                # for tests only)
+                backend = ("pallas_win"
+                           if jax.default_backend() == "tpu"
+                           and self.packed else "scatter")
         self.backend = backend
         # segmented sub-sort width for the pallas_win flush
         # (ops/pallas_hist.py): env > profile > measured auto default
@@ -245,6 +317,8 @@ class Renderer:
             self.sort_segments = int(env_segs)
         elif profile.sort_segments:
             self.sort_segments = profile.sort_segments
+        elif tune.get("sort_segments"):
+            self.sort_segments = int(tune["sort_segments"])
         else:
             # measured on the dev chip (bench/segsweep.py, round 3):
             # the flat segmented sort is real (~1.5x fewer substages
@@ -364,7 +438,17 @@ class Renderer:
         stats = FrameStats()
         full_h = cam.acc_height
         th = -(-full_h // n_stripes)
-        full = np.zeros((cam.n_bins + 1, 4), np.float32)
+        # Round-3: the full histogram stays ON DEVICE and stripes merge
+        # via a traced dynamic-slice add — the old host-side assembly
+        # cost a D2H per stripe plus a full re-upload before banded
+        # filtering (measured up to ~1 s/MB over the dev tunnel,
+        # bench/filterprof.py), which dominated config-4 wall time.
+        # padded so the LAST stripe's slice window fits without
+        # dynamic_slice's start-clamping shifting it; masked tail adds
+        # land in the padding and are cropped on return
+        pad_rows = max(cam.n_bins + 1,
+                       n_stripes * th * cam.acc_width)
+        full = jnp.zeros((pad_rows, 4), jnp.float32)
         # ONE static camera for every stripe; the row offset flows in
         # as a traced value so all stripes share a single compiled
         # program (per-stripe recompiles cost minutes on the tunnel)
@@ -392,16 +476,17 @@ class Renderer:
                         / len(ts_times), tile_row0=row0)
             finally:
                 self.cam = saved_cam
-            h_log = np.asarray(
-                hist_to_logical(self.backend, hist, scam.n_bins))
+            h_log = hist_to_logical(self.backend, hist, scam.n_bins)
             rows = min(th, full_h - s * th)
-            lo = s * th * cam.acc_width
-            full[lo:lo + rows * cam.acc_width] += \
-                h_log[:rows * cam.acc_width]
             # per-stripe junk counts points in OTHER stripes too, so
             # it doesn't aggregate meaningfully; leave full[-1] at 0
+            full = _merge_stripe(
+                full, h_log[:scam.n_bins], jnp.int32(s * th),
+                jnp.int32(rows), cam.acc_width)
             stats.plotted_samples += int(n_plot)
             stats.total_iters += n_iter
+        full = full[:cam.n_bins + 1]
+        hard_sync(full)
         stats.iterate_s = time.perf_counter() - t0
         return full, stats
 
@@ -471,22 +556,25 @@ class Renderer:
                    - ss) // 2
         margin = ss * int(np.ceil((de_half + pad + 1) / ss))
         acc_h, acc_w = cam.acc_height, cam.acc_width
-        hist_img = np.asarray(hist)[:-1].reshape(acc_h, acc_w, 4)
+        # Round-3: the whole banding runs DEVICE-side.  The old path
+        # pulled the full histogram to host (138 MB D2H at 1080p ss2
+        # over the dev tunnel), assembled blocks in numpy, and
+        # re-uploaded 26 MB per band — measured 3.7 s of the 4.1 s
+        # warm wall (bench/filterprof.py; device compute is 0.4 s).
+        # Slicing with lax.dynamic_slice on a zero-padded device image
+        # keeps programs band-sized (the reason banding exists) while
+        # data never leaves the device until the final u8 readback.
+        himg = jnp.asarray(hist, jnp.float32)[:-1]\
+            .reshape(acc_h, acc_w, 4)
+        bands = _filter_banded_device(
+            himg, params, q_cell, n_bands, band_rows, margin, ss, g,
+            prof.transparent, de_on, de_static, sf, shape)
         out = np.zeros((H, W, 4), np.uint8)
+        bands_np = np.asarray(bands)       # one D2H for all bands
         for b in range(n_bands):
-            a0 = g + b * band_rows
-            lo, hi = a0 - margin, a0 + band_rows + margin
-            block = np.zeros((band_rows + 2 * margin, acc_w, 4),
-                             np.float32)
-            s0, s1 = max(lo, 0), min(hi, acc_h)
-            block[s0 - lo:s1 - lo] = hist_img[s0:s1]
-            band = _filter_band(
-                jnp.asarray(block), params, q_cell, ss, margin,
-                g, prof.transparent, de_on, de_static, sf, shape)
             rows = min(h_band, H - b * h_band)
             if rows > 0:
-                out[b * h_band:b * h_band + rows] = \
-                    np.asarray(band)[:rows]
+                out[b * h_band:b * h_band + rows] = bands_np[b][:rows]
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1
         return out

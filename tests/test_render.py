@@ -130,6 +130,27 @@ class TestAnimation:
             assert sa.plotted_samples == sb.plotted_samples
             assert sa.total_iters == sb.total_iters
 
+    def test_tune_record_consumed(self, tmp_path, monkeypatch):
+        """bench/retune.py's JSON tune record steers the Renderer's
+        auto backend and sort_segments choices; a missing/corrupt file
+        falls back to built-in defaults."""
+        import json
+        tune = tmp_path / "cuburn_tune.json"
+        tune.write_text(json.dumps(
+            {"hist_backend": "scatter", "sort_segments": 4}))
+        monkeypatch.setenv("CUBURN_TUNE_FILE", str(tune))
+        r = Renderer(sierpinski(), FAST)
+        assert r.sort_segments == 4      # tune value picked up
+        # (backend only applies on TPU; on CPU auto stays scatter)
+        assert r.backend == "scatter"
+        tune.write_text("not json {")
+        r2 = Renderer(sierpinski(), FAST)
+        assert r2.sort_segments == 1     # default restored
+        # env/profile still beat the tune record
+        monkeypatch.setenv("CUBURN_SORT_SEGMENTS", "2")
+        tune.write_text(json.dumps({"sort_segments": 8}))
+        assert Renderer(sierpinski(), FAST).sort_segments == 2
+
     def test_frames_partitioned_overlap_flag(self):
         g = animated_spark()
         prof = dataclasses.replace(FAST, fps=4.0, duration=0.5)
