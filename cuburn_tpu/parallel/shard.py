@@ -296,6 +296,17 @@ class ShardedRenderer(Renderer):
         gather back.  No extra collective beyond the output gather;
         filter wall time scales ~1/n_devices."""
         import time as _time
+        t1 = _time.perf_counter()
+        out = np.asarray(self.finalize_frame_device(hist, t))
+        if stats is not None:
+            stats.filter_s = _time.perf_counter() - t1
+        return out
+
+    def finalize_frame_device(self, hist, t: float = 0.0):
+        """Sharded finalize_frame WITHOUT the host readback (returns
+        the (H, W, 4) u8 frame as a device array) — lets the
+        overlapped animation driver (frames_overlapped) pipeline the
+        sharded filter exactly like the single-device one."""
         from cuburn_tpu.render import (_filter_band, _to_device,
                                        de_mod)
         prof, cam = self.profile, self.cam
@@ -303,8 +314,7 @@ class ShardedRenderer(Renderer):
         H, W, ss, g = prof.height, prof.width, cam.ss, cam.gutter
         h_band = -(-H // n)
         if n == 1 or h_band < 2:
-            return super().finalize_frame(hist, t, stats)
-        t1 = _time.perf_counter()
+            return super().finalize_frame_device(hist, t)
         params = _to_device(self.genome.eval_at(t))
         _times, _w, sumfilt = self._temporal_times(t)
         q_cell = jnp.float32(prof.quality * sumfilt
@@ -348,10 +358,7 @@ class ShardedRenderer(Renderer):
             check_vma=False,
         )
         bands = shard(img, params, q_cell)       # (n, h_band, W, 4)
-        out = np.asarray(bands).reshape(n * h_band, W, 4)[:H]
-        if stats is not None:
-            stats.filter_s = _time.perf_counter() - t1
-        return out
+        return bands.reshape(n * h_band, W, 4)[:H]
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
                              iters_per_sample, tile_row0=None):

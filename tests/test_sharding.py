@@ -183,6 +183,28 @@ def test_sharded_temporal_resume_mass(eight_devices):
     assert m1 < m2 < 3.0 * m1
 
 
+def test_sharded_overlapped_frames_identical(eight_devices):
+    """The overlapped animation driver on a ShardedRenderer must use
+    the sharded filter (finalize_frame_device override) and yield
+    frames identical to the serial sharded driver."""
+    from cuburn_tpu.models import animated_spark
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = animated_spark()
+    prof = RenderProfile(width=64, height=64, quality=15, batch=2048,
+                         iters_per_chunk=8, fuse=8, fps=4.0,
+                         duration=0.75, hist_backend="scatter",
+                         de_enabled=False)
+    r = ShardedRenderer(g, prof)
+    serial = [(np.asarray(i), s) for i, s in
+              (r.render_frame(t, seed=2 + k)
+               for k, t in r.frame_times())]
+    overlapped = list(r.frames_overlapped(seed=2))
+    assert len(serial) == len(overlapped) == 3
+    for (a, _), (b, sb) in zip(serial, overlapped):
+        np.testing.assert_array_equal(a, b)
+        assert sb.plotted_samples > 0
+
+
 def test_sharded_frames_partitioned(eight_devices):
     """Animation through the partitioned paths on the mesh: striped
     accumulation (one stripe per chip) + banded finalize per frame."""
