@@ -53,7 +53,8 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
-                     "n_iters", "fuse", "packed", "op_bits"))
+                     "n_iters", "fuse", "packed", "op_bits",
+                     "sort_segments"))
 def sharded_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -70,6 +71,7 @@ def sharded_accumulate(
     packed: bool = True,
     tile_row0=None,
     op_bits: int = 0,
+    sort_segments: int = 1,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
 
@@ -88,7 +90,8 @@ def sharded_accumulate(
             key, cam, backend, params, cdf_rows, state,
             jnp.zeros_like(hist), ppu,
             jnp.int32(n_chunks), n_iters, fuse, packed=packed,
-            tile_row0=tile_row0, op_bits=op_bits)
+            tile_row0=tile_row0, op_bits=op_bits,
+            sort_segments=sort_segments)
         # the single collective: reduce partial histograms over ICI
         hist = hist + jax.lax.psum(delta, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
@@ -111,7 +114,8 @@ def sharded_accumulate(
 @functools.partial(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
-                     "n_iters", "fuse", "packed", "op_bits"))
+                     "n_iters", "fuse", "packed", "op_bits",
+                     "sort_segments"))
 def sharded_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -128,6 +132,7 @@ def sharded_accumulate_temporal(
     packed: bool = True,
     tile_row0=None,
     op_bits: int = 0,
+    sort_segments: int = 1,
 ):
     """Motion-blurred frame across the mesh in ONE dispatch: every
     temporal sample's accumulation happens inside the shard_map region
@@ -146,7 +151,7 @@ def sharded_accumulate_temporal(
             key, cam, backend, params_T, state, jnp.zeros_like(hist),
             ppu_T, jnp.int32(n_chunks), n_iters, fuse, packed=packed,
             weights_T=weights_T, tile_row0=tile_row0,
-            op_bits=op_bits)
+            op_bits=op_bits, sort_segments=sort_segments)
         hist = hist + jax.lax.psum(delta, BATCH_AXIS)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
@@ -205,7 +210,8 @@ class ShardedRenderer(Renderer):
             key, cam, self.backend, self.mesh, params, cdf_rows,
             state, hist, ppu, n_chunks, prof.iters_per_chunk,
             prof.fuse, packed=self.packed, tile_row0=tile_row0,
-            op_bits=self.op_bits)
+            op_bits=self.op_bits,
+            sort_segments=self.sort_segments)
         return hist, plotted, n_chunks * per_chunk
 
     def accumulate_striped(self, t: float = 0.0, seed: int = 0,
@@ -258,7 +264,8 @@ class ShardedRenderer(Renderer):
             state, hist, n_plot = iterate_accumulate(
                 key, scam, backend, params, cdf_rows, state, hist,
                 ppu, jnp.int32(n_chunks), ipc, fuse, packed=packed,
-                tile_row0=row0.astype(jnp.int32), op_bits=ob)
+                tile_row0=row0.astype(jnp.int32), op_bits=ob,
+                sort_segments=self.sort_segments)
             return hist[None], n_plot[None]
 
         shard = jax.shard_map(
