@@ -17,7 +17,9 @@ profile = get_profile("preview", width=320, height=180, quality=60,
 renderer = Renderer(genome, profile)
 
 sink = Y4MSink(out, profile.width, profile.height, profile.fps)
-for i, (img, stats) in enumerate(renderer.frames(seed=3)):
+# frames_overlapped pipelines frame N's device work with frame N-1's
+# readback + encode (bit-identical to frames(); ~1.5x measured)
+for i, (img, stats) in enumerate(renderer.frames_overlapped(seed=3)):
     sink.write_frame(img)
     print(f"frame {i}: retention {stats.retention:.2f}")
 sink.close()
