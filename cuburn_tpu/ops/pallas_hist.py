@@ -261,7 +261,19 @@ def from_planes_layout(planes: jnp.ndarray, n_bins: int) -> jnp.ndarray:
 GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
 
 
-def _make_win_kernel(block_rows: int):
+def _make_win_kernel(block_rows: int, mxu_precision):
+    """`mxu_precision` is the segment-sum matmul precision.
+
+    HIGHEST is required for EXACTNESS only when some matmul input is
+    not bf16-representable: merged-run counts (arbitrary ints) or an
+    opacity-extended palette (arbitrary f32 density column).  On the
+    default fast path (merge off, 3-col palette) every count weight is
+    exactly 0/1 and the density column exactly 1.0 — both bf16-exact —
+    so per-bin DENSITY stays bit-exact at DEFAULT, and the rgb rounding
+    (~2^-9 relative, from the palette values themselves) sits below
+    the 8-bit palette quantization the packed record already accepts.
+    Measured on the dev chip: DEFAULT is 11.7% faster END TO END
+    (140.9 vs 126.2 M samples/s at 512²)."""
     def _win_kernel(perm_ref, rbg_ref, base_ref, ok_ref, addr_s_ref,
                     addr_ref, q_ref, cnt_ref, palF_ref, out_ref):
         """One grid step = GROUP windows of WIN sorted unique records.
@@ -325,7 +337,7 @@ def _make_win_kernel(block_rows: int):
                 H = (q_row // kl == hiota).astype(jnp.float32)
                 T1 = jnp.dot(palF_ref[:, :], L,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=mxu_precision)
                 WT = jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
                 base = base_ref[wi]
                 r0 = base // 128 - row_off
@@ -338,7 +350,7 @@ def _make_win_kernel(block_rows: int):
                     out = jax.lax.dot_general(
                         WT, Pt, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (4,128)
+                        precision=mxu_precision)  # (4,128)
                     out_ref[:, pl.ds(r0, 1), :] = \
                         out_ref[:, pl.ds(r0, 1), :] + out[:, None, :]
 
@@ -363,7 +375,7 @@ def _make_win_kernel(block_rows: int):
                         out = jax.lax.dot_general(
                             WT, Pt, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=mxu_precision)
                         # rows past the block end only ever receive
                         # zero one-hots (block straddles are diverted
                         # upstream); clamp so the RMW stays in bounds
@@ -527,6 +539,15 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     palT = _pal4(palette_hi).T                    # (4, K)
     palF = palT.reshape(4, k // kl, kl).reshape(4 * (k // kl), kl)
 
+    # precision by exactness contract (see _make_win_kernel): the
+    # default fast path (no merge, 3-col palette -> all matmul count/
+    # density weights exactly bf16-representable) runs the MXU at
+    # DEFAULT (+11.7% end-to-end); merged counts or opacity-extended
+    # palettes keep HIGHEST so per-bin density stays exact.
+    exact_at_default = (not merge) and palette_hi.shape[1] == 3
+    mxu_precision = (jax.lax.Precision.DEFAULT if exact_at_default
+                     else jax.lax.Precision.HIGHEST)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_grp,),
@@ -552,7 +573,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
                                memory_space=pltpu.VMEM),
     )
     delta = pl.pallas_call(
-        _make_win_kernel(br),
+        _make_win_kernel(br, mxu_precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
         interpret=interpret,
