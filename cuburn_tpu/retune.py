@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Re-tune the renderer's chip-dependent choices on the CURRENT chip.
+
+The dev environment is an emulator-class tunnel whose op economics do
+not extrapolate (CLAUDE.md); this script makes the first hour on real
+silicon executable instead of a manual checklist (docs/ROADMAP.md):
+
+  1. races histogram backends (scatter vs pallas_win) in-loop,
+     chained, at two flush densities (512² and 720p-bins)
+  2. sweeps the segmented sub-sort width S for the pallas_win flush
+  3. sweeps the flush chunk size K (records per sort+flush = B*K)
+  4. optionally probes the max safe accumulator dimension
+     (--probe-dims; off by default — a failed probe crashes the TPU
+     worker for ~2 min on fragile environments)
+
+and writes a JSON tune record that Renderer consumes automatically:
+CUBURN_TUNE_FILE env var, or ./cuburn_tune.json in the working
+directory.  Delete the file to return to built-in defaults.
+
+Usage: cuburn-tpu-retune [--out cuburn_tune.json] [--quick]
+                         [--probe-dims]
+(or python bench/retune.py from a repo checkout)
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax as _jax
+# persistent compile cache: a retune pass compiles many program shapes
+if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def race(key, cam, params, cdf, ppu, backend, B, K, n_chunks,
+         sort_segments=1):
+    """One chained in-loop measurement; returns M iters/s."""
+    from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
+                                        iterate_accumulate)
+    from cuburn_tpu.utils.timing import hard_sync
+    hist = hist_alloc_for(backend, cam.n_bins)
+    state = init_state(jax.random.PRNGKey(0), B)
+    kw = ({"sort_segments": sort_segments}
+          if backend == "pallas_win" else {})
+    out = iterate_accumulate(key, cam, backend, params, cdf, state,
+                             hist, ppu, jnp.int32(n_chunks), K, 32,
+                             **kw)
+    hard_sync(out)
+    t0 = time.perf_counter()
+    out = iterate_accumulate(key, cam, backend, params, cdf, out[0],
+                             hist, ppu, jnp.int32(n_chunks), K, 32,
+                             **kw)
+    hard_sync(out)
+    dt = time.perf_counter() - t0
+    return n_chunks * B * K / dt / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.environ.get(
+        "CUBURN_TUNE_FILE", "cuburn_tune.json"))
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer sweep points")
+    ap.add_argument("--probe-dims", action="store_true",
+                    help="probe max accumulator dim (may crash "
+                         "fragile TPU workers for ~2 min)")
+    args = ap.parse_args()
+
+    from cuburn_tpu.models import full_feature
+    from cuburn_tpu.ops.camera import CameraSpec
+    from cuburn_tpu.ops.iterate import xform_cdf_rows
+
+    g = full_feature()
+    key = g.structure_key()
+    params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+    cdf = xform_cdf_rows(params)
+    B = 1 << 15
+    n_chunks = 8 if args.quick else 16
+
+    tune = {"device": str(jax.devices()[0]),
+            "jax_backend": jax.default_backend(),
+            "measurements": {}}
+    m = tune["measurements"]
+
+    def cam_for(W, H):
+        return CameraSpec(W, H, 1), \
+            params.ppu * jnp.float32(W / g.size[0])
+
+    # 1. backend race at two densities
+    for label, (W, H) in {"512": (512, 512),
+                          "720p": (1280, 720)}.items():
+        cam, ppu = cam_for(W, H)
+        for backend in ("scatter", "pallas_win"):
+            r = race(key, cam, params, cdf, ppu, backend, B, 64,
+                     n_chunks)
+            m[f"{backend}@{label}"] = round(r, 1)
+            print(json.dumps({"race": f"{backend}@{label}",
+                              "M_iters_per_s": round(r, 1)}))
+    tune["hist_backend"] = ("pallas_win"
+                            if m["pallas_win@512"] > m["scatter@512"]
+                            else "scatter")
+
+    # 2. segmented sub-sort width (pallas_win only)
+    cam, ppu = cam_for(512, 512)
+    s_list = (1, 4, 16) if args.quick else (1, 2, 4, 8, 16, 32)
+    best_s, best_r = 1, 0.0
+    for s in s_list:
+        r = race(key, cam, params, cdf, ppu, "pallas_win", B, 64,
+                 n_chunks, sort_segments=s)
+        m[f"sort_segments={s}"] = round(r, 1)
+        print(json.dumps({"sort_segments": s,
+                          "M_iters_per_s": round(r, 1)}))
+        if r > best_r:
+            best_s, best_r = s, r
+    tune["sort_segments"] = best_s
+
+    # 3. flush chunk size K
+    k_list = (32, 64) if args.quick else (16, 32, 64, 128)
+    best_k, best_r = 64, 0.0
+    for k in k_list:
+        nc = max(1, n_chunks * 64 // k)
+        r = race(key, cam, params, cdf, ppu, "pallas_win", B, k, nc,
+                 sort_segments=tune["sort_segments"])
+        m[f"K={k}"] = round(r, 1)
+        print(json.dumps({"K": k, "M_iters_per_s": round(r, 1)}))
+        if r > best_r:
+            best_k, best_r = k, r
+    tune["iters_per_chunk"] = best_k
+
+    # 4. optional dim probe
+    if args.probe_dims:
+        from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
+                                            iterate_accumulate)
+        from cuburn_tpu.utils.timing import hard_sync
+        safe = 0
+        for dim in (1280, 1920, 2560, 3840):
+            try:
+                cam, ppu = cam_for(dim, dim * 9 // 16)
+                hist = hist_alloc_for(tune["hist_backend"], cam.n_bins)
+                state = init_state(jax.random.PRNGKey(0), B)
+                out = iterate_accumulate(
+                    key, cam, tune["hist_backend"], params, cdf,
+                    state, hist, ppu, jnp.int32(1), 16, 32)
+                hard_sync(out)
+                safe = dim
+                print(json.dumps({"dim_probe": dim, "ok": True}))
+            except Exception as e:
+                print(json.dumps({"dim_probe": dim, "ok": False,
+                                  "error": str(e)[:200]}))
+                break
+        tune["dim_cap"] = safe or None
+
+    with open(args.out, "w") as f:
+        json.dump(tune, f, indent=1)
+    print(json.dumps({"tune_written": args.out,
+                      "hist_backend": tune["hist_backend"],
+                      "sort_segments": tune["sort_segments"],
+                      "iters_per_chunk": tune["iters_per_chunk"]}))
+
+
+if __name__ == "__main__":
+    main()
