@@ -47,7 +47,10 @@ def run_config(idx, quick):
     B = 1 << 15 if on_tpu else 1 << 12
     # dispatch cap: the dev worker kills single executions much past
     # ~2 min; ~1.2G iters ≈ 40-60 s per call at measured rates
-    common = dict(batch=B, iters_per_chunk=32, fuse=32,
+    # iters_per_chunk=0: auto — the Renderer scales the flush size
+    # with histogram HBM tiling (render._resolve_iters_per_chunk);
+    # measured 2.4x at config-4 density (bench/fullframe4.py K sweep)
+    common = dict(batch=B, iters_per_chunk=0, fuse=32,
                   hist_backend="auto",
                   dispatch_iter_cap=(1_200_000_000 if on_tpu
                                      else None))
@@ -82,24 +85,46 @@ def run_config(idx, quick):
     else:
         raise ValueError(idx)
 
-    # Binding configs 3/4 demand TRUE 1080p; when the dev worker's dim
-    # cap binds, render the full frame as horizontal stripes — each
-    # stripe is a program the worker survives, the stitched histogram
-    # is exactly the whole-frame one (render.accumulate_striped), and
-    # iterate cost is n_stripes x a whole-frame render.
+    # Binding configs 3/4 demand TRUE 1080p.  Round-3 follow-up
+    # (bench/fullframe*.py): whole-frame accumulation at 2.1M and
+    # 8.6M bins SURVIVES the dev worker when split into short
+    # dispatches (dispatch_iter_cap) — the round-2 crash was long
+    # single executions, not bin count — and is 2.5x faster than the
+    # striped path (which replays iterate per stripe).  Render whole
+    # frame by default; CUBURN_BENCH_STRIPED=1 restores the striped
+    # comparison path (and remains the fallback if a chip's worker
+    # dies on large-histogram programs).
     stripes = 0
-    if (idx in (3, 4) and on_tpu and not quick
-            and (prof.width, prof.height) != (1920, 1080)
-            and os.environ.get("CUBURN_BENCH_STRIPED", "1") == "1"):
+    if idx in (3, 4) and on_tpu and not quick:
         import dataclasses
         prof = dataclasses.replace(prof, width=1920, height=1080)
         r = Renderer(g, prof)
-        stripes = max(2, -(-r.cam.n_bins // 1_500_000))
+        striped = os.environ.get("CUBURN_BENCH_STRIPED", "0") == "1"
+        if striped:
+            stripes = max(2, -(-r.cam.n_bins // 1_500_000))
         warm = dataclasses.replace(prof, quality=1)
-        Renderer(g, warm).accumulate_striped(0.2, 1, n_stripes=stripes)
+        rw = Renderer(g, warm)
+        if striped:
+            hw, sw = rw.accumulate_striped(0.2, 1, n_stripes=stripes)
+        else:
+            hw, sw = rw.accumulate(0.2, 1)
+        # warm the filter program too — its first-call compile costs
+        # minutes over the tunnel and is not what this suite measures
+        nb_warm = max(1, -(-r.cam.n_bins // 1_500_000))
+        try:
+            if nb_warm > 1:
+                rw.finalize_frame_banded(hw, 0.2, sw, n_bands=nb_warm)
+            else:
+                rw.finalize_frame(hw, 0.2, sw)
+        except Exception:
+            pass
+        del hw
         t0 = time.perf_counter()
-        hist, stats = r.accumulate_striped(0.2, seed=2,
-                                           n_stripes=stripes)
+        if striped:
+            hist, stats = r.accumulate_striped(0.2, seed=2,
+                                               n_stripes=stripes)
+        else:
+            hist, stats = r.accumulate(0.2, seed=2)
         try:
             # band the filter so its programs stay under the same
             # size the worker survives (each band ~1.5M px)

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--skip-striped", action="store_true")
     ap.add_argument("--probe-quality", type=int, default=20,
                     help="tiny survival probe before the real run")
+    ap.add_argument("--ipc", type=int, default=32,
+                    help="iters_per_chunk: records per flush = "
+                         "batch * ipc; HBM-tiled histograms amortize "
+                         "row-block traffic with bigger flushes")
     args = ap.parse_args()
 
     from cuburn_tpu.models import full_feature
@@ -56,7 +60,7 @@ def main():
     def prof(quality):
         return RenderProfile(width=1920, height=1080, quality=quality,
                              de_enabled=False, batch=B,
-                             iters_per_chunk=32, fuse=32,
+                             iters_per_chunk=args.ipc, fuse=32,
                              hist_backend="auto",
                              dispatch_iter_cap=args.cap)
 

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--skip-striped", action="store_true")
     ap.add_argument("--probe-only", action="store_true")
     ap.add_argument("--probe-quality", type=int, default=8)
+    ap.add_argument("--ipc", type=int, default=32,
+                    help="iters_per_chunk: records per flush = "
+                         "batch * ipc; at 8.6M bins every flush "
+                         "touches ~all HBM row blocks, so bigger "
+                         "flushes amortize row traffic")
     args = ap.parse_args()
 
     from cuburn_tpu.models import classic_swirl
@@ -46,13 +51,13 @@ def main():
     def prof(quality):
         return RenderProfile(width=1920, height=1080, ss=2,
                              quality=quality, de_enabled=True,
-                             batch=B, iters_per_chunk=32, fuse=32,
+                             batch=B, iters_per_chunk=args.ipc, fuse=32,
                              hist_backend="auto",
                              dispatch_iter_cap=args.cap)
 
     r0 = Renderer(g, prof(args.probe_quality))
     print(json.dumps({"probe": "whole-frame-c4",
-                      "n_bins": r0.cam.n_bins,
+                      "n_bins": r0.cam.n_bins, "ipc": args.ipc,
                       "backend": r0.backend, "cap": args.cap}),
           flush=True)
     t0 = time.perf_counter()

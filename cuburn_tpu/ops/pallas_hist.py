@@ -230,7 +230,17 @@ WIN = 128
 # scalar array, so each block is fetched into VMEM once, accumulated
 # over its contiguous run of windows, and written back — the 1080p ss2
 # (8.6 M bin) configs ride the same kernel as 512².
-BLOCK_ROWS = 4096
+import os as _os
+
+# CUBURN_BLOCK_ROWS: smaller blocks shrink the kernel's scoped-VMEM
+# footprint (the histogram block is its largest term), trading more
+# block transitions + boundary straddles.  Per-flush reload traffic is
+# ~the histogram size either way (each block loads once per sorted
+# flush), so the main use is unlocking LARGER flushes: at
+# BLOCK_ROWS=4096 a 2^23-record flush is scoped-VMEM OOM by 8 KB
+# (BASELINE.md).  Read once at import; a tune record cannot change it
+# mid-process.
+BLOCK_ROWS = int(_os.environ.get("CUBURN_BLOCK_ROWS", "4096"))
 
 
 def planes_rows(n_bins: int) -> int:

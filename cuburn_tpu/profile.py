@@ -21,7 +21,13 @@ class RenderProfile:
     quality: int = 50            # iterations per output pixel
     fuse: int = 32               # warmup iterations before plotting
     batch: int = 1 << 17         # trajectories advanced in lockstep
-    iters_per_chunk: int = 32    # scan length between histogram flushes
+    # scan length between histogram flushes (records per flush =
+    # batch * iters_per_chunk).  0 = auto: the Renderer starts from
+    # the per-chip tune record (or the measured 512² default of 32)
+    # and scales UP for HBM-tiled histograms, where a sorted flush
+    # pays ~the whole histogram in row-block traffic regardless of
+    # record count (render.py _resolve_iters_per_chunk).
+    iters_per_chunk: int = 0
     hist_backend: str = "auto"   # auto | scatter | sortcum | pallas | pallas_merged | pallas_win (auto picks pallas_win on TPU)
     de_enabled: bool = True
     transparent: bool = False

@@ -336,6 +336,41 @@ class Renderer:
                 "addr+xform+color coordinate must fit 32 bits); "
                 "using scatter")
             self.backend = "scatter"
+        # flush cadence (resolved AFTER the final backend choice):
+        # profile 0 = auto — see _resolve_iters_per_chunk
+        import dataclasses as _dc
+        self.profile = _dc.replace(
+            profile,
+            iters_per_chunk=self._resolve_iters_per_chunk(
+                profile, tune))
+
+    def _resolve_iters_per_chunk(self, profile, tune) -> int:
+        """Records per flush = batch * iters_per_chunk.  Auto (0):
+        start from the per-chip tune record (bench/retune.py) or the
+        measured 512² default (32), then scale UP when the pallas_win
+        histogram is HBM-tiled (rows > BLOCK_ROWS): a sorted flush
+        walks every row block it touches exactly once, so per-flush
+        HBM traffic ≈ the whole histogram regardless of record count —
+        bigger flushes amortize it, and the gain keeps rising all the
+        way to the compile cap.  Measured at K = 32 / 64 / 128:
+        8.6 M bins (config 4, bench/fullframe4.py) 25.4 / 39.4 / 60.2
+        M samples/s; 2.1 M bins (config 3, bench/fullframe.py) 72.3 /
+        93.1 / 118.1.  Capped at 2^22 records per flush: 2^23 fails to
+        compile (Mosaic scoped-VMEM OOM, 16.01 M vs 16 M limit,
+        recorded in BASELINE.md)."""
+        import os
+        env = os.environ.get("CUBURN_ITERS_PER_CHUNK")
+        if env:
+            return int(env)
+        if profile.iters_per_chunk > 0:
+            return profile.iters_per_chunk
+        base = int(tune.get("iters_per_chunk") or 32)
+        if self.backend == "pallas_win":
+            from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS
+            rows = -(-self.cam.n_bins // 128)
+            if rows > BLOCK_ROWS:
+                return max(base, (1 << 22) // profile.batch)
+        return base
 
     # -- frame rendering -------------------------------------------------
 

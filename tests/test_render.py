@@ -151,6 +151,38 @@ class TestAnimation:
         tune.write_text(json.dumps({"sort_segments": 8}))
         assert Renderer(sierpinski(), FAST).sort_segments == 2
 
+    def test_auto_iters_per_chunk(self, monkeypatch):
+        """iters_per_chunk=0 resolves by histogram geometry: base (32
+        or the tune record) for VMEM-resident pallas_win histograms
+        and non-pallas backends; the 2^22-record compile-cap flush for
+        HBM-tiled ones (rows > BLOCK_ROWS — measured 2.4x at config-4
+        density, render._resolve_iters_per_chunk); explicit profile
+        values and CUBURN_ITERS_PER_CHUNK always win."""
+        r = Renderer(sierpinski(), FAST)       # explicit in FAST
+        assert r.profile.iters_per_chunk == FAST.iters_per_chunk
+        auto = dataclasses.replace(FAST, iters_per_chunk=0)
+        r = Renderer(sierpinski(), auto)       # CPU scatter -> base
+        assert r.profile.iters_per_chunk == 32
+
+        class TiledCam:
+            n_bins = 8_633_536                 # config 4: 17 blocks
+        prof15 = dataclasses.replace(auto, batch=1 << 15)
+        r.backend = "pallas_win"
+        r.cam = TiledCam()
+        assert r._resolve_iters_per_chunk(prof15, {}) == 128
+        TiledCam.n_bins = 927_000              # config 2: 8 blocks
+        assert r._resolve_iters_per_chunk(prof15, {}) == 128
+        TiledCam.n_bins = 283_000              # 512^2: VMEM-resident
+        assert r._resolve_iters_per_chunk(prof15, {}) == 32
+        assert r._resolve_iters_per_chunk(
+            prof15, {"iters_per_chunk": 64}) == 64
+        # batch bigger than the flush cap: fall back to base
+        TiledCam.n_bins = 8_633_536
+        prof23 = dataclasses.replace(auto, batch=1 << 23)
+        assert r._resolve_iters_per_chunk(prof23, {}) == 32
+        monkeypatch.setenv("CUBURN_ITERS_PER_CHUNK", "48")
+        assert r._resolve_iters_per_chunk(prof15, {}) == 48
+
     def test_frames_partitioned_overlap_flag(self):
         g = animated_spark()
         prof = dataclasses.replace(FAST, fps=4.0, duration=0.5)
