@@ -232,24 +232,32 @@ WIN = 128
 # (8.6 M bin) configs ride the same kernel as 512².
 import os as _os
 
-# CUBURN_BLOCK_ROWS: smaller blocks shrink the kernel's scoped-VMEM
-# footprint (the histogram block is its largest term), trading more
-# block transitions + boundary straddles.  Per-flush reload traffic is
-# ~the histogram size either way (each block loads once per sorted
-# flush), so the main use is unlocking LARGER flushes: at
-# BLOCK_ROWS=4096 a 2^23-record flush is scoped-VMEM OOM by 8 KB
-# (BASELINE.md).  Read once at import; a tune record cannot change it
+# CUBURN_BLOCK_ROWS: histograms up to this many lane rows stay
+# VMEM-resident for the whole flush (one block, no HBM walk).
+# CUBURN_TILED_BLOCK_ROWS: the row-block size once HBM-tiled.  Smaller
+# tiled blocks shrink the kernel's scoped-VMEM footprint (the histogram
+# block is its largest term) at the cost of more block transitions +
+# boundary straddles — measured ~2% at matched flush size — and that
+# VMEM headroom is what unlocks LARGER flushes, which dominate: a
+# sorted flush reloads every row block it touches ~independent of
+# record count, so records/flush is the single biggest tiled-density
+# lever (2^22 -> 2^24 records measured 60 -> 82+ M samples/s at 8.6 M
+# bins; BASELINE.md).  At 4096 a 2^23-record flush is scoped-VMEM OOM
+# by 8 KB.  Read once at import; a tune record cannot change them
 # mid-process.
 BLOCK_ROWS = int(_os.environ.get("CUBURN_BLOCK_ROWS", "4096"))
+TILED_BLOCK_ROWS = min(BLOCK_ROWS, int(_os.environ.get(
+    "CUBURN_TILED_BLOCK_ROWS", "2048")))
 
 
 def planes_rows(n_bins: int) -> int:
     """Lane rows per channel plane for n_bins + junk: sublane-padded,
-    and padded to a whole number of BLOCK_ROWS blocks when tiled."""
+    and padded to a whole number of TILED_BLOCK_ROWS blocks when
+    HBM-tiled (rows > BLOCK_ROWS)."""
     rows = -(-(n_bins + 1) // 128)
     rows = -(-rows // 8) * 8
     if rows > BLOCK_ROWS:
-        rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+        rows = -(-rows // TILED_BLOCK_ROWS) * TILED_BLOCK_ROWS
     return rows
 
 
@@ -284,7 +292,7 @@ def _make_win_kernel(block_rows: int, mxu_precision):
     the 8-bit palette quantization the packed record already accepts.
     Measured on the dev chip: DEFAULT is 11.7% faster END TO END
     (140.9 vs 126.2 M samples/s at 512²)."""
-    def _win_kernel(perm_ref, rbg_ref, base_ref, ok_ref, addr_s_ref,
+    def _win_kernel(perm_ref, rbg_ref, addr_s_ref,
                     addr_ref, q_ref, cnt_ref, palF_ref, out_ref):
         """One grid step = GROUP windows of WIN sorted unique records.
 
@@ -295,12 +303,16 @@ def _make_win_kernel(block_rows: int, mxu_precision):
         otherwise interleave and re-trigger the first-visit zeroing).
         rbg_ref — per logical GROUP, the histogram row block it lands
         in (windows not fitting their group's block were diverted to
-        the XLA side-scatter upstream); base_ref/ok_ref —
-        per WINDOW, its 128-aligned base bin and the flush tier:
-        2 = all records inside [base, base+128) (one matmul),
-        1 = span < 8 lane rows (8 chunked matmuls),
-        0 = per-record roll fallback.
-        addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads, fallback).
+        the XLA side-scatter upstream).
+        Each window's 128-aligned base bin and flush tier are computed
+        IN-KERNEL from addr_s (first/last record of the sorted window)
+        rather than prefetched: per-window s32[n_win] SMEM arrays were
+        the binding constraint on flush size (2 x 512 KB of the 1 MB
+        SMEM at 2^24 records — BASELINE.md flush-size ladder).  Tiers:
+        span < 128 — all records inside [base, base+128) (one matmul);
+        span < 8*128 — chunked matmuls (one per touched lane row);
+        else — per-record roll fallback.
+        addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads).
         addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32,
         block-fetched through the same perm[i] index map.
         palF_ref: (4*KH, KL) VMEM — palette^T with the density row,
@@ -326,7 +338,6 @@ def _make_win_kernel(block_rows: int, mxu_precision):
         liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
         def window(j, _):
-            wi = lg * GROUP + j
             cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
             total = jnp.sum(cnt_row)
 
@@ -349,10 +360,15 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                              preferred_element_type=jnp.float32,
                              precision=mxu_precision)
                 WT = jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
-                base = base_ref[wi]
+                # base + tier from the sorted window's first/last
+                # record (SMEM scalar reads) — no prefetch arrays
+                first = addr_s_ref[j, 0]
+                last = addr_s_ref[j, WIN - 1]
+                base = (first // 128) * 128
+                span = last - base
                 r0 = base // 128 - row_off
 
-                @pl.when(ok_ref[wi] == 2)
+                @pl.when(span < 128)
                 def _dense():
                     # all records inside [base, base+128): ONE matmul
                     Pt = (addr_ref[pl.ds(j, 1), :] - base
@@ -364,7 +380,7 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                     out_ref[:, pl.ds(r0, 1), :] = \
                         out_ref[:, pl.ds(r0, 1), :] + out[:, None, :]
 
-                @pl.when(ok_ref[wi] == 1)
+                @pl.when(jnp.logical_and(span >= 128, span < 8 * 128))
                 def _mid():
                     # span < 8*128 bins (sparse flushes, ~0.1-1
                     # records/bin): chunked matmuls, one per lane row
@@ -395,11 +411,10 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                             + out[:, None, :]
                         return 0
 
-                    last = addr_s_ref[j, WIN - 1]
-                    nc = jnp.clip((last - base) // 128 + 1, 1, 8)
+                    nc = jnp.clip(span // 128 + 1, 1, 8)
                     jax.lax.fori_loop(0, nc, chunk, 0)
 
-                @pl.when(ok_ref[wi] == 0)
+                @pl.when(span >= 8 * 128)
                 def _sparse():
                     def body(k, _):
                         a = addr_s_ref[j, k]
@@ -461,7 +476,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
 
     rows = hist_planes.shape[1]
-    br = min(rows, BLOCK_ROWS)
+    br = rows if rows <= BLOCK_ROWS else TILED_BLOCK_ROWS
     n_blocks = rows // br
     junk_rec = jnp.uint32(n_bins << color_bits)
     cmask = np.uint32((1 << color_bits) - 1)
@@ -498,11 +513,10 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     q_w = q.reshape(n_win, WIN)
     cnt_w = counts.astype(jnp.float32).reshape(n_win, WIN)
     base = addr_w[:, 0] & ~np.int32(127)
-    span = addr_w[:, -1] - base
-    # 2 = one-matmul dense window; 1 = 8-chunk mid window (span < 8
-    # lane rows); 0 = per-record fallback
-    ok = jnp.where(span < 128, 2,
-                   jnp.where(span < 8 * 128, 1, 0)).astype(jnp.int32)
+    # (the per-window flush tier — dense / chunked-mid / per-record —
+    # is derived IN-KERNEL from the window's first/last sorted record;
+    # prefetching it cost 2 x 4B/window of SMEM, the binding constraint
+    # on flush size past 2^22 records)
     # clamp: zero-count sentinel-tail windows carry huge addresses; an
     # out-of-range block index would alias onto a real block and its
     # first-visit zeroing would erase real accumulation
@@ -559,26 +573,26 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
                      else jax.lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(n_grp,),
         in_specs=[
             pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg, b, o: (p[i], 0),
+                         lambda i, p, rbg: (p[i], 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg, b, o: (p[i], 0),
+                         lambda i, p, rbg: (p[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg, b, o: (p[i], 0),
+                         lambda i, p, rbg: (p[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg, b, o: (p[i], 0),
+                         lambda i, p, rbg: (p[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(palF.shape, lambda i, p, rbg, b, o: (0, 0),
+            pl.BlockSpec(palF.shape, lambda i, p, rbg: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, br, 128),
-                               lambda i, p, rbg, b, o:
+                               lambda i, p, rbg:
                                (0, rbg[p[i]], 0),
                                memory_space=pltpu.VMEM),
     )
@@ -587,8 +601,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
         interpret=interpret,
-    )(perm, rbg, base, ok, addr_w.reshape(n_grp * GROUP, WIN), addr_w,
-      q_w, cnt_w, palF)
+    )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF)
 
     if n_blocks > 1:
         # unvisited blocks hold uninitialized memory: mask them out

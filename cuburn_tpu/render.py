@@ -351,13 +351,13 @@ class Renderer:
         histogram is HBM-tiled (rows > BLOCK_ROWS): a sorted flush
         walks every row block it touches exactly once, so per-flush
         HBM traffic ≈ the whole histogram regardless of record count —
-        bigger flushes amortize it, and the gain keeps rising all the
-        way to the compile cap.  Measured at K = 32 / 64 / 128:
-        8.6 M bins (config 4, bench/fullframe4.py) 25.4 / 39.4 / 60.2
-        M samples/s; 2.1 M bins (config 3, bench/fullframe.py) 72.3 /
-        93.1 / 118.1.  Capped at 2^22 records per flush: 2^23 fails to
-        compile (Mosaic scoped-VMEM OOM, 16.01 M vs 16 M limit,
-        recorded in BASELINE.md)."""
+        bigger flushes amortize it, up to the point the sort's
+        O(n log^2 n) growth wins.  Measured at 8.6 M bins (config 4,
+        bench/fullframe4.py), records/flush 2^20..2^24: 25.4 / 39.4 /
+        60.2 / 82.5 / 65.3 M samples/s — optimum 2^23 (the default
+        cap here; ≥2^23 needs the 2048-row tiled blocks, see
+        TILED_BLOCK_ROWS).  A per-chip tune record's measured
+        `tiled_flush_records` (cuburn_tpu.retune) overrides."""
         import os
         env = os.environ.get("CUBURN_ITERS_PER_CHUNK")
         if env:
@@ -369,7 +369,8 @@ class Renderer:
             from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS
             rows = -(-self.cam.n_bins // 128)
             if rows > BLOCK_ROWS:
-                return max(base, (1 << 22) // profile.batch)
+                cap = int(tune.get("tiled_flush_records") or (1 << 23))
+                return max(base, cap // profile.batch)
         return base
 
     # -- frame rendering -------------------------------------------------

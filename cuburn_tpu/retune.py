@@ -134,6 +134,32 @@ def main():
             best_k, best_r = k, r
     tune["iters_per_chunk"] = best_k
 
+    # 3b. flush size at HBM-tiled density (720p bins = 8 row blocks):
+    # a sorted flush reloads every row block it touches regardless of
+    # record count, so bigger flushes amortize — on the dev chip the
+    # gain rises monotonically to the Mosaic scoped-VMEM compile cap
+    # (BASELINE.md K sweeps).  Record the best records-per-flush;
+    # Renderer's auto mode divides by the profile batch.
+    cam, ppu = cam_for(1280, 720)
+    k_tiled = (64, 256) if args.quick else (32, 64, 128, 256, 512)
+    best_tk, best_tr = 32, 0.0
+    for k in k_tiled:
+        nc = max(1, n_chunks * 64 // k)
+        try:
+            r = race(key, cam, params, cdf, ppu, "pallas_win", B, k,
+                     nc, sort_segments=tune["sort_segments"])
+        except Exception as e:
+            # expected past the scoped-VMEM cap (2^23 records at
+            # BLOCK_ROWS=4096) — record and stop escalating
+            m[f"K_tiled={k}"] = f"compile failed: {str(e)[:80]}"
+            print(json.dumps({"K_tiled": k, "ok": False}))
+            break
+        m[f"K_tiled={k}"] = round(r, 1)
+        print(json.dumps({"K_tiled": k, "M_iters_per_s": round(r, 1)}))
+        if r > best_tr:
+            best_tk, best_tr = k, r
+    tune["tiled_flush_records"] = B * best_tk
+
     # 4. optional dim probe
     if args.probe_dims:
         from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
@@ -162,7 +188,9 @@ def main():
     print(json.dumps({"tune_written": args.out,
                       "hist_backend": tune["hist_backend"],
                       "sort_segments": tune["sort_segments"],
-                      "iters_per_chunk": tune["iters_per_chunk"]}))
+                      "iters_per_chunk": tune["iters_per_chunk"],
+                      "tiled_flush_records":
+                          tune["tiled_flush_records"]}))
 
 
 if __name__ == "__main__":

@@ -154,10 +154,10 @@ class TestAnimation:
     def test_auto_iters_per_chunk(self, monkeypatch):
         """iters_per_chunk=0 resolves by histogram geometry: base (32
         or the tune record) for VMEM-resident pallas_win histograms
-        and non-pallas backends; the 2^22-record compile-cap flush for
-        HBM-tiled ones (rows > BLOCK_ROWS — measured 2.4x at config-4
-        density, render._resolve_iters_per_chunk); explicit profile
-        values and CUBURN_ITERS_PER_CHUNK always win."""
+        and non-pallas backends; the 2^23-record measured-optimum
+        flush for HBM-tiled ones (rows > BLOCK_ROWS — measured 3.2x at
+        config-4 density, render._resolve_iters_per_chunk); explicit
+        profile values and CUBURN_ITERS_PER_CHUNK always win."""
         r = Renderer(sierpinski(), FAST)       # explicit in FAST
         assert r.profile.iters_per_chunk == FAST.iters_per_chunk
         auto = dataclasses.replace(FAST, iters_per_chunk=0)
@@ -165,17 +165,22 @@ class TestAnimation:
         assert r.profile.iters_per_chunk == 32
 
         class TiledCam:
-            n_bins = 8_633_536                 # config 4: 17 blocks
+            n_bins = 8_633_536                 # config 4: 33 blocks
         prof15 = dataclasses.replace(auto, batch=1 << 15)
         r.backend = "pallas_win"
         r.cam = TiledCam()
-        assert r._resolve_iters_per_chunk(prof15, {}) == 128
-        TiledCam.n_bins = 927_000              # config 2: 8 blocks
-        assert r._resolve_iters_per_chunk(prof15, {}) == 128
+        assert r._resolve_iters_per_chunk(prof15, {}) == 256
+        TiledCam.n_bins = 927_000              # config 2: 4 blocks
+        assert r._resolve_iters_per_chunk(prof15, {}) == 256
         TiledCam.n_bins = 283_000              # 512^2: VMEM-resident
         assert r._resolve_iters_per_chunk(prof15, {}) == 32
         assert r._resolve_iters_per_chunk(
             prof15, {"iters_per_chunk": 64}) == 64
+        # tune record's measured tiled flush cap steers the auto rule
+        TiledCam.n_bins = 8_633_536
+        assert r._resolve_iters_per_chunk(
+            prof15, {"tiled_flush_records": 1 << 21}) == 64
+        TiledCam.n_bins = 283_000
         # batch bigger than the flush cap: fall back to base
         TiledCam.n_bins = 8_633_536
         prof23 = dataclasses.replace(auto, batch=1 << 23)
