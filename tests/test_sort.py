@@ -214,6 +214,49 @@ class TestMergedPallasFlush:
         self.test_windowed_matches_scatter(dist, merge=False,
                                            sort_segments=segs)
 
+    def test_planes_rows_two_level_tiling(self):
+        """VMEM-resident histograms (≤ BLOCK_ROWS lane rows) keep
+        sublane padding only; HBM-tiled ones pad to whole
+        TILED_BLOCK_ROWS blocks (the smaller tiled block is what
+        frees scoped VMEM for 2^23-record flushes — BASELINE.md)."""
+        from cuburn_tpu.ops import pallas_hist as ph
+        assert ph.TILED_BLOCK_ROWS <= ph.BLOCK_ROWS
+        # resident: 8-padded, NOT block-padded
+        assert ph.planes_rows(1000 * 128 - 1) == 1000
+        assert ph.planes_rows(ph.BLOCK_ROWS * 128 - 1) == ph.BLOCK_ROWS
+        # one row past the threshold: tiled, padded to tile multiples
+        r = ph.planes_rows(ph.BLOCK_ROWS * 128 + 1)
+        assert r % ph.TILED_BLOCK_ROWS == 0 and r > ph.BLOCK_ROWS
+
+    def test_windowed_tiled_odd_boundary_straddle(self):
+        """Straddle diversion at an ODD tiled-block boundary (one that
+        is NOT a multiple of the old single BLOCK_ROWS constant):
+        windows crossing TILED_BLOCK_ROWS*128 must divert exactly."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(29)
+        n_bins = ph.BLOCK_ROWS * 128 + ph.TILED_BLOCK_ROWS * 128 - 77
+        cbits = 10
+        M = 1200
+        bdry = ph.TILED_BLOCK_ROWS * 128   # odd boundary when < BLOCK
+        addr = np.concatenate([
+            rng.randint(0, n_bins, M - 400),
+            rng.randint(bdry - 30, bdry + 30, 300),   # straddle it
+            np.full(100, n_bins),                     # junk
+        ]).astype(np.int32)
+        color = rng.rand(M).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        hp = ph.to_planes_layout(hm.alloc(n_bins))
+        assert hp.shape[1] % ph.TILED_BLOCK_ROWS == 0
+        out = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True)
+        got = np.asarray(ph.from_planes_layout(out, n_bins))
+        np.testing.assert_array_equal(got[:n_bins, 3], ref[:n_bins, 3])
+        np.testing.assert_allclose(got[:n_bins], ref[:n_bins],
+                                   rtol=1e-5, atol=1e-5)
+
     @pytest.mark.parametrize("segs", [1, 4])
     def test_windowed_hbm_tiled_multi_block(self, segs):
         """Histograms larger than one VMEM block (> BLOCK_ROWS lane
