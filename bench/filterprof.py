@@ -138,6 +138,7 @@ def main():
     row = np.resize(img_np.reshape(-1, 4), (r.cam.n_bins, 4))
     hist[:r.cam.n_bins] = row
     for it in range(2):
+        hist[0, 3] += np.float32(it) * 1e-30   # defeat exec cache
         t0 = time.perf_counter()
         r.finalize_frame_banded(hist, 0.0, n_bands=n_bands)
         dt = time.perf_counter() - t0

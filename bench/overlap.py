@@ -60,8 +60,15 @@ def main():
     next(iter(r.frames(seed=0)))
     next(iter(r.frames_overlapped(seed=0)))
 
+    # timed runs use DIFFERENT seeds: the tunnel caches identical
+    # executions (CLAUDE.md), so re-running the serial run's exact
+    # programs would time dispatch only and inflate the speedup
     t_serial, imgs_s = run(r.frames, "serial")
-    t_overlap, imgs_o = run(r.frames_overlapped, "overlapped")
+    t_overlap, _ = run(lambda seed: r.frames_overlapped(seed=seed + 1),
+                       "overlapped")
+    # bit-identity is value-level (cache can't change values): one
+    # untimed overlapped pass at the serial seed
+    imgs_o = [np.asarray(img) for img, _ in r.frames_overlapped(seed=1)]
     identical = all(np.array_equal(a, b)
                     for a, b in zip(imgs_s, imgs_o))
     print(json.dumps({

@@ -16,7 +16,7 @@ genome whose splines sweep from A (t=0) to B (t=1):
 
 The reference's matching heuristics (which xform of A pairs with which
 of B) are a greedy min-cost pairing here (variation-set Jaccard +
-weight + color + affine distance, `_pair_xforms`), with index-order
+weight + color + affine distance, `_greedy_pairing`), with index-order
 and weight-sorted modes available [M confidence vs the reference's
 exact algorithm, SURVEY.md §0].
 """
@@ -286,6 +286,14 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
                   (1.0, palette_at(b.palettes, t_b))],
         spatial_filter=tv(lambda g: g.spatial_filter),
         center=(tv(lambda g: g.center[0]), tv(lambda g: g.center[1])),
+        # rot_center is Optional; when either endpoint pins a pivot,
+        # blend it (absent side falls back to its center, matching
+        # GenomeParams.at's own fallback) — otherwise stay None
+        rot_center=(
+            (tv(lambda g: (g.rot_center or g.center)[0]),
+             tv(lambda g: (g.rot_center or g.center)[1]))
+            if (a.rot_center is not None or b.rot_center is not None)
+            else None),
         scale=tv(lambda g: g.scale),
         # zoom blends linearly in its own (log2) domain — exactly
         # flam3's log-scale zoom interpolation

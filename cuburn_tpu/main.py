@@ -227,13 +227,12 @@ def main(argv=None) -> int:
 
         def run_frames(r, seed):
             # frames_partitioned degenerates to frames() when neither
-            # partition count exceeds 1; unpartitioned single-device
-            # animations default to the cross-frame overlapped driver
-            # (identical images, device never waits on encode)
-            # (sharded renderers filter through their own collective
-            # path and keep the per-frame sync; overlap is the
-            # single-device driver)
-            overlap = not args.no_overlap and not hasattr(r, "mesh")
+            # partition count exceeds 1; unpartitioned animations
+            # default to the cross-frame overlapped driver (identical
+            # images, device never waits on encode) — sharded
+            # renderers included: their finalize_frame_device routes
+            # through the collective band filter
+            overlap = not args.no_overlap
             return r.frames_partitioned(
                 seed=seed, n_stripes=args.stripes, n_bands=args.bands,
                 overlap=overlap)

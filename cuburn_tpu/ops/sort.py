@@ -127,7 +127,7 @@ def sort_records(records: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
         if segments & (segments - 1):
             raise ValueError(f"segments must be a power of two, "
                              f"got {segments}")
-        segments = min(segments, pow2 // 2)
+        segments = max(1, min(segments, pow2 // 2))
         return bitonic_sort_u32(flat, seg_len=pow2 // segments)
     return bitonic_sort_u32(flat)
 

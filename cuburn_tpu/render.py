@@ -366,9 +366,11 @@ class Renderer:
             return profile.iters_per_chunk
         base = int(tune.get("iters_per_chunk") or 32)
         if self.backend == "pallas_win":
-            from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS
-            rows = -(-self.cam.n_bins // 128)
-            if rows > BLOCK_ROWS:
+            from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS, planes_rows
+            # planes_rows is the kernel's own resident/tiled decision
+            # (it pads n_bins+1 and rounds to sublane/tile multiples);
+            # re-deriving it here disagreed at the exact boundary
+            if planes_rows(self.cam.n_bins) > BLOCK_ROWS:
                 cap = int(tune.get("tiled_flush_records") or (1 << 23))
                 return max(base, cap // profile.batch)
         return base

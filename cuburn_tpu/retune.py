@@ -142,7 +142,7 @@ def main():
     # Renderer's auto mode divides by the profile batch.
     cam, ppu = cam_for(1280, 720)
     k_tiled = (64, 256) if args.quick else (32, 64, 128, 256, 512)
-    best_tk, best_tr = 32, 0.0
+    best_tk, best_tr = None, 0.0
     for k in k_tiled:
         nc = max(1, n_chunks * 64 // k)
         try:
@@ -158,7 +158,11 @@ def main():
         print(json.dumps({"K_tiled": k, "M_iters_per_s": round(r, 1)}))
         if r > best_tr:
             best_tk, best_tr = k, r
-    tune["tiled_flush_records"] = B * best_tk
+    if best_tk is not None:
+        tune["tiled_flush_records"] = B * best_tk
+    # (no measured candidate — leave the key out so the Renderer's
+    # auto mode keeps its built-in default instead of an unmeasured
+    # value)
 
     # 4. optional dim probe
     if args.probe_dims:

@@ -56,6 +56,33 @@ class TestBlend:
         # nothing (its slot depends on the pairing heuristic)
         assert (np.asarray(pb.weights) == 0.0).sum() == 1
 
+    def test_rot_center_blends(self):
+        """Animated edges keep the rotation pivot: blend_genomes must
+        carry rot_center (regression: it was dropped, so an animation
+        rotated about `center` while its own endpoint stills pivoted
+        on rot_center)."""
+        a = dataclasses.replace(sierpinski(), rot_center=(0.5, -0.4))
+        b = dataclasses.replace(classic_swirl(), rot_center=(0.1, 0.2))
+        edge = blend_genomes(a, b)
+        assert edge.rot_center is not None
+        np.testing.assert_allclose(
+            [edge.rot_center[0](0.0), edge.rot_center[1](0.0)],
+            [0.5, -0.4], atol=1e-6)
+        np.testing.assert_allclose(
+            [edge.rot_center[0](1.0), edge.rot_center[1](1.0)],
+            [0.1, 0.2], atol=1e-6)
+        # one-sided: the absent side falls back to its own center
+        # (same fallback GenomeParams.at applies)
+        c = classic_swirl()
+        edge2 = blend_genomes(a, c)
+        assert edge2.rot_center is not None
+        np.testing.assert_allclose(
+            [edge2.rot_center[0](1.0), edge2.rot_center[1](1.0)],
+            [c.center[0](0.0), c.center[1](0.0)], atol=1e-6)
+        # neither side pins a pivot: stays None
+        assert blend_genomes(sierpinski(),
+                             classic_swirl()).rot_center is None
+
     def test_spin(self):
         a, b = sierpinski(), sierpinski()
         edge = blend_genomes(a, b, spin=1.0)

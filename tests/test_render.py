@@ -180,11 +180,20 @@ class TestAnimation:
         TiledCam.n_bins = 8_633_536
         assert r._resolve_iters_per_chunk(
             prof15, {"tiled_flush_records": 1 << 21}) == 64
-        TiledCam.n_bins = 283_000
-        # batch bigger than the flush cap: fall back to base
-        TiledCam.n_bins = 8_633_536
+        # batch bigger than the flush cap: fall back to base — both
+        # VMEM-resident and tiled geometries
         prof23 = dataclasses.replace(auto, batch=1 << 23)
+        TiledCam.n_bins = 283_000
         assert r._resolve_iters_per_chunk(prof23, {}) == 32
+        TiledCam.n_bins = 8_633_536
+        assert r._resolve_iters_per_chunk(prof23, {}) == 32
+        # exact resident/tiled boundary: the resolver must agree with
+        # planes_rows (junk bin + sublane padding tip this geometry
+        # into the tiled regime even though n_bins/128 == BLOCK_ROWS)
+        from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS
+        TiledCam.n_bins = BLOCK_ROWS * 128
+        assert r._resolve_iters_per_chunk(prof15, {}) == 256
+        TiledCam.n_bins = 8_633_536
         monkeypatch.setenv("CUBURN_ITERS_PER_CHUNK", "48")
         assert r._resolve_iters_per_chunk(prof15, {}) == 48
 
