@@ -509,6 +509,25 @@ class TestShardedCLI:
         img = np.asarray(Image.open(out))
         assert img[..., :3].max() > 0
 
+    def test_devices_animate_overlapped(self, tmp_path):
+        """--devices N --animate goes through the sharded renderer's
+        overlapped driver (regression: the CLI used to force
+        overlap=False for sharded renderers, bypassing the pipelined
+        path it ships)."""
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        from cuburn_tpu.main import main
+        out = str(tmp_path / "s.y4m")
+        rc = main(["gallery:animated_spark", "-o", out, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "20", "--devices", "4", "--animate",
+                   "--fps", "3", "--duration", "1"])
+        assert rc == 0
+        data = open(out, "rb").read()
+        assert data.startswith(b"YUV4MPEG2")
+        assert data.count(b"FRAME") == 3
+
     def test_metrics_json(self, tmp_path):
         import json
         from cuburn_tpu.main import main
