@@ -85,6 +85,92 @@ def _fisheye(x, y, r2, rng, P, aff):
     return s * y, s * x
 
 
+def _polar(x, y, r2, rng, P, aff):
+    return np.arctan2(x, y) / np.pi, np.sqrt(r2) - 1.0
+
+
+def _handkerchief(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    return r * np.sin(theta + r), r * np.cos(theta - r)
+
+
+def _heart(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    a = np.arctan2(x, y) * r
+    return r * np.sin(a), -r * np.cos(a)
+
+
+def _spiral(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    return ((np.cos(theta) + np.sin(r)) / (r + 1e-12),
+            (np.sin(theta) - np.cos(r)) / (r + 1e-12))
+
+
+def _hyperbolic(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    return np.sin(theta) / (r + 1e-12), np.cos(theta) * r
+
+
+def _diamond(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    return np.sin(theta) * np.cos(r), np.cos(theta) * np.sin(r)
+
+
+def _ex(x, y, r2, rng, P, aff):
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    m0 = np.sin(theta + r) ** 3 * r
+    m1 = np.cos(theta - r) ** 3 * r
+    return m0 + m1, m0 - m1
+
+
+def _blob(x, y, r2, rng, P, aff):
+    # parametric petal modulation; note (sin, cos) output order —
+    # blob is NOT in the swapped (cos, sin) family (rings/fan are)
+    lo, hi, waves = P("blob_low"), P("blob_high"), P("blob_waves")
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    rr = r * (lo + (hi - lo) * (0.5 + 0.5 * np.sin(waves * theta)))
+    return rr * np.sin(theta), rr * np.cos(theta)
+
+
+def _fan2(x, y, r2, rng, P, aff):
+    # parametric fan; the fold uses a C (int) cast — truncation toward
+    # zero, NOT floor (the flam3 quirk that IS the spec, CLAUDE.md)
+    dx = np.pi * (P("fan2_x") ** 2 + 1e-10)
+    dy = P("fan2_y")
+    dx2 = 0.5 * dx
+    theta = np.arctan2(x, y)
+    r = np.sqrt(r2)
+    t = theta + dy - dx * np.trunc((theta + dy) / dx)
+    a = np.where(t > dx2, theta - dx2, theta + dx2)
+    return r * np.sin(a), r * np.cos(a)
+
+
+def _rings2(x, y, r2, rng, P, aff):
+    # parametric rings with the same int-cast truncation fold
+    val = P("rings2_val")
+    dx = val * val + 1e-10
+    r = np.sqrt(r2)
+    theta = np.arctan2(x, y)
+    rr = r - 2.0 * dx * np.trunc((r + dx) / (2.0 * dx)) \
+        + r * (1.0 - dx)
+    return rr * np.sin(theta), rr * np.cos(theta)
+
+
+def _curl(x, y, r2, rng, P, aff):
+    # parametric complex inversion 1 / (1 + c1 z + c2 z^2)
+    c1, c2 = P("curl_c1"), P("curl_c2")
+    re = 1.0 + c1 * x + c2 * (x * x - y * y)
+    im = c1 * y + 2.0 * c2 * x * y
+    s = 1.0 / (re * re + im * im + 1e-10)
+    return s * (x * re + y * im), s * (y * re - x * im)
+
+
 _VARS = {
     "linear": lambda x, y, r2, rng, P, aff: (x, y),
     "sinusoidal": lambda x, y, r2, rng, P, aff: (np.sin(x),
@@ -105,6 +191,17 @@ _VARS = {
     "gaussian_blur": _gaussian_blur,
     "disc": _disc,
     "fisheye": _fisheye,
+    "polar": _polar,
+    "handkerchief": _handkerchief,
+    "heart": _heart,
+    "spiral": _spiral,
+    "hyperbolic": _hyperbolic,
+    "diamond": _diamond,
+    "ex": _ex,
+    "blob": _blob,
+    "fan2": _fan2,
+    "rings2": _rings2,
+    "curl": _curl,
 }
 
 

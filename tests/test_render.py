@@ -660,7 +660,10 @@ class TestIndependentReferenceExpanded:
     (julian, pdj), affine-dependent (popcorn, rings), stochastic
     (gaussian_blur) and two more quirk-bearing simple variations
     (disc, fisheye) exercised END-TO-END against the independent NumPy
-    renderer — 13 variations in the anchor set total."""
+    renderer; deepened later in round 3 with the angular family
+    (polar, handkerchief, heart, spiral, hyperbolic, diamond, ex) and
+    the parametric-quirk family (fan2, rings2, blob, curl) — 24
+    variations in the anchor set total."""
 
     def _compare(self, g, n, seed_ref, seed_our, tv_bound=0.05):
         from tests.reference_impl import render_reference
@@ -736,6 +739,65 @@ class TestIndependentReferenceExpanded:
             scale=9.0, size=(32, 32), spatial_filter=0.0,
             palettes=[(0.0, pal)], name="anchor_stochastic")
         self._compare(g, 500_000, seed_ref=9, seed_our=23)
+
+    def test_angular_family(self):
+        """polar, handkerchief, heart, spiral, hyperbolic, diamond,
+        ex — the atan2(x, y) angular family end-to-end (round-3
+        anchor deepening; 24 variations in the anchor set total)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.8, 0.2, 256)
+        pal[:, 2] = np.linspace(0.2, 0.9, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.1, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"handkerchief": 0.6, "polar": 0.4}),
+                XForm(weight=0.8, color=0.6, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"heart": 0.5, "diamond": 0.5}),
+                XForm(weight=0.6, color=0.9, color_speed=0.4,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"spiral": 0.4, "hyperbolic": 0.3,
+                            "linear": 0.3}),
+                XForm(weight=0.5, color=0.3, color_speed=0.6,
+                      affine=(0.5, -0.15, 0.15, 0.15, 0.5, 0.0),
+                      vars={"ex": 0.7, "linear": 0.3}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_angular")
+        self._compare(g, 500_000, seed_ref=10, seed_our=29)
+
+    def test_parametric_quirk_family(self):
+        """fan2 + rings2 (the int-cast-truncation folds), blob
+        (parametric petals, (sin, cos) order) and curl (complex
+        inversion) end-to-end."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.9, 0.3, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.25, -0.1, 0.55, 0.1),
+                      vars={"fan2": 0.8, "linear": 0.2},
+                      params={"fan2_x": 0.8, "fan2_y": 0.45}),
+                XForm(weight=0.8, color=0.75, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"rings2": 0.7, "linear": 0.3},
+                      params={"rings2_val": 0.6}),
+                XForm(weight=0.7, color=0.5, color_speed=0.4,
+                      affine=(0.45, 0.0, 0.3, 0.0, 0.45, -0.25),
+                      vars={"blob": 0.8, "linear": 0.2},
+                      params={"blob_low": 0.4, "blob_high": 1.1,
+                              "blob_waves": 4.0}),
+                XForm(weight=0.6, color=0.35, color_speed=0.6,
+                      affine=(0.5, -0.1, 0.2, 0.1, 0.5, 0.05),
+                      vars={"curl": 0.9, "linear": 0.1},
+                      params={"curl_c1": 0.4, "curl_c2": 0.25}),
+            ],
+            scale=9.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_quirks")
+        self._compare(g, 500_000, seed_ref=12, seed_our=31)
 
 
 class TestRandomGenomes:
