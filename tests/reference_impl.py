@@ -207,15 +207,16 @@ _VARS = {
 
 def render_reference(genome, width: int, height: int, n_samples: int,
                      seed: int = 0, fuse: int = 20,
-                     batch: int = 4096):
+                     batch: int = 4096, t: float = 0.0):
     """Chaos-game render -> (H*W+1, 4) histogram (junk bin last).
 
     genome: cuburn_tpu Genome (only read for parameters — weights,
     affines, variation weights, colors, palette, camera).  Variations
-    limited to the independent set above."""
+    limited to the independent set above.  `t` evaluates every spline
+    at that genome time (anchors the interpolation plumbing, not just
+    t=0 stills)."""
     rng = np.random.RandomState(seed ^ 0xBADC0DE)
     n = len(genome.xforms)
-    t = 0.0
     weights = np.array([xf.weight(t) for xf in genome.xforms])
     if genome.xaos is not None:
         # per-previous-xform CDF rows (flam3 chaos conditioning)
@@ -243,12 +244,37 @@ def render_reference(genome, width: int, height: int, n_samples: int,
     speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
     final = (xf_tables(genome.final_xform)
              if genome.final_xform is not None else None)
-    palette = np.asarray(genome.palettes[0][1]) if genome.palettes \
-        else np.ones((256, 3))
+    # palette: linear lerp between bracketing keyframes (flam3
+    # palette sweep semantics)
+    if genome.palettes:
+        ks = sorted(genome.palettes, key=lambda kv: kv[0])
+        if t <= ks[0][0] or len(ks) == 1:
+            palette = np.asarray(ks[0][1], np.float64)
+        elif t >= ks[-1][0]:
+            palette = np.asarray(ks[-1][1], np.float64)
+        else:
+            for (t0, p0), (t1, p1) in zip(ks, ks[1:]):
+                if t0 <= t <= t1:
+                    f = 0.0 if t1 == t0 else (t - t0) / (t1 - t0)
+                    palette = (1 - f) * np.asarray(p0, np.float64) \
+                        + f * np.asarray(p1, np.float64)
+                    break
+    else:
+        palette = np.ones((256, 3))
 
     ppu = genome.scale(t) * 2.0 ** genome.zoom(t) \
         * (width / genome.size[0])
     cx, cy = genome.center[0](t), genome.center[1](t)
+    # camera rotation: `rotate` degrees turns the IMAGE
+    # counterclockwise = world points clockwise, pivoting on
+    # rot_center (default: the image center); the viewing window
+    # stays centered on `center` either way (flam3 rot_center rule)
+    rot = genome.rotate(t)
+    if genome.rot_center is not None:
+        rcx = genome.rot_center[0](t)
+        rcy = genome.rot_center[1](t)
+    else:
+        rcx, rcy = cx, cy
 
     def apply(aff, post, vset, pfn, x, y):
         a, b, cc, d, e, f = aff
@@ -315,8 +341,15 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         else:
             fx, fy, fc = x, y, c
 
-        px = np.floor((fx - cx) * ppu + width * 0.5).astype(np.int64)
-        py = np.floor((fy - cy) * ppu + height * 0.5).astype(np.int64)
+        if rot != 0.0:
+            th = -rot * np.pi / 180.0
+            dx, dy = fx - rcx, fy - rcy
+            gx = np.cos(th) * dx - np.sin(th) * dy + (rcx - cx)
+            gy = np.sin(th) * dx + np.cos(th) * dy + (rcy - cy)
+        else:
+            gx, gy = fx - cx, fy - cy
+        px = np.floor(gx * ppu + width * 0.5).astype(np.int64)
+        py = np.floor(gy * ppu + height * 0.5).astype(np.int64)
         ok = (age >= fuse) & (px >= 0) & (px < width) \
             & (py >= 0) & (py < height)
         addr = np.where(ok, py * width + px, height * width)

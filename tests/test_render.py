@@ -665,17 +665,18 @@ class TestIndependentReferenceExpanded:
     the parametric-quirk family (fan2, rings2, blob, curl) — 24
     variations in the anchor set total."""
 
-    def _compare(self, g, n, seed_ref, seed_our, tv_bound=0.05):
+    def _compare(self, g, n, seed_ref, seed_our, tv_bound=0.05,
+                 t=0.0):
         from tests.reference_impl import render_reference
         from cuburn_tpu.profile import RenderProfile
         from cuburn_tpu.render import Renderer
         W, H = g.size
-        ref = render_reference(g, W, H, n, seed=seed_ref)
+        ref = render_reference(g, W, H, n, seed=seed_ref, t=t)
         prof = RenderProfile(width=W, height=H,
                              quality=int(np.ceil(n / (W * H))),
                              batch=4096, iters_per_chunk=16, fuse=20,
                              hist_backend="scatter", de_enabled=False)
-        hist, _ = Renderer(g, prof).accumulate(0.0, seed=seed_our)
+        hist, _ = Renderer(g, prof).accumulate(t, seed=seed_our)
         ours = np.asarray(hist, np.float64)
         d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
         d_our = ours[:-1, 3] / ours[:-1, 3].sum()
@@ -798,6 +799,40 @@ class TestIndependentReferenceExpanded:
             scale=9.0, size=(32, 32), spatial_filter=0.0,
             palettes=[(0.0, pal)], name="anchor_quirks")
         self._compare(g, 500_000, seed_ref=12, seed_our=31)
+
+    def test_animated_mid_time(self):
+        """Anchor the TIME axis: splined weights/affines/variation
+        weights, palette keyframe lerp, and a rotating camera with an
+        off-center rot_center pivot, all evaluated at t=0.4 by both
+        implementations (the independent renderer evaluates every
+        spline itself — this pins the interpolation and camera
+        plumbing, not just t=0 stills)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal_a = np.zeros((256, 3))
+        pal_a[:, 0] = np.linspace(0.9, 0.4, 256)
+        pal_b = np.zeros((256, 3))
+        pal_b[:, 2] = np.linspace(0.3, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=[0.0, 1.0, 1.0, 0.6],
+                      color=[0.0, 0.1, 1.0, 0.9], color_speed=0.5,
+                      affine=([0.0, 0.5, 1.0, 0.62], 0.1,
+                              [0.0, 0.2, 1.0, 0.35], -0.1, 0.5, 0.1),
+                      vars={"spherical": [0.0, 0.7, 1.0, 0.4],
+                            "linear": 0.3}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, [0.0, 0.15, 1.0, 0.3], -0.2,
+                              0.2, 0.4, [0.0, 0.2, 1.0, 0.3]),
+                      vars={"sinusoidal": 1.0}),
+            ],
+            rotate=[0.0, 0.0, 1.0, 70.0],
+            rot_center=(0.25, -0.15),
+            center=(0.0, [0.0, -0.05, 1.0, 0.05]),
+            scale=[0.0, 9.0, 1.0, 11.0],
+            size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal_a), (1.0, pal_b)],
+            name="anchor_motion", time_range=(0.0, 1.0))
+        self._compare(g, 500_000, seed_ref=14, seed_our=37, t=0.4)
 
 
 class TestRandomGenomes:
