@@ -800,13 +800,7 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_quirks")
         self._compare(g, 500_000, seed_ref=12, seed_our=31)
 
-    def test_animated_mid_time(self):
-        """Anchor the TIME axis: splined weights/affines/variation
-        weights, palette keyframe lerp, and a rotating camera with an
-        off-center rot_center pivot, all evaluated at t=0.4 by both
-        implementations (the independent renderer evaluates every
-        spline itself — this pins the interpolation and camera
-        plumbing, not just t=0 stills)."""
+    def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
         pal_a[:, 0] = np.linspace(0.9, 0.4, 256)
@@ -832,7 +826,54 @@ class TestIndependentReferenceExpanded:
             size=(32, 32), spatial_filter=0.0,
             palettes=[(0.0, pal_a), (1.0, pal_b)],
             name="anchor_motion", time_range=(0.0, 1.0))
-        self._compare(g, 500_000, seed_ref=14, seed_our=37, t=0.4)
+        return g
+
+    def test_animated_mid_time(self):
+        """Anchor the TIME axis: splined weights/affines/variation
+        weights, palette keyframe lerp, and a rotating camera with an
+        off-center rot_center pivot, all evaluated at t=0.4 by both
+        implementations (the independent renderer evaluates every
+        spline itself — this pins the interpolation and camera
+        plumbing, not just t=0 stills)."""
+        self._compare(self._motion_genome(), 500_000,
+                      seed_ref=14, seed_our=37, t=0.4)
+
+    def test_temporal_samples_match_shutter_sum(self):
+        """Anchor MOTION BLUR: the device's single-dispatch temporal
+        loop must equal the sum of independent reference renders at
+        the flam3 shutter times t + ((i/n) - 0.5)*width*frame_dt
+        (box filter: equal weights).  Pins the in-program parameter
+        interpolation + temporal weighting end to end."""
+        from tests.reference_impl import render_reference
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        g = self._motion_genome()
+        W, H = g.size
+        n = 480_000
+        S = 4
+        t = 0.5
+        prof = RenderProfile(width=W, height=H,
+                             quality=int(np.ceil(n / (W * H))),
+                             batch=4096, iters_per_chunk=16, fuse=20,
+                             temporal_samples=S, fps=4.0, duration=1.0,
+                             hist_backend="scatter", de_enabled=False)
+        r = Renderer(g, prof)
+        times, weights, _sf = r._temporal_times(t)
+        assert len(times) == S and np.allclose(weights, 1.0)
+        ref = np.zeros((H * W + 1, 4), np.float64)
+        for k, tk in enumerate(times):
+            ref += render_reference(g, W, H, n // S,
+                                    seed=100 + k, t=tk)
+        hist, _ = r.accumulate(t, seed=41)
+        ours = np.asarray(hist, np.float64)
+        d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
+        d_our = ours[:-1, 3] / ours[:-1, 3].sum()
+        tv = 0.5 * np.abs(d_ref - d_our).sum()
+        assert tv < 0.05, f"TV distance {tv:.4f}"
+        for ch in range(3):
+            rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
+            ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
+            assert abs(rr - ro) < 0.02, (ch, rr, ro)
 
 
 class TestRandomGenomes:
