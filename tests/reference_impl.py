@@ -242,6 +242,10 @@ def render_reference(genome, width: int, height: int, n_samples: int,
                                            for xf in genome.xforms])
     colors = np.array([xf.color(t) for xf in genome.xforms])
     speeds = np.array([xf.color_speed(t) for xf in genome.xforms])
+    # flam3 xform opacity (vis): scales the sample's contribution to
+    # every accumulator channel; opacity-0 xforms still move the point
+    opac = np.array([np.clip(xf.opacity(t), 0.0, 1.0)
+                     for xf in genome.xforms])
     final = (xf_tables(genome.final_xform)
              if genome.final_xform is not None else None)
     # palette: linear lerp between bracketing keyframes (flam3
@@ -358,8 +362,9 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         i1 = np.minimum(i0 + 1, 255)
         fr = (ci - i0)[:, None]
         rgb = palette[i0] * (1 - fr) + palette[i1] * fr
-        np.add.at(hist[:, :3], addr, rgb)
-        np.add.at(hist[:, 3], addr, 1.0)
+        v = opac[idx]
+        np.add.at(hist[:, :3], addr, rgb * v[:, None])
+        np.add.at(hist[:, 3], addr, v)
         done += int(ok.sum())
     return hist
 

@@ -828,6 +828,35 @@ class TestIndependentReferenceExpanded:
             name="anchor_motion", time_range=(0.0, 1.0))
         return g
 
+    def test_opacity_weighting(self):
+        """Anchor per-xform opacity (flam3 vis): a translucent and a
+        near-invisible xform must scale every accumulator channel by
+        their opacity while still moving the point — compared against
+        the independent implementation through BOTH device record
+        layouts (scatter here; the packed opacity-extended layout is
+        pinned bit-exact against scatter elsewhere)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.9, 0.2, 256)
+        pal[:, 1] = np.linspace(0.1, 0.8, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.15, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.3, -0.1, 0.55, 0.1),
+                      vars={"spherical": 0.7, "linear": 0.3}),
+                XForm(weight=0.8, color=0.8, color_speed=0.5,
+                      opacity=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"sinusoidal": 1.0}),
+                XForm(weight=0.6, color=0.5, color_speed=0.4,
+                      opacity=0.1,
+                      affine=(0.5, 0.0, 0.35, 0.0, 0.5, -0.25),
+                      vars={"swirl": 0.6, "linear": 0.4}),
+            ],
+            scale=9.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_opacity")
+        self._compare(g, 500_000, seed_ref=15, seed_our=43)
+
     def test_animated_mid_time(self):
         """Anchor the TIME axis: splined weights/affines/variation
         weights, palette keyframe lerp, and a rotating camera with an
