@@ -183,7 +183,11 @@ def _parse_xform(el: ET.Element, n_xforms: int):
 
     xf = XForm(
         weight=mo("weight", float(attrs.get("weight", 1.0))),
-        color=mo("color", float(attrs.get("color", 0.0))),
+        # legacy flam3 files can carry two values (color="c1 c2");
+        # flam3's sscanf reads the first, so do we
+        color=mo("color",
+                 _parse_floats(attrs["color"])[0]
+                 if "color" in attrs else 0.0),
         color_speed=speed,
         opacity=mo("opacity", float(attrs.get("opacity", 1.0))),
         affine=affine,

@@ -130,9 +130,12 @@ def colorclip(img, gamma, vibrancy, highlight_power, gamma_threshold,
     use_hi = (hp >= 0.0) & (maxa > 1.0)
     newrgb = jnp.where(use_hi[..., None], rgb_hi, rgb_lo)
 
-    # vibrancy blend: add (1 - vib) * per-channel gamma
+    # vibrancy blend: add (1 - vib) * per-channel gamma; no epsilon
+    # inside the pow — flam3 takes pow(0, g) = 0, and an epsilon
+    # lifts pure-black pixels to a nonzero floor (u8 value 1 at
+    # gamma 4) on every vibrancy < 1 render
     newrgb = newrgb + (1.0 - vibrancy) * \
-        jnp.power(jnp.maximum(rgb, 0.0) + EPS, inv_gamma)
+        jnp.power(jnp.maximum(rgb, 0.0), inv_gamma)
 
     if transparent:
         newrgb = newrgb / jnp.maximum(alpha[..., None], EPS)
@@ -193,7 +196,7 @@ def _bspline(x):
 
 SPATIAL_FILTERS = {
     "gaussian": (1.5, lambda x: np.exp(-2.0 * x * x)),
-    "box": (0.5, lambda x: np.ones_like(x)),
+    "box": (0.5, lambda x: (np.abs(x) <= 0.5).astype(np.float64)),
     "triangle": (1.0, lambda x: np.maximum(1.0 - np.abs(x), 0.0)),
     "hermite": (1.0, lambda x: np.where(
         np.abs(x) < 1.0,
@@ -203,8 +206,12 @@ SPATIAL_FILTERS = {
     "b_spline": (2.0, _bspline),
     "mitchell": (2.0, _mitchell),
     "catrom": (2.0, _catrom),
-    "lanczos2": (2.0, lambda x: _sinc(x) * _sinc(x / 2.0)),
-    "lanczos3": (3.0, lambda x: _sinc(x) * _sinc(x / 3.0)),
+    "lanczos2": (2.0, lambda x: np.where(np.abs(x) < 2.0,
+                                         _sinc(x) * _sinc(x / 2.0),
+                                         0.0)),
+    "lanczos3": (3.0, lambda x: np.where(np.abs(x) < 3.0,
+                                         _sinc(x) * _sinc(x / 3.0),
+                                         0.0)),
     "blackman": (1.0, lambda x: 0.42 + 0.5 * np.cos(np.pi * x)
                  + 0.08 * np.cos(2.0 * np.pi * x)),
     "hamming": (1.0, lambda x: 0.54 + 0.46 * np.cos(np.pi * x)),
@@ -214,9 +221,11 @@ SPATIAL_FILTERS = {
 
 def spatial_filter_taps(shape: str, radius: float, ss: int):
     """flam3's spatial filter row (flam3_create_spatial_filter): width
-    2 * support * ss * radius accumulator pixels, rounded up with
+    fw = 2 * support * ss * radius accumulator pixels, rounded up with
     parity matched to ss so output-pixel centers align; samples at
-    cell centers mapped onto [-support, support]; sum-normalized."""
+    cell centers with spacing 2*support/fw in kernel coordinates
+    (flam3's `adjust` stretch — the round-up padding falls into the
+    kernel tail); sum-normalized."""
     if shape not in SPATIAL_FILTERS:
         raise ValueError(f"unknown spatial filter {shape!r}; have "
                          f"{sorted(SPATIAL_FILTERS)}")
@@ -226,7 +235,14 @@ def spatial_filter_taps(shape: str, radius: float, ss: int):
     if (fwidth ^ ss) & 1:
         fwidth += 1
     fwidth = max(fwidth, ss)
-    x = ((2.0 * np.arange(fwidth) + 1.0) / fwidth - 1.0) * support
+    # flam3's `adjust`: the rounded-up discrete window spans fwidth
+    # accumulator px but the continuous kernel only fw, so tap
+    # coordinates stretch by fwidth/fw — the spacing stays
+    # 2*support/fw per px and the round-up padding lands in the
+    # kernel's tail (zero for the finite-support shapes) instead of
+    # compressing the kernel and over-blurring
+    adjust = support * fwidth / fw if fw > 0 else 1.0
+    x = ((2.0 * np.arange(fwidth) + 1.0) / fwidth - 1.0) * adjust
     t = fn(np.abs(x)).astype(np.float64)
     s = t.sum()
     if s <= 0:

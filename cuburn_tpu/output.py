@@ -110,8 +110,16 @@ class FFmpegSink:
             stdout=subprocess.DEVNULL, stderr=self._err)
 
     def write_frame(self, img: np.ndarray):
+        img = np.asarray(img, np.uint8)
+        if img.ndim == 3 and img.shape[2] == 3:
+            # ffmpeg was launched expecting rgba frames; silently
+            # writing w*h*3 bytes would shift every later frame
+            # boundary (Y4MSink upgrades RGB the same way)
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)],
+                axis=2)
         try:
-            self.proc.stdin.write(np.asarray(img, np.uint8).tobytes())
+            self.proc.stdin.write(img.tobytes())
         except BrokenPipeError:
             raise RuntimeError(
                 f"ffmpeg died while encoding {self.path}:\n"

@@ -86,10 +86,17 @@ class FarmState:
             t.shape = tuple(shape)
 
     def fetch(self, job_id: int):
+        """Return (frame_bytes, shape) and CONSUME the task: results
+        are evicted on fetch so a long-running server doesn't
+        accumulate every rendered frame (a 1080p RGBA frame is ~8 MB;
+        without eviction a 1000-frame animation pins ~8 GB after the
+        client has already taken everything).  Fetching a consumed id
+        returns None, like an unknown id."""
         with self.lock:
             t = self.tasks.get(job_id)
             if t is None or t.result is None:
                 return None
+            del self.tasks[job_id]
             return t.result, t.shape
 
 

@@ -52,7 +52,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
+    static_argnames=("key", "cam", "backend", "mesh",
                      "n_iters", "fuse", "packed", "op_bits",
                      "sort_segments"))
 def sharded_accumulate(
@@ -78,18 +78,24 @@ def sharded_accumulate(
     state is sharded on the batch axis; params/hist are replicated.
     Returns (state', hist', plotted_count) with hist' fully reduced
     (replicated) — the one ICI collective per call.
+
+    `n_chunks` is TRACED (the single-chip rule, CLAUDE.md): quality
+    or dispatch-cap changes must not recompile the multi-chip
+    program (remote compiles cost minutes).
     """
     if tile_row0 is None:
         tile_row0 = jnp.int32(0)
+    n_chunks = jnp.int32(n_chunks)
 
-    def device_body(params, cdf_rows, state, hist, ppu, tile_row0):
+    def device_body(params, cdf_rows, state, hist, ppu, tile_row0,
+                    n_chunks):
         # accumulate into ZEROS and add the (replicated) input hist
         # after the psum: summing the input replica n_devices times
         # would multiply resumed checkpoint mass by the mesh size
         state, delta, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state,
             jnp.zeros_like(hist), ppu,
-            jnp.int32(n_chunks), n_iters, fuse, packed=packed,
+            n_chunks, n_iters, fuse, packed=packed,
             tile_row0=tile_row0, op_bits=op_bits,
             sort_segments=sort_segments)
         # the single collective: reduce partial histograms over ICI
@@ -104,16 +110,17 @@ def sharded_accumulate(
     # single-chip code path.
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(), P(BATCH_AXIS), P(), P(), P()),
+        in_specs=(P(), P(), P(BATCH_AXIS), P(), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
         check_vma=False,
     )
-    return shard(params, cdf_rows, state, hist, ppu, tile_row0)
+    return shard(params, cdf_rows, state, hist, ppu, tile_row0,
+                 n_chunks)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("key", "cam", "backend", "mesh", "n_chunks",
+    static_argnames=("key", "cam", "backend", "mesh",
                      "n_iters", "fuse", "packed", "op_bits",
                      "sort_segments"))
 def sharded_accumulate_temporal(
@@ -139,17 +146,20 @@ def sharded_accumulate_temporal(
     (device-side scan over interpolated params), with one psum on the
     way out — the same single-collective contract as
     sharded_accumulate.  Round 1 looped temporal samples on the host
-    (one dispatch each, ~1 s latency apiece on the dev tunnel)."""
+    (one dispatch each, ~1 s latency apiece on the dev tunnel).
+
+    `n_chunks` is TRACED, as in sharded_accumulate."""
     if tile_row0 is None:
         tile_row0 = jnp.int32(0)
+    n_chunks = jnp.int32(n_chunks)
 
     def device_body(params_T, state, hist, ppu_T, weights_T,
-                    tile_row0):
+                    tile_row0, n_chunks):
         # zeros + add-after-psum: see sharded_accumulate (resumed
         # checkpoint mass must not be multiplied by the mesh size)
         state, delta, n = iterate_accumulate_temporal(
             key, cam, backend, params_T, state, jnp.zeros_like(hist),
-            ppu_T, jnp.int32(n_chunks), n_iters, fuse, packed=packed,
+            ppu_T, n_chunks, n_iters, fuse, packed=packed,
             weights_T=weights_T, tile_row0=tile_row0,
             op_bits=op_bits, sort_segments=sort_segments)
         hist = hist + jax.lax.psum(delta, BATCH_AXIS)
@@ -158,11 +168,12 @@ def sharded_accumulate_temporal(
 
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(BATCH_AXIS), P(), P(), P(), P()),
+        in_specs=(P(), P(BATCH_AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
         check_vma=False,
     )
-    return shard(params_T, state, hist, ppu_T, weights_T, tile_row0)
+    return shard(params_T, state, hist, ppu_T, weights_T, tile_row0,
+                 n_chunks)
 
 
 from cuburn_tpu.render import Renderer
@@ -190,15 +201,24 @@ class ShardedRenderer(Renderer):
         # (each chip accumulates its own replica, psum reduces) — no
         # special-casing needed; layout conversion is elementwise.
 
+    def _halved_batch(self, iters: float) -> int:
+        """The base renderer's trajectory-lifetime batch cap, with a
+        per-device floor AND divisibility kept (halving 8200 over 8
+        devices would otherwise break the P(BATCH_AXIS) sharding)."""
+        prof = self.profile
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while (batch > 1024 * self.n_devices
+               and iters / batch < min_life
+               and (batch // 2) % self.n_devices == 0):
+            batch //= 2
+        return batch
+
     def _accumulate_sample(self, params, hist, seed: int, iters: float,
                            tile_row0=None):
         prof, cam, key = self.profile, self.cam, self.key
         cdf_rows = xform_cdf_rows(params)
-        batch = prof.batch
-        min_life = 8 * max(prof.fuse, 1)
-        while (batch > 1024 * self.n_devices
-               and iters / batch < min_life):
-            batch //= 2
+        batch = self._halved_batch(iters)
         state = init_state(jax.random.PRNGKey(seed), batch)
         state = jax.device_put(
             state, NamedSharding(self.mesh, P(BATCH_AXIS)))
@@ -206,12 +226,24 @@ class ShardedRenderer(Renderer):
             prof.width / self.genome.size[0])
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters / per_chunk)))
-        state, hist, plotted = sharded_accumulate(
-            key, cam, self.backend, self.mesh, params, cdf_rows,
-            state, hist, ppu, n_chunks, prof.iters_per_chunk,
-            prof.fuse, packed=self.packed, tile_row0=tile_row0,
-            op_bits=self.op_bits,
-            sort_segments=self.sort_segments)
+        # honor dispatch_iter_cap like the base renderer: the
+        # long-execution worker kill does not care that the program is
+        # sharded (n_chunks is traced, so all capped calls share one
+        # compiled program)
+        cap = (max(1, prof.dispatch_iter_cap // per_chunk)
+               if prof.dispatch_iter_cap else n_chunks)
+        plotted = jnp.float32(0.0)
+        left = n_chunks
+        while left > 0:
+            k = min(left, cap)
+            state, hist, n = sharded_accumulate(
+                key, cam, self.backend, self.mesh, params, cdf_rows,
+                state, hist, ppu, k, prof.iters_per_chunk,
+                prof.fuse, packed=self.packed, tile_row0=tile_row0,
+                op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+            plotted = plotted + n
+            left -= k
         return hist, plotted, n_chunks * per_chunk
 
     def accumulate_striped(self, t: float = 0.0, seed: int = 0,
@@ -250,10 +282,17 @@ class ShardedRenderer(Renderer):
         t0 = _time.perf_counter()
         params = _to_device(self.genome.eval_at(ts_times[0]))
         cdf_rows = xform_cdf_rows(params)
-        state = init_state(jax.random.PRNGKey(seed * 7919), prof.batch)
+        # the base renderer's EXACT trajectory-lifetime halving rule
+        # (no per-device floor: the stream here is REPLICATED, not
+        # sharded) — required for the bit-identity contract below
+        batch = prof.batch
+        min_life = 8 * max(prof.fuse, 1)
+        while batch > 1024 and prof.total_iters / batch < min_life:
+            batch //= 2
+        state = init_state(jax.random.PRNGKey(seed * 7919), batch)
         hist0 = hist_alloc_for(self.backend, scam.n_bins)
         n_chunks = max(1, int(np.ceil(
-            prof.total_iters / (prof.batch * prof.iters_per_chunk))))
+            prof.total_iters / (batch * prof.iters_per_chunk))))
         key, backend, packed, ob = (self.key, self.backend,
                                     self.packed, self.op_bits)
         ppu = params.ppu * jnp.float32(prof.width / self.genome.size[0])
@@ -291,7 +330,7 @@ class ShardedRenderer(Renderer):
         full = full[:cam.n_bins + 1]
         hard_sync(full)
         stats.plotted_samples = int(np.asarray(plots).sum())
-        stats.total_iters = n_chunks * prof.batch * ipc * n
+        stats.total_iters = n_chunks * batch * ipc * n
         stats.iterate_s = _time.perf_counter() - t0
         return full, stats
 
@@ -381,11 +420,7 @@ class ShardedRenderer(Renderer):
         ppu_T = params_T.ppu * factor
 
         total = iters_per_sample * len(ts_times)
-        batch = prof.batch
-        min_life = 8 * max(prof.fuse, 1)
-        while (batch > 1024 * self.n_devices
-               and total / batch < min_life):
-            batch //= 2
+        batch = self._halved_batch(total)
         state = init_state(jax.random.PRNGKey(seed), batch)
         state = jax.device_put(
             state, NamedSharding(self.mesh, P(BATCH_AXIS)))
@@ -396,5 +431,5 @@ class ShardedRenderer(Renderer):
             ppu_T, jnp.asarray(ts_weights, jnp.float32),
             n_chunks, prof.iters_per_chunk, prof.fuse,
             packed=self.packed, tile_row0=tile_row0,
-            op_bits=self.op_bits)
+            op_bits=self.op_bits, sort_segments=self.sort_segments)
         return hist, plotted, n_chunks * per_chunk * len(ts_times)

@@ -448,7 +448,7 @@ def colorclip_reference(img, gamma, vibrancy, highlight_power,
     out[lo] = rgb[lo] * k[:, None]
 
     out = out + (1.0 - vibrancy) \
-        * np.power(np.maximum(rgb, 0.0) + 1e-9, g)
+        * np.power(np.maximum(rgb, 0.0), g)
     if transparent:
         out = out / np.maximum(alpha[:, None], 1e-9)
         oa = alpha

@@ -194,6 +194,20 @@ class TestFarm:
         st.put_result(tid, b"xx", (1, 2))
         assert st.get_task() is None            # done: never re-issued
 
+    def test_fetch_evicts_result(self):
+        """fetch() consumes: the server must not pin every rendered
+        frame forever (regression: unbounded memory growth on long
+        farms)."""
+        from cuburn_tpu.parallel.farm import FarmState
+        st = FarmState()
+        [tid] = st.submit("{}", {}, [0.0])
+        assert st.fetch(tid) is None            # not done yet
+        st.get_task()
+        st.put_result(tid, b"frame", (1, 5))
+        assert st.fetch(tid) == (b"frame", (1, 5))
+        assert tid not in st.tasks              # evicted
+        assert st.fetch(tid) is None            # consumed == unknown
+
 
 class TestNativeOutput:
     def test_native_png_matches_pil_decode(self, tmp_path):

@@ -153,9 +153,23 @@ class TestSpatialFilterFamily:
         # fw = 2*support*ss*radius = 2*1.5*2*0.5 = 3 -> 4 (ss parity)
         assert spatial_filter_taps("gaussian", 0.5, 2).shape[0] == 4
         # box support 0.5, radius 1, ss 2: fw = 2 -> int+1 = 3 ->
-        # parity-matched to 4; box is uniform over its whole width
+        # parity-matched to 4; the adjust stretch puts the two
+        # round-up padding taps at +-0.75, past the box cutoff 0.5
         t = spatial_filter_taps("box", 1.0, 2)
-        np.testing.assert_allclose(t, [0.25] * 4)
+        np.testing.assert_allclose(t, [0.0, 0.5, 0.5, 0.0])
+
+    def test_flam3_adjust_stretch(self):
+        """flam3's `adjust` rule: tap spacing is 2*support/fw per
+        accumulator px, NOT 2*support/fwidth — the rounded-up window
+        must not compress the kernel.  Default gaussian (radius 0.5,
+        ss 1): fw = 1.5 -> fwidth 3, taps sampled at x = (-2, 0, 2)
+        where exp(-2x^2) is ~3e-4 — a near-identity kernel, not a
+        visible blur."""
+        from cuburn_tpu.ops.filtering import spatial_filter_taps
+        t = spatial_filter_taps("gaussian", 0.5, 1)
+        assert t.shape[0] == 3
+        assert t[1] > 0.999
+        assert t[0] == t[2] < 4e-4
 
     def test_unknown_shape_raises(self):
         from cuburn_tpu.ops.filtering import spatial_filter_taps
@@ -399,9 +413,13 @@ class TestColorPipelineAnchor:
 
 class TestSpatialFilterTapAnchor:
     """Second transcription of flam3's filter-row construction
-    (fwidth = int(2*support*ss*radius)+1, parity matched to ss,
-    samples at cell centers on [-support, support], sum-normalized)
-    — anchors the fiddly width/parity rule independently."""
+    (fwidth = int(fw)+1 for fw = 2*support*ss*radius, parity matched
+    to ss, samples at cell centers stretched by flam3's
+    adjust = support*fwidth/fw so tap SPACING is 2*support/fw per px,
+    sum-normalized) — anchors the fiddly width/parity/adjust rule
+    independently.  (The original pair of transcriptions both omitted
+    `adjust` — every kernel was compressed into [-support, support]
+    and over-blurred; caught by review, fixed together.)"""
 
     @pytest.mark.parametrize("shape,support", [
         ("gaussian", 1.5), ("triangle", 1.0), ("mitchell", 2.0),
@@ -413,14 +431,17 @@ class TestSpatialFilterTapAnchor:
         radius = 0.6
         taps = spatial_filter_taps(shape, radius, ss)
         # independent width computation
-        fw = int(2.0 * support * ss * radius) + 1
+        fw_cont = 2.0 * support * ss * radius
+        fw = int(fw_cont) + 1
         if (fw ^ ss) & 1:
             fw += 1
         fw = max(fw, ss)
         assert taps.shape[0] == fw
-        # independent sampling at cell centers
+        # independent sampling: cell centers of a window spanning fw
+        # px, in kernel coordinates at 2*support/fw_cont per px
         _sup, fn = SPATIAL_FILTERS[shape]
-        x = ((2.0 * np.arange(fw) + 1.0) / fw - 1.0) * support
+        centers_px = np.arange(fw) + 0.5 - fw / 2.0
+        x = centers_px * (2.0 * support / fw_cont)
         want = fn(np.abs(x))
         want = want / want.sum()
         np.testing.assert_allclose(taps, want, rtol=1e-6)

@@ -509,6 +509,17 @@ class TestMalformedInputs:
         assert list(g.xforms[0].vars) == ["linear"]
         assert g.xforms[0].params == {}
 
+    def test_legacy_two_valued_color_attribute(self):
+        """Old flam3/electricsheep files write color="c1 c2"; flam3's
+        sscanf reads the first value (regression: float() crashed on
+        the pair and the whole genome failed to load)."""
+        xml = ('<flame name="legacy" size="64 64">'
+               '<xform weight="1" color="0.33 0" linear="1" '
+               'coefs="1 0 0 1 0 0"/>'
+               '</flame>')
+        [g] = convert.parse_flam3(xml)
+        assert g.xforms[0].color(0.0) == pytest.approx(0.33)
+
     def test_not_xml(self):
         with pytest.raises(Exception):
             convert.parse_flam3("<flame")

@@ -224,3 +224,48 @@ def test_sharded_frames_partitioned(eight_devices):
         assert img.shape == (64, 64, 4)
         assert img[..., :3].max() > 0
         assert stats.plotted_samples > 0
+
+
+def test_sharded_dispatch_cap_parity(eight_devices):
+    """dispatch_iter_cap on the sharded renderer (regression: the
+    override ignored it, so a binding-size sharded frame ran as one
+    long execution — the exact kill the cap exists to prevent).
+    State/histogram carry across the capped calls of ONE
+    traced-chunk-count program: the trajectory stream is identical, so
+    density (integer counts) is bit-exact; RGB reassociates across the
+    per-call psums (f32 rounding only)."""
+    import dataclasses
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=64, height=64, quality=40, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=False, fuse=8)
+    h_uncapped, _ = ShardedRenderer(g, prof).accumulate(0.0, seed=5)
+    prof_cap = dataclasses.replace(
+        prof, dispatch_iter_cap=2048 * 8 * 3)   # 3 chunks per call
+    h_capped, _ = ShardedRenderer(g, prof_cap).accumulate(0.0, seed=5)
+    a, b = np.asarray(h_uncapped), np.asarray(h_capped)
+    np.testing.assert_array_equal(a[:, 3], b[:, 3])
+    np.testing.assert_allclose(a[:, :3], b[:, :3],
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_sharded_batch_halving_keeps_divisibility(eight_devices):
+    """The trajectory-lifetime batch cap must not halve the batch out
+    of divisibility by the mesh size (regression: batch=16392 over 8
+    devices would halve to 8196, 8196 % 8 != 0, and the P(BATCH_AXIS)
+    device_put raises at render time)."""
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    # 16392 = 8*2049: divisible by 8, above the 1024*8 floor, and one
+    # halving would break divisibility; quality keeps iters/batch
+    # under 8*fuse so the halving condition actually fires
+    prof = RenderProfile(width=32, height=32, quality=100,
+                         batch=16392, iters_per_chunk=16,
+                         hist_backend="scatter", de_enabled=False,
+                         fuse=8)
+    r = ShardedRenderer(g, prof)
+    assert prof.total_iters / prof.batch < 8 * prof.fuse
+    assert r._halved_batch(prof.total_iters) % 8 == 0
+    hist, stats = r.accumulate(0.0, seed=2)
+    assert float(np.asarray(hist)[:-1, 3].sum()) > 0
