@@ -268,8 +268,15 @@ class Genome:
             if cur is None:
                 cur = dflt
             if isinstance(dflt, tuple):
-                cur = tuple(cur) if isinstance(cur, (tuple, list)) else \
-                    tuple([cur] * len(dflt))
+                # any sequence counts as per-component values — an
+                # np.ndarray center=(x, y) must NOT fall through to
+                # the broadcast branch, where Spline would read the
+                # 1-D vector as a flat (t, v) knot list and silently
+                # collapse both coordinates to one constant
+                if isinstance(cur, (tuple, list, np.ndarray)):
+                    cur = tuple(cur)
+                else:
+                    cur = tuple([cur] * len(dflt))
                 setattr(self, name, tuple(spline(c) for c in cur))
             else:
                 setattr(self, name, spline(cur))

@@ -252,7 +252,14 @@ def main(argv=None) -> int:
                 seg_renderer = (type(renderer))(edge, seg_prof) \
                     if not hasattr(renderer, "mesh") else \
                     type(renderer)(edge, seg_prof, mesh=renderer.mesh)
-                yield from run_frames(seg_renderer, args.seed + k)
+                frames = run_frames(seg_renderer, args.seed + k)
+                if k > 0:
+                    # each edge spans [0, 1] inclusive and edge k's
+                    # t=1 pose IS edge k+1's t=0 pose — dropping the
+                    # first frame of every later segment avoids one
+                    # stuttered duplicate frame per interior keyframe
+                    next(frames, None)
+                yield from frames
 
         try:
             for img, stats in frame_iter():

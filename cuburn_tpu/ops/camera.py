@@ -69,6 +69,18 @@ class CameraSpec:
         return self.acc_width * self.acc_height
 
     @property
+    def layout_bins(self) -> int:
+        """Bin count that determines the PACKED-RECORD layout
+        (color/opacity bit splits): the FULL frame's, even for a
+        stripe camera — a striped render must quantize palette
+        coordinates at exactly the depth of the whole-frame render it
+        partitions, or the histograms disagree (the stripe's smaller
+        n_bins would otherwise free extra color bits)."""
+        if self.full_acc_height:
+            return self.acc_width * self.full_acc_height
+        return self.n_bins
+
+    @property
     def junk_bin(self) -> int:
         return self.n_bins
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cuburn_tpu.genome import palette as palette_mod
 from cuburn_tpu.genome.specs import Genome, GenomeParams
 from cuburn_tpu.genome.spline import Spline
 
@@ -263,9 +262,8 @@ def pack_genome(genome: Genome) -> PackedGenome:
 
 
 def _param_default(attr: str) -> float:
-    from cuburn_tpu.genome.variations import VARIATION_PARAMS
-    for pairs in VARIATION_PARAMS.values():
-        for name, default in pairs:
-            if name == attr:
-                return default
-    raise KeyError(attr)
+    # PARAM_DEFAULTS is the flat attr -> default map the schema
+    # already maintains (genome/variations.py guarantees attr-name
+    # uniqueness) — one source of truth for the fallback
+    from cuburn_tpu.genome.variations import PARAM_DEFAULTS
+    return PARAM_DEFAULTS[attr]

@@ -335,10 +335,12 @@ def iterate_accumulate(
 
     Returns (new_state, hist, plotted_count)."""
     if packed and op_bits:
-        _ob, cbits = opacity_bits_for(cam.n_bins, key.n_xforms)
+        # layout_bins, not n_bins: a stripe camera must pack color at
+        # the FULL frame's depth or striped != whole-frame
+        _ob, cbits = opacity_bits_for(cam.layout_bins, key.n_xforms)
         tot_bits = op_bits + cbits
     else:
-        cbits = color_bits_for(cam.n_bins) if packed else 0
+        cbits = color_bits_for(cam.layout_bins) if packed else 0
         if backend == "pallas_win" and cbits:
             # 2^8 = flam3's native palette resolution; quarters the
             # windowed kernel's palette one-hot cost vs 10 bits

@@ -72,6 +72,7 @@ def sharded_accumulate(
     tile_row0=None,
     op_bits: int = 0,
     sort_segments: int = 1,
+    weight=None,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
 
@@ -86,16 +87,18 @@ def sharded_accumulate(
     if tile_row0 is None:
         tile_row0 = jnp.int32(0)
     n_chunks = jnp.int32(n_chunks)
+    w = jnp.float32(1.0) if weight is None \
+        else jnp.asarray(weight, jnp.float32)
 
     def device_body(params, cdf_rows, state, hist, ppu, tile_row0,
-                    n_chunks):
+                    n_chunks, w):
         # accumulate into ZEROS and add the (replicated) input hist
         # after the psum: summing the input replica n_devices times
         # would multiply resumed checkpoint mass by the mesh size
         state, delta, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state,
             jnp.zeros_like(hist), ppu,
-            n_chunks, n_iters, fuse, packed=packed,
+            n_chunks, n_iters, fuse, packed=packed, weight=w,
             tile_row0=tile_row0, op_bits=op_bits,
             sort_segments=sort_segments)
         # the single collective: reduce partial histograms over ICI
@@ -110,12 +113,12 @@ def sharded_accumulate(
     # single-chip code path.
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(), P(BATCH_AXIS), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(BATCH_AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(), P()),
         check_vma=False,
     )
     return shard(params, cdf_rows, state, hist, ppu, tile_row0,
-                 n_chunks)
+                 n_chunks, w)
 
 
 @functools.partial(
@@ -365,10 +368,10 @@ class ShardedRenderer(Renderer):
         _times, _w, sumfilt = self._temporal_times(t)
         q_cell = jnp.float32(prof.quality * sumfilt
                              / (cam.ss * cam.ss))
-        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
+        de_r = self._static_de_r
         de_static = de_r if de_r > 0 else 9.0
         de_on = self._de_on(params)
-        sf = float(self.genome.spatial_filter(0.0))
+        sf = self._static_sf
         shape = self.genome.spatial_filter_shape
         band_rows = h_band * ss
         de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
@@ -426,10 +429,59 @@ class ShardedRenderer(Renderer):
             state, NamedSharding(self.mesh, P(BATCH_AXIS)))
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
-        state, hist, plotted = sharded_accumulate_temporal(
-            key, cam, self.backend, self.mesh, params_T, state, hist,
-            ppu_T, jnp.asarray(ts_weights, jnp.float32),
-            n_chunks, prof.iters_per_chunk, prof.fuse,
-            packed=self.packed, tile_row0=tile_row0,
-            op_bits=self.op_bits, sort_segments=self.sort_segments)
-        return hist, plotted, n_chunks * per_chunk * len(ts_times)
+        T = len(ts_times)
+        weights = jnp.asarray(ts_weights, jnp.float32)
+        per_sample = n_chunks * per_chunk
+        cap = prof.dispatch_iter_cap
+
+        def call_temporal(p_T, ppu_s, w_s, state, hist, nc):
+            return sharded_accumulate_temporal(
+                key, cam, self.backend, self.mesh, p_T, state, hist,
+                ppu_s, w_s, nc, prof.iters_per_chunk, prof.fuse,
+                packed=self.packed, tile_row0=tile_row0,
+                op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+
+        if not cap or per_sample * T <= cap:
+            state, hist, plotted = call_temporal(
+                params_T, ppu_T, weights, state, hist, n_chunks)
+            return hist, plotted, per_sample * T
+
+        # dispatch_iter_cap binds: split host-side exactly like the
+        # single-chip renderer (render._accumulate_temporal) — whole
+        # sample groups, or per-chunk within a sample; the sample-
+        # major state threading makes both orders identical to the
+        # uncapped execution
+        plotted = jnp.float32(0.0)
+        if per_sample <= cap:
+            g = max(1, int(cap // per_sample))
+            for s0 in range(0, T, g):
+                sl = slice(s0, min(s0 + g, T))
+                p_sl = jax.tree_util.tree_map(lambda a: a[sl],
+                                              params_T)
+                state, hist, n = call_temporal(
+                    p_sl, ppu_T[sl], weights[sl], state, hist,
+                    n_chunks)
+                plotted = plotted + n
+            return hist, plotted, per_sample * T
+
+        from cuburn_tpu.ops.iterate import xform_cdf_rows as _cdf
+        cap_chunks = max(1, int(cap // per_chunk))
+        for k in range(T):
+            params_k = jax.tree_util.tree_map(lambda a: a[k],
+                                              params_T)
+            cdf_k = _cdf(params_k)
+            left = n_chunks
+            while left > 0:
+                c = min(left, cap_chunks)
+                state, hist, n = sharded_accumulate(
+                    key, cam, self.backend, self.mesh, params_k,
+                    cdf_k, state, hist, ppu_T[k], c,
+                    prof.iters_per_chunk, prof.fuse,
+                    packed=self.packed, tile_row0=tile_row0,
+                    op_bits=self.op_bits,
+                    sort_segments=self.sort_segments,
+                    weight=weights[k])
+                plotted = plotted + n
+                left -= c
+        return hist, plotted, per_sample * T

@@ -41,6 +41,18 @@ from cuburn_tpu.profile import RenderProfile
 from cuburn_tpu.utils.timing import hard_sync
 
 
+def _spline_range_max(sp, time_range) -> float:
+    """Max of a genome spline over the render's time range (33-point
+    sample + both endpoints) — sizes static filter geometry so
+    animated estimator/filter splines don't get clipped to their t=0
+    value."""
+    t0, t1 = time_range
+    if sp.is_constant or t1 <= t0:
+        return float(sp(t0))
+    ts = np.linspace(t0, t1, 33)
+    return float(np.max(sp.evaluate(ts)))
+
+
 def temporal_filter_weights(n: int, ftype: str = "box",
                             width: float = 1.0,
                             filter_exp: float = 0.0):
@@ -256,17 +268,36 @@ class Renderer:
         self.profile = profile
         self.key = genome.structure_key()
         no_rot = genome.rotate.is_constant and genome.rotate(0.0) == 0.0
+        # static filter geometry is sized to the spline MAX over the
+        # genome's time range, not t=0: an animated estimator_radius
+        # or spatial_filter would otherwise undersize the gutter, DE
+        # ladder and filter taps for later frames (dark clipped
+        # edges).  The per-frame TRACED estimator params still drive
+        # the DE band assignment, so DE animates correctly under a
+        # range-max ladder; the spatial-filter WIDTH however is baked
+        # into the compiled taps and stays at the range max.
+        self._static_de_r = _spline_range_max(
+            genome.estimator_radius, genome.time_range) * profile.ss
+        self._static_sf = _spline_range_max(
+            genome.spatial_filter, genome.time_range)
+        if not genome.spatial_filter.is_constant:
+            import warnings
+            warnings.warn(
+                "spatial_filter animates; the filter width is fixed "
+                "at the time-range maximum "
+                f"({self._static_sf:.3g}) for the whole render "
+                "(taps are compiled constants)")
+        de_r0 = self._static_de_r
         # gutter: DE blur must not clip at the frame border, and the
         # spatial filter's decimation must read REAL border context
         # (flam3 sizes its gutter to DE radius + filter half-width;
-        # zero-padded edges render dark).
-        de_r0 = float(genome.estimator_radius(0.0)) * profile.ss
-        # DE kernel support is 1.5x the radius (3 sigma at sigma=r/2,
-        # ops/de.py band_ladder) — the gutter must cover the full
-        # support or edge pixels lose DE mass
+        # zero-padded edges render dark).  DE kernel support is 1.5x
+        # the radius (3 sigma at sigma=r/2, ops/de.py band_ladder) —
+        # the gutter must cover the full support or edge pixels lose
+        # DE mass
         gutter = (int(np.ceil(1.5 * min(de_r0, de_mod.MAX_RADIUS_CAP)))
                   if (profile.de_enabled and de_r0 > 0) else 0)
-        sf0 = float(genome.spatial_filter(0.0))
+        sf0 = self._static_sf
         if sf0 > 0:
             from cuburn_tpu.ops.filtering import spatial_filter_taps
             gutter += (spatial_filter_taps(
@@ -360,7 +391,7 @@ class Renderer:
         `tiled_flush_records` (cuburn_tpu.retune) overrides."""
         import os
         env = os.environ.get("CUBURN_ITERS_PER_CHUNK")
-        if env:
+        if env and int(env) > 0:   # "0" = auto, like the profile field
             return int(env)
         if profile.iters_per_chunk > 0:
             return profile.iters_per_chunk
@@ -549,12 +580,12 @@ class Renderer:
         # k2 so brightness is independent of the filter shape
         _times, _w, sumfilt = self._temporal_times(t)
         q_cell = jnp.float32(prof.quality * sumfilt / (cam.ss * cam.ss))
-        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
+        de_r = self._static_de_r
         return _filter_frame(
             cam, prof.transparent, self._de_on(params),
             hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
             de_static_r=de_r if de_r > 0 else 9.0,
-            spatial_filter=float(self.genome.spatial_filter(0.0)),
+            spatial_filter=self._static_sf,
             filter_shape=self.genome.spatial_filter_shape)
 
     def finalize_frame_banded(self, hist, t: float = 0.0,
@@ -575,10 +606,10 @@ class Renderer:
         _times, _w, sumfilt = self._temporal_times(t)
         q_cell = jnp.float32(prof.quality * sumfilt
                              / (cam.ss * cam.ss))
-        de_r = float(self.genome.estimator_radius(0.0)) * cam.ss
+        de_r = self._static_de_r
         de_static = de_r if de_r > 0 else 9.0
         de_on = self._de_on(params)
-        sf = float(self.genome.spatial_filter(0.0))
+        sf = self._static_sf
         shape = self.genome.spatial_filter_shape
         ss, g = cam.ss, cam.gutter
         H, W = prof.height, prof.width
@@ -710,14 +741,65 @@ class Renderer:
         state = init_state(jax.random.PRNGKey(seed), batch)
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
-        state, hist, plotted = iterate_accumulate_temporal(
-            key, cam, self.backend, params_T, state, hist, ppu_T,
-            jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
-            packed=self.packed,
-            weights_T=jnp.asarray(ts_weights, jnp.float32),
-            tile_row0=tile_row0, op_bits=self.op_bits,
-            sort_segments=self.sort_segments)
-        return hist, plotted, n_chunks * per_chunk * len(ts_times)
+        T = len(ts_times)
+        weights = jnp.asarray(ts_weights, jnp.float32)
+        per_sample = n_chunks * per_chunk
+        cap = prof.dispatch_iter_cap
+
+        if not cap or per_sample * T <= cap:
+            state, hist, plotted = iterate_accumulate_temporal(
+                key, cam, self.backend, params_T, state, hist, ppu_T,
+                jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
+                packed=self.packed, weights_T=weights,
+                tile_row0=tile_row0, op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+            return hist, plotted, per_sample * T
+
+        # dispatch_iter_cap binds (the long-execution worker kill
+        # applies to motion blur too).  The in-program loop is
+        # sample-major with state threaded through, so splitting it
+        # host-side — by whole-sample groups, or per-chunk within a
+        # sample when even one sample exceeds the cap — reproduces
+        # the EXACT uncapped execution order: results are
+        # bit-identical (tests/test_render.py TestDispatchCap).
+        plotted = jnp.float32(0.0)
+        if per_sample <= cap:
+            g = max(1, int(cap // per_sample))   # samples per call
+            for s0 in range(0, T, g):
+                sl = slice(s0, min(s0 + g, T))
+                p_sl = jax.tree_util.tree_map(lambda a: a[sl],
+                                              params_T)
+                state, hist, n = iterate_accumulate_temporal(
+                    key, cam, self.backend, p_sl, state, hist,
+                    ppu_T[sl], jnp.int32(n_chunks),
+                    prof.iters_per_chunk, prof.fuse,
+                    packed=self.packed, weights_T=weights[sl],
+                    tile_row0=tile_row0, op_bits=self.op_bits,
+                    sort_segments=self.sort_segments)
+                plotted = plotted + n
+            return hist, plotted, per_sample * T
+
+        # a single sample exceeds the cap: chunk-split each sample
+        # through the single-sample program with its temporal weight
+        from cuburn_tpu.ops.iterate import xform_cdf_rows as _cdf
+        cap_chunks = max(1, int(cap // per_chunk))
+        for k in range(T):
+            params_k = jax.tree_util.tree_map(lambda a: a[k],
+                                              params_T)
+            cdf_k = _cdf(params_k)
+            left = n_chunks
+            while left > 0:
+                c = min(left, cap_chunks)
+                state, hist, n = iterate_accumulate(
+                    key, cam, self.backend, params_k, cdf_k, state,
+                    hist, ppu_T[k], jnp.int32(c),
+                    prof.iters_per_chunk, prof.fuse,
+                    packed=self.packed, weight=weights[k],
+                    tile_row0=tile_row0, op_bits=self.op_bits,
+                    sort_segments=self.sort_segments)
+                plotted = plotted + n
+                left -= c
+        return hist, plotted, per_sample * T
 
     # -- animation -------------------------------------------------------
 

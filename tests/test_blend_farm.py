@@ -392,6 +392,28 @@ class TestSequence:
         data = out.read_bytes()
         assert data.count(b"FRAME\n") >= 2
 
+    def test_cli_sequence_no_duplicate_junction_frames(self, tmp_path):
+        """Each edge spans [0, 1] inclusive and edge k's end pose IS
+        edge k+1's start pose — the CLI must drop the first frame of
+        every later segment (regression: 3 keyframes at 3 fps x 1 s
+        per segment emitted 6 frames with a stuttered duplicate at
+        the interior keyframe; correct is 5)."""
+        from cuburn_tpu.genome.convert import genome_to_flame_xml
+        from cuburn_tpu.main import main
+        xml = "<flames>%s%s%s</flames>" % (
+            genome_to_flame_xml(sierpinski()),
+            genome_to_flame_xml(classic_swirl()),
+            genome_to_flame_xml(sierpinski()))
+        p = tmp_path / "seq3.flam3"
+        p.write_text(xml)
+        out = tmp_path / "seq3.y4m"
+        rc = main([str(p), "-o", str(out), "--animate",
+                   "--profile", "preview", "--width", "48",
+                   "--height", "48", "--quality", "10",
+                   "--fps", "3", "--duration", "2"])
+        assert rc == 0
+        assert out.read_bytes().count(b"FRAME\n") == 5
+
 
 class TestFarmCLI:
     """The three _main entry points driven in-process: server thread,

@@ -509,6 +509,20 @@ class TestMalformedInputs:
         assert list(g.xforms[0].vars) == ["linear"]
         assert g.xforms[0].params == {}
 
+    def test_ndarray_center_parses_per_component(self):
+        """np.ndarray for a tuple-valued field must read as per-
+        component values (regression: it fell through to the scalar
+        broadcast branch, Spline read the 1-D vector as a flat (t, v)
+        knot list, and BOTH center coordinates silently became the
+        constant y value)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        g = Genome(xforms=[XForm(weight=1.0,
+                                 affine=(0.5, 0, 0, 0, 0.5, 0),
+                                 vars={"linear": 1.0})],
+                   center=np.array([0.3, 0.4]))
+        assert g.center[0](0.0) == pytest.approx(0.3)
+        assert g.center[1](0.0) == pytest.approx(0.4)
+
     def test_legacy_two_valued_color_attribute(self):
         """Old flam3/electricsheep files write color="c1 c2"; flam3's
         sscanf reads the first value (regression: float() crashed on

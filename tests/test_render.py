@@ -196,6 +196,32 @@ class TestAnimation:
         TiledCam.n_bins = 8_633_536
         monkeypatch.setenv("CUBURN_ITERS_PER_CHUNK", "48")
         assert r._resolve_iters_per_chunk(prof15, {}) == 48
+        # env "0" means auto, like the profile field (regression:
+        # ZeroDivisionError downstream)
+        monkeypatch.setenv("CUBURN_ITERS_PER_CHUNK", "0")
+        assert r._resolve_iters_per_chunk(prof15, {}) == 256
+
+    def test_animated_filter_geometry_sized_to_range_max(self):
+        """Static filter geometry (gutter, DE ladder, filter taps)
+        must cover the spline MAX over the time range, not t=0
+        (regression: a growing estimator_radius clipped DE support at
+        later frame times — dark frame edges)."""
+        import warnings as _w
+        from cuburn_tpu.genome.spline import Spline
+        from cuburn_tpu.models import sierpinski
+        g = sierpinski()
+        g.estimator_radius = Spline([0.0, 2.0, 1.0, 8.0])
+        g.spatial_filter = Spline([0.0, 0.3, 1.0, 1.2])
+        g.time_range = (0.0, 1.0)
+        prof = dataclasses.replace(FAST, de_enabled=True)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = Renderer(g, prof)
+        assert r._static_de_r == pytest.approx(8.0 * prof.ss)
+        assert r._static_sf == pytest.approx(1.2)
+        assert r.cam.gutter >= int(np.ceil(1.5 * 8.0))
+        assert any("spatial_filter animates" in str(w.message)
+                   for w in rec)
 
     def test_frames_partitioned_overlap_flag(self):
         g = animated_spark()
@@ -381,6 +407,34 @@ class TestCLI:
 
 
 class TestStripedAccumulate:
+    def test_stripe_camera_packs_at_full_frame_depth(self):
+        """Record layout (color/opacity bit splits) must come from the
+        FULL frame's bin count even inside a stripe camera
+        (regression: at 1080p-ss2-class sizes the whole frame packs
+        8-bit palette coordinates while a 4-stripe camera's smaller
+        n_bins freed 10 — striped renders disagreed with the
+        whole-frame histogram they claim to partition exactly; the
+        small-size equality tests below can't see it because both
+        resolve to 10 bits there)."""
+        from cuburn_tpu.ops.camera import CameraSpec
+        from cuburn_tpu.ops.iterate import (color_bits_for,
+                                            opacity_bits_for)
+        full = CameraSpec(1920, 1080, 2, gutter=24)
+        n = 4
+        th = -(-full.acc_height // n)
+        stripe = CameraSpec(1920, 1080, 2, gutter=24,
+                            full_acc_height=full.acc_height,
+                            tile_acc_height=th)
+        assert stripe.n_bins < full.n_bins          # the trap
+        assert stripe.layout_bins == full.n_bins
+        assert color_bits_for(stripe.layout_bins) \
+            == color_bits_for(full.n_bins)
+        assert opacity_bits_for(stripe.layout_bins, 5) \
+            == opacity_bits_for(full.n_bins, 5)
+        # ...and the depths genuinely diverge without layout_bins
+        assert color_bits_for(stripe.n_bins) \
+            != color_bits_for(full.n_bins)
+
     def test_striped_matches_whole_frame_exactly(self):
         """Striped accumulation projects in FULL-frame coordinates, so
         with the same seed it partitions the identical trajectory
@@ -457,6 +511,37 @@ class TestDispatchCap:
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
         assert s1.plotted_samples == s2.plotted_samples
         assert s1.total_iters == s2.total_iters
+
+    def test_temporal_capped_matches_uncapped(self):
+        """dispatch_iter_cap on a MOTION-BLURRED frame (regression:
+        the temporal path ignored the cap and ran T x n_chunks in one
+        execution — the long-execution worker kill).  The in-program
+        loop is sample-major with state threaded, so both host-side
+        splits — whole-sample groups, and per-chunk within a sample —
+        reproduce the exact uncapped order: bit-identical."""
+        g = animated_spark()
+        prof = dataclasses.replace(FAST, temporal_samples=4, fps=4.0,
+                                   duration=1.0, quality=40,
+                                   width=64, height=64)
+        r = Renderer(g, prof)
+        h0, s0 = r.accumulate(0.5, seed=9)
+        per_chunk = prof.batch * prof.iters_per_chunk
+        iters_per_sample = prof.total_iters / 4
+        n_chunks = int(np.ceil(iters_per_sample / per_chunk))
+        per_sample = n_chunks * per_chunk
+        # (a) cap admits two samples per call -> sample-group split
+        prof_g = dataclasses.replace(prof,
+                                     dispatch_iter_cap=2 * per_sample)
+        hg, sg = Renderer(g, prof_g).accumulate(0.5, seed=9)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(hg))
+        assert s0.total_iters == sg.total_iters
+        # (b) cap below one sample -> per-chunk split inside samples
+        assert n_chunks >= 2     # so the chunk split actually splits
+        prof_c = dataclasses.replace(prof,
+                                     dispatch_iter_cap=per_chunk)
+        hc, sc = Renderer(g, prof_c).accumulate(0.5, seed=9)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(hc))
+        assert s0.total_iters == sc.total_iters
 
 
 class TestCheckpointResume:

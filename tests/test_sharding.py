@@ -269,3 +269,27 @@ def test_sharded_batch_halving_keeps_divisibility(eight_devices):
     assert r._halved_batch(prof.total_iters) % 8 == 0
     hist, stats = r.accumulate(0.0, seed=2)
     assert float(np.asarray(hist)[:-1, 3].sum()) > 0
+
+
+def test_sharded_temporal_dispatch_cap_parity(eight_devices):
+    """dispatch_iter_cap on a sharded MOTION-BLURRED frame: sample-
+    group and per-chunk splits both reproduce the uncapped trajectory
+    stream (density bit-exact; RGB reassociates across the per-call
+    psums)."""
+    import dataclasses
+    from cuburn_tpu.models import animated_spark
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = animated_spark()
+    prof = RenderProfile(width=64, height=64, quality=40, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=False, fuse=8,
+                         temporal_samples=4, fps=4.0, duration=1.0)
+    h0, s0 = ShardedRenderer(g, prof).accumulate(0.5, seed=11)
+    for cap in (2048 * 8 * 4, 2048 * 8):   # group split, chunk split
+        prof_c = dataclasses.replace(prof, dispatch_iter_cap=cap)
+        hc, sc = ShardedRenderer(g, prof_c).accumulate(0.5, seed=11)
+        assert s0.total_iters == sc.total_iters
+        a, b = np.asarray(h0), np.asarray(hc)
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        np.testing.assert_allclose(a[:, :3], b[:, :3],
+                                   rtol=1e-5, atol=1e-3)
