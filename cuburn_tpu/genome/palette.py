@@ -26,10 +26,14 @@ def decode_hex_block(text: str, count: int = PALETTE_SIZE) -> np.ndarray:
         raise ValueError("empty palette block")
     if len(clean) % count == 0 and len(clean) // count in (6, 8):
         stride = len(clean) // count
+    elif len(clean) % 6 == 0:
+        # RGB first: it is flam3's default format, and any RGB block
+        # whose entry count is divisible by 4 is also divisible by 8
+        # chars — guessing ARGB first parsed 64 red entries as 48
+        # blue ones
+        stride, count = 6, len(clean) // 6
     elif len(clean) % 8 == 0:
         stride, count = 8, len(clean) // 8
-    elif len(clean) % 6 == 0:
-        stride, count = 6, len(clean) // 6
     else:
         raise ValueError(f"bad palette block length {len(clean)}")
     out = np.zeros((count, 3), dtype=np.float64)

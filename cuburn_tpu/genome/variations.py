@@ -101,7 +101,8 @@ ALL_VARIATIONS = tuple(sorted(VARIATION_PARAMS))
 STOCHASTIC_VARIATIONS = frozenset({
     "noise", "blur", "gaussian_blur", "radial_blur", "julia", "julian",
     "juliascope", "pie", "square", "arch", "rays", "blade", "twintrian",
-    "super_shape", "wedge_julia", "cpow", "flux", "boarders", "pre_blur",
+    "super_shape", "wedge_julia", "cpow", "boarders", "pre_blur",
+    "conic", "flower", "parabola",
 })
 
 # Variations whose formula reads the xform's own affine coefficients

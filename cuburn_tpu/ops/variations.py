@@ -356,8 +356,13 @@ def v_julian(c, w, P):
 def v_juliascope(c, w, P):
     power, dist = P("juliascope_power"), P("juliascope_dist")
     t_rnd = jnp.trunc(jnp.abs(power) * c.rng.uniform())
-    sign = jnp.where((c.rng.bits() & jnp.uint32(1)) == 0, 1.0, -1.0)
-    a = (2.0 * PI * t_rnd + sign * c.atanyx) / power
+    # flam3 var31: the reflection sign comes from the PARITY of the
+    # branch index t_rnd, not an independent draw — an independent
+    # sign doubles the branch set (4 angles instead of 2 at power 2:
+    # a visibly, wrongly symmetric render)
+    parity_even = jnp.mod(t_rnd, 2.0) < 0.5
+    signed_atan = jnp.where(parity_even, c.atanyx, -c.atanyx)
+    a = (2.0 * PI * t_rnd + signed_atan) / power
     rr = w * jnp.power(c.r2 + EPS, dist / power * 0.5)
     return rr * jnp.cos(a), rr * jnp.sin(a)
 

@@ -37,7 +37,7 @@ def _apply_affine(aff, x, y):
     return a * x + b * y + c, d * x + e * y + f
 
 
-def _param_accessor(var_names, param_slots, gathered_params):
+def _param_accessor(param_slots, gathered_params):
     """Build P(attr) -> per-point array, resolving packed slots."""
     slot_of = {attr: i for i, (_v, attr) in enumerate(param_slots)}
 
@@ -56,7 +56,7 @@ def apply_variation_stack(
     rng: RngStream,
 ):
     """Evaluate the weighted variation sum at (tx, ty) (post-affine)."""
-    P = _param_accessor(var_names, param_slots, var_params)
+    P = _param_accessor(param_slots, var_params)
     aff = tuple(affine_rows[..., i] for i in range(6))
 
     # pre_blur perturbs the input point before the variation sum
@@ -138,8 +138,8 @@ def apply_xforms(
 
     `row` comes from select_and_fetch (column layout of
     build_xform_table).  Returns (nx, ny, ncolor, opacity)."""
-    V = len(key.variations)
-    P = max(len(key.param_slots), 1)
+    n_vars = len(key.variations)
+    n_par = max(len(key.param_slots), 1)
     aff = row[:, 0:6]
     xf_color = row[:, 6]
     speed = row[:, 7]
@@ -148,8 +148,8 @@ def apply_xforms(
     if key.has_post:
         post = row[:, off:off + 6]
         off += 6
-    vw = row[:, off:off + V]
-    vp = row[:, off + V:off + V + P]
+    vw = row[:, off:off + n_vars]
+    vp = row[:, off + n_vars:off + n_vars + n_par]
 
     tx, ty = _apply_affine(aff, x, y)
     ox, oy = apply_variation_stack(

@@ -236,6 +236,20 @@ class TestPalette:
         dec = palette.decode_hex_block(palette.encode_palette(pal))
         np.testing.assert_allclose(dec, pal, atol=1 / 255)
 
+    def test_hex_stride_guess_prefers_rgb(self):
+        """A 64-entry pure-red RGB block is length-divisible by 8 too;
+        the stride guess must prefer RGB — flam3's default format —
+        over ARGB (regression: 'ff0000'*64 parsed as 48 ARGB frames,
+        turning an all-red palette blue)."""
+        dec = palette.decode_hex_block("ff0000" * 64)
+        assert dec.shape == (256, 3)
+        np.testing.assert_allclose(dec[:, 0], 1.0)
+        np.testing.assert_allclose(dec[:, 1:], 0.0)
+        # explicit count still decodes ARGB blocks
+        dec_argb = palette.decode_hex_block("80ff0000" * 4, count=4)
+        np.testing.assert_allclose(dec_argb[:, 0], 1.0)
+        np.testing.assert_allclose(dec_argb[:, 1:], 0.0)
+
     def test_keyframe_interp(self):
         p0, p1 = np.zeros((256, 3)), np.ones((256, 3))
         mid = palette.palette_at([(0.0, p0), (1.0, p1)], 0.25)

@@ -924,7 +924,12 @@ class TestStochasticInvariants:
         assert np.abs(dang).max() > 0.05
 
     def test_juliascope_power_two_clusters(self):
-        # power=2, dist=1: finitely many branch outputs per input point
+        # power=2, dist=1: EXACTLY two branch outputs per input point —
+        # flam3 var31 takes the reflection sign from the parity of the
+        # branch index t_rnd (even -> +atanyx, odd -> -atanyx), so the
+        # branch angles are {atanyx/2, pi - atanyx/2} and nothing else
+        # (regression: an independent sign draw produced 4 branches, a
+        # wrongly symmetric render)
         B = 4096
         tx = jnp.full((B,), 0.8, jnp.float32)
         ty = jnp.full((B,), 0.5, jnp.float32)
@@ -932,7 +937,14 @@ class TestStochasticInvariants:
                        params={"juliascope_power": 2.0,
                                "juliascope_dist": 1.0})
         pts = np.unique(np.round(np.stack([dx, dy], 1), 3), axis=0)
-        assert 1 < len(pts) <= 4
+        assert len(pts) == 2
+        atanyx = np.arctan2(0.5, 0.8)
+        r = (0.8 ** 2 + 0.5 ** 2) ** 0.25
+        want = np.array(sorted(
+            (r * np.cos(a), r * np.sin(a))
+            for a in (atanyx / 2.0, (2 * np.pi - atanyx) / 2.0)))
+        np.testing.assert_allclose(
+            np.asarray(sorted(map(tuple, pts))), want, atol=2e-3)
 
 
 # flam3 embeds the variation weight INSIDE these formulas (random
