@@ -62,7 +62,7 @@ def main():
                 state, addr, pcolor, opacity = iterate_step(
                     key, cam, 32, params, cdf, ppu, state)
                 if mode == "pack":
-                    rec = pack_records(cam, 10, addr, pcolor)
+                    rec = pack_records(10, addr, pcolor)
                     return state, jnp.sum(rec.astype(jnp.uint32)
                                           >> jnp.uint32(16))
                 return state, jnp.sum(addr)

@@ -76,7 +76,7 @@ def main():
         def step(t, state):
             state, addr, pcolor, _op = iterate_step(
                 key, cam, 32, kp, cdf_rows, kppu, state)
-            rec = pack_records(cam, 10, addr, pcolor)
+            rec = pack_records(10, addr, pcolor)
             log_ref[t, :] = rec.astype(jnp.int32)
             return state
 

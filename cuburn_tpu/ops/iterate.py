@@ -113,19 +113,24 @@ def color_bits_for(n_bins: int) -> int:
     return bits if bits >= 8 else 0
 
 
-def pack_records(cam: CameraSpec, color_bits: int, addr, pcolor):
-    """(addr, color) -> one uint32 per plotted sample: cuburn's packed
-    writeback-log entry, TPU edition.  Color is quantized to
-    2^color_bits palette samples (>= the 256 native flam3 entries, so
-    no fidelity loss beyond the reference's own storage)."""
+def quantize_color(color_bits: int, pcolor):
+    """Palette coordinate in [0, 1] -> u32 quantized to 2^color_bits
+    levels (>= the 256 native flam3 entries, so no fidelity loss
+    beyond the reference's own storage)."""
     levels = np.float32((1 << color_bits) - 1)
     q = jnp.clip(pcolor, 0.0, 1.0) * levels + 0.5
     # i32 hop on the quantized value: Mosaic has no f32->u32 cast
+    return q.astype(jnp.int32).astype(jnp.uint32)
+
+
+def pack_records(color_bits: int, addr, pcolor):
+    """(addr, color) -> one uint32 per plotted sample: cuburn's packed
+    writeback-log entry, TPU edition."""
     return (addr.astype(jnp.uint32) << np.uint32(color_bits)) \
-        | q.astype(jnp.int32).astype(jnp.uint32)
+        | quantize_color(color_bits, pcolor)
 
 
-def unpack_records(cam: CameraSpec, color_bits: int, palette_hi, packed):
+def unpack_records(color_bits: int, palette_hi, packed):
     """Packed records -> (addr (int32), rgba (..., 4)).
 
     palette_hi is the palette pre-resampled to 2^color_bits entries
@@ -365,15 +370,16 @@ def iterate_accumulate(
                 state, addr, pcolor, opacity = iterate_step(
                     key, cam, fuse, params, cdf_rows, ppu, state,
                     tile_row0=tile_row0)
-                rec = pack_records(cam, cbits, addr, pcolor)
                 if op_bits:
-                    # splice the selected xform id between the
-                    # address and the color coordinate
-                    q = rec & np.uint32((1 << cbits) - 1)
+                    # opacity-extended layout: the selected xform id
+                    # splices between the address and the color
                     rec = (addr.astype(jnp.uint32)
                            << np.uint32(tot_bits)) \
                         | (state.last_xf.astype(jnp.uint32)
-                           << np.uint32(cbits)) | q
+                           << np.uint32(cbits)) \
+                        | quantize_color(cbits, pcolor)
+                else:
+                    rec = pack_records(cbits, addr, pcolor)
                 return state, rec
 
             state, packed_recs = jax.lax.scan(
@@ -400,7 +406,7 @@ def iterate_accumulate(
                     != cam.junk_bin).astype(jnp.float32)
             else:
                 accumulate = _get_accumulate(backend)
-                addrs, rgbas = unpack_records(cam, tot_bits,
+                addrs, rgbas = unpack_records(tot_bits,
                                               palette_hi, packed_recs)
                 hist = accumulate(hist, addrs, rgbas * w)
                 n = n + jnp.sum(

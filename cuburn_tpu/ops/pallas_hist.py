@@ -486,6 +486,15 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     # (otherwise a window could straddle a segment boundary and its
     # records would not be sorted relative to each other)
     segs = min(sort_segments, max(pow2 // (GROUP * WIN), 1))
+    if merge and segs > 1:
+        # run-merge compacts each segment's uniques front-to-back, so
+        # a flush window can contain records from two segments with
+        # DESCENDING addresses — the tier selection's monotonicity
+        # assumption breaks and mass silently vanishes.  Merge needs a
+        # globally sorted stream.
+        raise ValueError("merge=True requires sort_segments == 1 "
+                         "(per-segment runs break window-local "
+                         "monotonicity after compaction)")
     sorted_recs = sort_records(packed_records, segments=segs)
     if merge:
         # run-merge collapses duplicates into counts (fewer active
@@ -533,7 +542,6 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     else:
         # fully sorted records already visit blocks contiguously
         perm = jnp.arange(n_grp, dtype=jnp.int32)
-    side = None
     if n_blocks > 1:
         # windows whose rows don't all fit their GROUP's row block:
         # divert to an exact side-scatter (fixed capacity; at most one

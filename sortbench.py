@@ -81,14 +81,14 @@ def main():
     cbits = 10
     color = jnp.asarray(rng.rand(M).astype(np.float32))
     cam = CameraSpec(1 << (b_log // 2), 1 << (b_log - b_log // 2), 1)
-    packed = pack_records(cam, cbits, addr, color)
+    packed = pack_records(cbits, addr, color)
     pal_hi = expand_palette(jnp.asarray(
         rng.rand(256, 3).astype(np.float32)), cbits)
     hp = ph.to_packed_layout(h0)
     interp = jax.default_backend() != "tpu"
     # packed-record ground truth (palette-resolved)
     from cuburn_tpu.ops.iterate import unpack_records
-    a_np, rgba_p = unpack_records(cam, cbits, pal_hi, packed)
+    a_np, rgba_p = unpack_records(cbits, pal_hi, packed)
     truth_p = np.zeros((n_bins + 1, 4), np.float32)
     an, rn = np.asarray(a_np), np.asarray(rgba_p)
     for c in range(4):
@@ -107,9 +107,9 @@ def main():
     # windowed kernel: 8 color bits (flam3 palette resolution), with
     # and without the run-merge pass
     def win_setup(addr_, color_, bins_):
-        p8 = pack_records(cam, 8, addr_, color_)
+        p8 = pack_records(8, addr_, color_)
         ph8 = expand_palette(jnp.asarray(palette), 8)
-        a8, r8 = unpack_records(cam, 8, ph8, p8)
+        a8, r8 = unpack_records(8, ph8, p8)
         t8 = np.zeros((bins_ + 1, 4), np.float32)
         an8, rn8 = np.asarray(a8), np.asarray(r8)
         for c in range(4):
@@ -144,7 +144,7 @@ def main():
                        1 << ((b_log - 3) - (b_log - 3) // 2), 1)
 
     def win_setup_d():
-        p8 = pack_records(cam_d, 8, addr_d, color)
+        p8 = pack_records(8, addr_d, color)
         return p8
 
     p8d = win_setup_d()

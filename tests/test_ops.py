@@ -304,8 +304,8 @@ class TestPallasHistogram:
         color = jnp.asarray(rng.rand(M).astype(np.float32))
         palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
         pal_hi = expand_palette(palette, cbits)
-        packed = pack_records(cam, cbits, addr, color)
-        a2, rgba = unpack_records(cam, cbits, pal_hi, packed)
+        packed = pack_records(cbits, addr, color)
+        a2, rgba = unpack_records(cbits, pal_hi, packed)
         ref = hist_mod.accumulate_scatter(hist_mod.alloc(n_bins), a2,
                                           rgba)
         hp = ph.to_packed_layout(hist_mod.alloc(n_bins))

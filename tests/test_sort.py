@@ -133,7 +133,7 @@ class TestMergedPallasFlush:
         color = np.where(mix, 0.25, rng.rand(M)).astype(np.float32)
         palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
         pal_hi = expand_palette(palette, cbits)
-        packed = pack_records(cam, cbits, jnp.asarray(addr),
+        packed = pack_records(cbits, jnp.asarray(addr),
                               jnp.asarray(color))
         hp = ph.to_packed_layout(hm.alloc(n_bins))
         a = ph.accumulate_packed_pallas(hp, packed, pal_hi, n_bins,
@@ -152,9 +152,9 @@ class TestMergedPallasFlush:
                                             unpack_records)
         cam = CameraSpec(25, 20, 1)
         pal_hi = expand_palette(palette, cbits)
-        packed = pack_records(cam, cbits, jnp.asarray(addr),
+        packed = pack_records(cbits, jnp.asarray(addr),
                               jnp.asarray(color))
-        a, rgba = unpack_records(cam, cbits, pal_hi, packed)
+        a, rgba = unpack_records(cbits, pal_hi, packed)
         ref = hm.alloc(n_bins).at[a].add(rgba)
         return packed, pal_hi, np.asarray(ref)
 
@@ -375,7 +375,7 @@ class TestMergedPallasFlush:
         color = rng.rand(M).astype(np.float32)
         palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
         pal_hi = expand_palette(palette, cbits)
-        packed = pack_records(cam, cbits, jnp.asarray(addr),
+        packed = pack_records(cbits, jnp.asarray(addr),
                               jnp.asarray(color))
         hp = ph.to_packed_layout(hm.alloc(n_bins))
         out = ph.accumulate_merged_pallas(hp, packed, pal_hi, n_bins,
@@ -384,3 +384,19 @@ class TestMergedPallasFlush:
         # density channel: exactly one unit per real record, nowhere else
         assert flat[:, 3].sum() == pytest.approx(M)
         assert (flat[n_bins + 1:] == 0).all()   # padding rows untouched
+
+
+def test_merge_rejects_segments():
+    """merge=True needs a globally sorted stream: per-segment runs
+    break window-local monotonicity after compaction and mass would
+    silently vanish — the combination must raise, not corrupt."""
+    from cuburn_tpu.ops import histogram as hm
+    from cuburn_tpu.ops import pallas_hist as ph
+    hp = ph.to_planes_layout(hm.alloc(4096))
+    recs = jnp.zeros((ph.GROUP * 128 * 4,), jnp.uint32)
+    pal = jnp.ones((256, 3), jnp.float32)
+    from cuburn_tpu.ops.iterate import expand_palette
+    with pytest.raises(ValueError, match="sort_segments == 1"):
+        ph.accumulate_windowed_pallas(
+            hp, recs, expand_palette(pal, 10), 4096, 10,
+            interpret=True, merge=True, sort_segments=4)
