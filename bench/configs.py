@@ -38,8 +38,14 @@ def run_config(idx, quick):
     scale = 1.0 if (on_tpu and not quick) else 0.1
     # the dev-environment TPU worker crashes on 1080p-class programs
     # (see CLAUDE.md); cap accumulator dims there.  Real-silicon runs
-    # can raise this.
-    dim_cap = int(os.environ.get("CUBURN_BENCH_DIM_CAP", "1280"))
+    # can raise this via the env var, or by a retune --probe-dims tune
+    # record (cuburn_tpu.retune writes dim_cap; consumed here)
+    dim_cap_env = os.environ.get("CUBURN_BENCH_DIM_CAP")
+    if dim_cap_env:
+        dim_cap = int(dim_cap_env)
+    else:
+        from cuburn_tpu.render import _load_tune
+        dim_cap = int(_load_tune().get("dim_cap") or 1280)
 
     def sz(x, lo=64):
         return max(lo, min(int(x * (scale ** 0.5)), dim_cap) // 16 * 16)

@@ -31,7 +31,8 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import jax as _jax
-_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -48,8 +49,10 @@ from cuburn_tpu.models import full_feature
 from cuburn_tpu.profile import RenderProfile
 from cuburn_tpu.render import Renderer
 
-out, seed, quality = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-prof = RenderProfile(width=32, height=32, quality=quality, batch=4096,
+out, seed, quality, w, h = (sys.argv[1], int(sys.argv[2]),
+                            int(sys.argv[3]), int(sys.argv[4]),
+                            int(sys.argv[5]))
+prof = RenderProfile(width=w, height=h, quality=quality, batch=4096,
                      iters_per_chunk=16, fuse=20,
                      hist_backend="scatter", de_enabled=False)
 hist, _ = Renderer(full_feature(), prof).accumulate(0.0, seed=seed)
@@ -95,7 +98,7 @@ def main():
             t0 = time.perf_counter()
             subprocess.run(
                 [sys.executable, "-c", _CPU_SCRIPT, out, str(seed),
-                 str(quality)],
+                 str(quality), str(W), str(H)],
                 check=True, cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))))
             cpu[seed] = np.load(out)

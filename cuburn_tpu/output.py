@@ -23,7 +23,8 @@ except ImportError:  # pragma: no cover
 
 
 def write_image(path: str, img: np.ndarray):
-    """Write a (H, W, 4) u8 frame as PNG/JPEG by extension.
+    """Write a (H, W, 4) or (H, W, 3) u8 frame as PNG/JPEG by
+    extension (RGB is upgraded to opaque RGBA, like the video sinks).
 
     PNG goes through the native zlib encoder when built (the per-frame
     host hot path); JPEG and the fallback use PIL."""
@@ -33,6 +34,10 @@ def write_image(path: str, img: np.ndarray):
         from PIL import Image
         Image.fromarray(arr[..., :3], "RGB").save(path, quality=95)
         return
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        arr = np.concatenate(
+            [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)],
+            axis=2)
     h, w = arr.shape[:2]
     if _fastout is not None:
         with open(path, "wb") as f:

@@ -324,10 +324,18 @@ class Renderer:
         tune = _load_tune()
         if backend == "auto":
             import jax
-            if (tune.get("hist_backend") in ("scatter", "pallas_win")
+            # per-GEOMETRY tune key: the backends diverge most where
+            # the histogram goes HBM-tiled, so a tune record may pick
+            # different winners for resident vs tiled geometries
+            from cuburn_tpu.ops.pallas_hist import (BLOCK_ROWS,
+                                                    planes_rows)
+            tiled = planes_rows(self.cam.n_bins) > BLOCK_ROWS
+            choice = (tune.get("hist_backend_tiled") if tiled
+                      else None) or tune.get("hist_backend")
+            if (choice in ("scatter", "pallas_win")
                     and jax.default_backend() == "tpu"):
                 # per-chip tune record (bench/retune.py)
-                backend = tune["hist_backend"]
+                backend = choice
                 if backend.startswith("pallas") and not self.packed:
                     backend = "scatter"
             else:
@@ -395,7 +403,13 @@ class Renderer:
             return int(env)
         if profile.iters_per_chunk > 0:
             return profile.iters_per_chunk
-        base = int(tune.get("iters_per_chunk") or 32)
+        if tune.get("flush_records"):
+            # tuned RECORDS per flush (batch-independent; the sweep's
+            # own batch divides out) — "iters_per_chunk" is the legacy
+            # raw-K key, honored for old tune files
+            base = max(1, int(tune["flush_records"]) // profile.batch)
+        else:
+            base = int(tune.get("iters_per_chunk") or 32)
         if self.backend == "pallas_win":
             from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS, planes_rows
             # planes_rows is the kernel's own resident/tiled decision

@@ -25,7 +25,6 @@ Usage: cuburn-tpu-retune [--out cuburn_tune.json] [--quick]
 import argparse
 import json
 import os
-import time
 
 import jax as _jax
 # persistent compile cache: a retune pass compiles many program shapes
@@ -40,25 +39,28 @@ import numpy as np
 
 
 def race(key, cam, params, cdf, ppu, backend, B, K, n_chunks,
-         sort_segments=1):
-    """One chained in-loop measurement; returns M iters/s."""
+         sort_segments=1, iters=1):
+    """Chained in-loop measurement via the shared timing harness
+    (utils.timing.time_fn: warmup + state-chained timed calls, one
+    hard sync — the protocol that defeats the tunnel's execution
+    cache).  `iters` > 1 additionally averages per-dispatch jitter;
+    the default stays at one timed call so a full sweep fits the dev
+    tunnel's budget (raise it on real silicon).  Returns M iters/s."""
     from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
                                         iterate_accumulate)
-    from cuburn_tpu.utils.timing import hard_sync
+    from cuburn_tpu.utils.timing import time_fn
     hist = hist_alloc_for(backend, cam.n_bins)
     state = init_state(jax.random.PRNGKey(0), B)
     kw = ({"sort_segments": sort_segments}
           if backend == "pallas_win" else {})
-    out = iterate_accumulate(key, cam, backend, params, cdf, state,
-                             hist, ppu, jnp.int32(n_chunks), K, 32,
-                             **kw)
-    hard_sync(out)
-    t0 = time.perf_counter()
-    out = iterate_accumulate(key, cam, backend, params, cdf, out[0],
-                             hist, ppu, jnp.int32(n_chunks), K, 32,
-                             **kw)
-    hard_sync(out)
-    dt = time.perf_counter() - t0
+
+    def fn(st):
+        return iterate_accumulate(key, cam, backend, params, cdf, st,
+                                  hist, ppu, jnp.int32(n_chunks), K,
+                                  32, **kw)
+
+    dt, _ = time_fn(fn, state, warmup=1, iters=iters,
+                    chain=lambda out, _args: (out[0],))
     return n_chunks * B * K / dt / 1e6
 
 
@@ -103,9 +105,16 @@ def main():
             m[f"{backend}@{label}"] = round(r, 1)
             print(json.dumps({"race": f"{backend}@{label}",
                               "M_iters_per_s": round(r, 1)}))
+    # per-GEOMETRY backend choice: the backends diverge most exactly
+    # where histograms go HBM-tiled, so a single global winner is
+    # wrong on chips where they split (Renderer picks
+    # hist_backend_tiled for tiled geometries, hist_backend otherwise)
     tune["hist_backend"] = ("pallas_win"
                             if m["pallas_win@512"] > m["scatter@512"]
                             else "scatter")
+    tune["hist_backend_tiled"] = (
+        "pallas_win" if m["pallas_win@720p"] > m["scatter@720p"]
+        else "scatter")
 
     # 2. segmented sub-sort width (pallas_win only)
     cam, ppu = cam_for(512, 512)
@@ -121,7 +130,10 @@ def main():
             best_s, best_r = s, r
     tune["sort_segments"] = best_s
 
-    # 3. flush chunk size K
+    # 3. flush chunk size K — recorded as RECORDS per flush (B*K):
+    # the tuned quantity is batch-independent, and the Renderer
+    # divides by the profile's own batch (storing the raw K silently
+    # mis-tuned any profile whose batch differs from the sweep's B)
     k_list = (32, 64) if args.quick else (16, 32, 64, 128)
     best_k, best_r = 64, 0.0
     for k in k_list:
@@ -132,7 +144,7 @@ def main():
         print(json.dumps({"K": k, "M_iters_per_s": round(r, 1)}))
         if r > best_r:
             best_k, best_r = k, r
-    tune["iters_per_chunk"] = best_k
+    tune["flush_records"] = B * best_k
 
     # 3b. flush size at HBM-tiled density (720p bins = 8 row blocks):
     # a sorted flush reloads every row block it touches regardless of
@@ -191,10 +203,11 @@ def main():
         json.dump(tune, f, indent=1)
     print(json.dumps({"tune_written": args.out,
                       "hist_backend": tune["hist_backend"],
+                      "hist_backend_tiled": tune["hist_backend_tiled"],
                       "sort_segments": tune["sort_segments"],
-                      "iters_per_chunk": tune["iters_per_chunk"],
+                      "flush_records": tune["flush_records"],
                       "tiled_flush_records":
-                          tune["tiled_flush_records"]}))
+                          tune.get("tiled_flush_records")}))
 
 
 if __name__ == "__main__":

@@ -4,7 +4,14 @@ On a CPU host, simulate a mesh first:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   JAX_PLATFORMS=cpu python examples/04_multichip.py
 """
+import os
+
 import jax
+
+# some TPU plugins force-register via sitecustomize and override the
+# JAX_PLATFORMS env var; honor the simulation request explicitly
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from cuburn_tpu.models import get_genome
 from cuburn_tpu.output import write_image

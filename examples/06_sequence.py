@@ -25,7 +25,12 @@ profile = get_profile("preview", width=256, height=256, quality=50,
 sink = Y4MSink(out, profile.width, profile.height, profile.fps)
 n = 0
 for k, (edge, _s, _e) in enumerate(segments):
-    for img, _stats in Renderer(edge, profile).frames(seed=k):
+    frames = Renderer(edge, profile).frames(seed=k)
+    if k > 0:
+        # edge k's t=1 pose IS edge k+1's t=0 pose: skip the
+        # duplicate so the video doesn't stutter at keyframes
+        next(frames, None)
+    for img, _stats in frames:
         sink.write_frame(img)
         n += 1
 sink.close()

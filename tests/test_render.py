@@ -143,6 +143,20 @@ class TestAnimation:
         assert r.sort_segments == 4      # tune value picked up
         # (backend only applies on TPU; on CPU auto stays scatter)
         assert r.backend == "scatter"
+        # flush_records is RECORDS per flush — divided by the
+        # profile's own batch (regression: the raw sweep K was
+        # applied verbatim at any batch)
+        import dataclasses as _dc
+        prof = _dc.replace(FAST, iters_per_chunk=0, batch=4096)
+        r2 = Renderer(sierpinski(), prof)
+        r2.backend = "scatter"
+        assert r2._resolve_iters_per_chunk(
+            prof, {"flush_records": 4096 * 96}) == 96
+        assert r2._resolve_iters_per_chunk(
+            prof, {"flush_records": 8192 * 96}) == 192
+        # legacy raw-K key still honored
+        assert r2._resolve_iters_per_chunk(
+            prof, {"iters_per_chunk": 48}) == 48
         tune.write_text("not json {")
         r2 = Renderer(sierpinski(), FAST)
         assert r2.sort_segments == 1     # default restored
