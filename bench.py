@@ -28,20 +28,19 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 # jax version, but that is an implementation detail)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax as _jax
-_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 RECALLED_BASELINE_SAMPLES_PER_SEC = 400e6
 
 
 def main():
     from cuburn_tpu.models import full_feature
-    from cuburn_tpu.ops import histogram as hist_mod
     from cuburn_tpu.ops.camera import CameraSpec
     from cuburn_tpu.ops.iterate import (hist_alloc_for, init_state,
                                         iterate_accumulate,

@@ -167,9 +167,13 @@ def main(argv=None) -> int:
         from cuburn_tpu.genome.blend import blend_genomes
         target = load_genome(args.blend, 0)
         genome = blend_genomes(genome, target, spin=args.blend_spin)
-    elif args.animate and not args.genome.startswith("gallery:"):
+    elif (args.animate and not args.convert
+          and not args.genome.startswith("gallery:")):
         # multi-flame file + --animate = keyframe sequence (the
-        # flam3-animate workflow): blend consecutive stills into edges
+        # flam3-animate workflow): blend consecutive stills into
+        # edges (skipped under --convert, which exits before
+        # rendering — harmonizing a sequence just to discard it costs
+        # a structure-key pass per edge)
         from cuburn_tpu.genome.convert import load_genomes
         try:
             all_genomes = load_genomes(args.genome)
@@ -184,6 +188,14 @@ def main(argv=None) -> int:
     if args.convert:
         print(genome.to_json())
         return 0
+
+    if args.animate and (args.save_hist or args.resume_hist
+                         or args.time):
+        # these drive the still path only; silently ignoring a
+        # checkpoint request is worse than refusing it
+        raise SystemExit(
+            "--save-hist/--resume-hist/--time apply to stills; "
+            "they have no effect with --animate")
 
     from cuburn_tpu import output as output_mod
     from cuburn_tpu.profile import get_profile
@@ -219,115 +231,121 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.trace_dir)
         trace_ctx = args.trace_dir
 
-    if args.animate:
-        sink = output_mod.make_video_sink(
-            args.output, prof.width, prof.height, prof.fps)
-        n = 0
-        t0 = time.time()
+    # stop_trace in a finally: a mid-render failure (worker
+    # kill, Ctrl-C) must still flush the partial Perfetto
+    # trace -- exactly when it is most useful
+    try:
+        if args.animate:
+            sink = output_mod.make_video_sink(
+                args.output, prof.width, prof.height, prof.fps)
+            n = 0
+            t0 = time.time()
 
-        def run_frames(r, seed):
-            # frames_partitioned degenerates to frames() when neither
-            # partition count exceeds 1; unpartitioned animations
-            # default to the cross-frame overlapped driver (identical
-            # images, device never waits on encode) — sharded
-            # renderers included: their finalize_frame_device routes
-            # through the collective band filter
-            overlap = not args.no_overlap
-            return r.frames_partitioned(
-                seed=seed, n_stripes=args.stripes, n_bands=args.bands,
-                overlap=overlap)
+            def run_frames(r, seed):
+                # frames_partitioned degenerates to frames() when neither
+                # partition count exceeds 1; unpartitioned animations
+                # default to the cross-frame overlapped driver (identical
+                # images, device never waits on encode) — sharded
+                # renderers included: their finalize_frame_device routes
+                # through the collective band filter
+                overlap = not args.no_overlap
+                return r.frames_partitioned(
+                    seed=seed, n_stripes=args.stripes, n_bands=args.bands,
+                    overlap=overlap)
 
-        def frame_iter():
-            if sequence is None:
-                yield from run_frames(renderer, args.seed)
-                return
-            import dataclasses as _dc
-            total_len = sequence[-1][2] - sequence[0][1]
-            total_s = prof.duration or 2.0 * len(sequence)
-            for k, (edge, s, e) in enumerate(sequence):
-                # segment wall time proportional to its keyframe span
-                # (flam3 `time` attributes set the spacing)
-                seg_prof = _dc.replace(
-                    prof, duration=total_s * (e - s) / total_len)
-                seg_renderer = (type(renderer))(edge, seg_prof) \
-                    if not hasattr(renderer, "mesh") else \
-                    type(renderer)(edge, seg_prof, mesh=renderer.mesh)
-                frames = run_frames(seg_renderer, args.seed + k)
-                if k > 0:
-                    # each edge spans [0, 1] inclusive and edge k's
-                    # t=1 pose IS edge k+1's t=0 pose — dropping the
-                    # first frame of every later segment avoids one
-                    # stuttered duplicate frame per interior keyframe
-                    next(frames, None)
-                yield from frames
+            def frame_iter():
+                if sequence is None:
+                    yield from run_frames(renderer, args.seed)
+                    return
+                import dataclasses as _dc
+                total_len = sequence[-1][2] - sequence[0][1]
+                total_s = prof.duration or 2.0 * len(sequence)
+                for k, (edge, s, e) in enumerate(sequence):
+                    # segment wall time proportional to its keyframe span
+                    # (flam3 `time` attributes set the spacing)
+                    seg_prof = _dc.replace(
+                        prof, duration=total_s * (e - s) / total_len)
+                    seg_renderer = (type(renderer))(edge, seg_prof) \
+                        if not hasattr(renderer, "mesh") else \
+                        type(renderer)(edge, seg_prof, mesh=renderer.mesh)
+                    frames = run_frames(seg_renderer, args.seed + k)
+                    if k > 0:
+                        # each edge spans [0, 1] inclusive and edge k's
+                        # t=1 pose IS edge k+1's t=0 pose — dropping the
+                        # first frame of every later segment avoids one
+                        # stuttered duplicate frame per interior keyframe
+                        next(frames, None)
+                    yield from frames
 
-        try:
-            for img, stats in frame_iter():
-                sink.write_frame(img)
-                n += 1
-                if args.stats:
-                    print(f"frame {n}: {stats.samples_per_sec/1e6:.1f} "
-                          f"Msamples/s, retention "
-                          f"{stats.retention:.2f}", file=sys.stderr)
-                if args.metrics_json:
-                    _append_metrics(args.metrics_json,
-                                    _stats_record(n, None, stats))
-        finally:
-            sink.close()
-        dt = time.time() - t0
-        print(f"wrote {n} frames to {args.output} in {dt:.1f}s "
-              f"({n / max(dt, 1e-9):.2f} fps)")
-    else:
-        import numpy as np
-        if args.resume_hist and args.stripes and args.stripes > 1:
-            raise SystemExit(
-                "--resume-hist is not supported with --stripes "
-                "(striped accumulation rebuilds the histogram "
-                "from scratch)")
-        hist0 = None
-        if args.resume_hist:
             try:
-                hist0 = np.load(args.resume_hist)
-            except FileNotFoundError:
-                raise SystemExit(
-                    f"resume histogram not found: {args.resume_hist}")
-        def finalize(hist, stats):
-            if args.bands and args.bands > 1:
-                return renderer.finalize_frame_banded(
-                    hist, args.time, stats, n_bands=args.bands)
-            return renderer.finalize_frame(hist, args.time, stats)
-
-        if args.stripes and args.stripes > 1:
-            hist, stats = renderer.accumulate_striped(
-                args.time, args.seed, n_stripes=args.stripes)
-            if args.save_hist:
-                np.save(args.save_hist, np.asarray(hist))
-            img = finalize(hist, stats)
-        elif args.save_hist or args.resume_hist or args.bands > 1:
-            hist, stats = renderer.accumulate(args.time, args.seed,
-                                              hist0=hist0)
-            if args.save_hist:
-                np.save(args.save_hist, np.asarray(hist))
-            img = finalize(hist, stats)
+                for img, stats in frame_iter():
+                    sink.write_frame(img)
+                    n += 1
+                    if args.stats:
+                        print(f"frame {n}: {stats.samples_per_sec/1e6:.1f} "
+                              f"Msamples/s, retention "
+                              f"{stats.retention:.2f}", file=sys.stderr)
+                    if args.metrics_json:
+                        _append_metrics(args.metrics_json,
+                                        _stats_record(n, None, stats))
+            finally:
+                sink.close()
+            dt = time.time() - t0
+            print(f"wrote {n} frames to {args.output} in {dt:.1f}s "
+                  f"({n / max(dt, 1e-9):.2f} fps)")
         else:
-            img, stats = renderer.render_frame(args.time,
-                                               seed=args.seed)
-        output_mod.write_image(args.output, img)
-        if args.stats:
-            print(f"iterate {stats.iterate_s*1e3:.1f} ms "
-                  f"({stats.samples_per_sec/1e6:.1f} Msamples/s, "
-                  f"retention {stats.retention:.2f}); "
-                  f"filters {stats.filter_s*1e3:.1f} ms",
-                  file=sys.stderr)
-        if args.metrics_json:
-            _append_metrics(args.metrics_json,
-                            _stats_record(0, args.time, stats))
-        print(f"wrote {args.output}")
+            import numpy as np
+            if args.resume_hist and args.stripes and args.stripes > 1:
+                raise SystemExit(
+                    "--resume-hist is not supported with --stripes "
+                    "(striped accumulation rebuilds the histogram "
+                    "from scratch)")
+            hist0 = None
+            if args.resume_hist:
+                try:
+                    hist0 = np.load(args.resume_hist)
+                except FileNotFoundError:
+                    raise SystemExit(
+                        f"resume histogram not found: {args.resume_hist}")
+            def finalize(hist, stats):
+                if args.bands and args.bands > 1:
+                    return renderer.finalize_frame_banded(
+                        hist, args.time, stats, n_bands=args.bands)
+                return renderer.finalize_frame(hist, args.time, stats)
 
-    if trace_ctx:
-        import jax
-        jax.profiler.stop_trace()
-        print(f"trace written to {trace_ctx}", file=sys.stderr)
+            if args.stripes and args.stripes > 1:
+                hist, stats = renderer.accumulate_striped(
+                    args.time, args.seed, n_stripes=args.stripes)
+                if args.save_hist:
+                    np.save(args.save_hist, np.asarray(hist))
+                img = finalize(hist, stats)
+            elif args.save_hist or args.resume_hist or args.bands > 1:
+                hist, stats = renderer.accumulate(args.time, args.seed,
+                                                  hist0=hist0)
+                if args.save_hist:
+                    np.save(args.save_hist, np.asarray(hist))
+                img = finalize(hist, stats)
+            else:
+                img, stats = renderer.render_frame(args.time,
+                                                   seed=args.seed)
+            output_mod.write_image(args.output, img)
+            if args.stats:
+                print(f"iterate {stats.iterate_s*1e3:.1f} ms "
+                      f"({stats.samples_per_sec/1e6:.1f} Msamples/s, "
+                      f"retention {stats.retention:.2f}); "
+                      f"filters {stats.filter_s*1e3:.1f} ms",
+                      file=sys.stderr)
+            if args.metrics_json:
+                _append_metrics(args.metrics_json,
+                                _stats_record(0, args.time, stats))
+            print(f"wrote {args.output}")
+
+    finally:
+        if trace_ctx:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"trace written to {trace_ctx}",
+                  file=sys.stderr)
     return 0
 
 

@@ -7,16 +7,19 @@ virtual 8-device CPU mesh via --xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
-# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS via the
-# config API, so env vars alone don't stick — force CPU the same way.
-# Set CUBURN_TEST_TPU=1 to run the suite against the real chip instead.
+# Set CUBURN_TEST_TPU=1 to run the suite against the real chip: ALL
+# CPU forcing must stay inside this guard — on a standard JAX install
+# (no sitecustomize) the env var alone decides the platform, so an
+# unconditional setdefault would silently run the "TPU" suite on CPU.
 if not os.environ.get("CUBURN_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS via
+    # the config API, so env vars alone don't stick — force CPU the
+    # same way.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -30,6 +33,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 import jax as _jax
 _jax.config.update("jax_compilation_cache_dir",
-                   "/tmp/jax_cache_cuburn_tpu")
+                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
