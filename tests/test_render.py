@@ -406,6 +406,33 @@ class TestCLI:
         g = Genome.from_json(text)
         assert g.structure_key() == full_feature().structure_key()
 
+    def test_animate_rejects_still_only_flags(self, tmp_path):
+        """--save-hist/--resume-hist/--time drive the still path only;
+        a checkpoint request with --animate must refuse, not be
+        silently ignored."""
+        from cuburn_tpu.main import main
+        import pytest as _pytest
+        base = ["gallery:sierpinski", "--animate",
+                "-o", str(tmp_path / "x.y4m")]
+        for extra in (["--save-hist", str(tmp_path / "h.npy")],
+                      ["--resume-hist", str(tmp_path / "h.npy")],
+                      ["--time", "0.5"]):
+            with _pytest.raises(SystemExit, match="stills"):
+                main(base + extra)
+
+    def test_animate_convert_skips_sequence(self, capsys):
+        """--animate --convert on a multi-flame file prints the first
+        genome's JSON and exits 0 without building the keyframe
+        sequence (which would cost a structure-key pass per edge)."""
+        import os
+        from cuburn_tpu.main import main
+        fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                               "wild_sheep.flam3")
+        rc = main([fixture, "--animate", "--convert"])
+        assert rc == 0
+        from cuburn_tpu.genome.specs import Genome
+        Genome.from_json(capsys.readouterr().out)
+
     def test_flam3_file_input(self, tmp_path):
         from cuburn_tpu.genome.convert import genome_to_flame_xml
         from cuburn_tpu.main import main
