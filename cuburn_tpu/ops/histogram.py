@@ -8,6 +8,11 @@ against each other:
 
   * `scatter`  — XLA scatter-add (`hist.at[addr].add(rgba)`).  Exact,
     always available; the correctness baseline (SURVEY.md §7 stage 1).
+  * `scatter_sorted` — lax.sort by address, then scatter-add with the
+    `indices_are_sorted` hint.  Exact (in-bin add order is the sorted
+    order).  A real-silicon candidate: the sort is the same one
+    pallas_win pays, and a monotone scatter may lower better than a
+    random one.
   * `sortcum`  — sort-free-of-scatter path: `lax.sort` points by
     address, per-channel prefix sums, then per-bin range-difference via
     the monotone-fill trick.  All vectorized XLA ops; no data-dependent
@@ -58,6 +63,26 @@ def accumulate_scatter(hist, addr, rgba):
     return hist.at[addr.reshape(-1)].add(rgba.reshape(-1, 4))
 
 
+def accumulate_scatter_sorted(hist, addr, rgba):
+    """Sort rows by address, then scatter-add with the
+    `indices_are_sorted` hint.
+
+    Same O(n log² n) lax.sort the pallas_win path already pays, but
+    the flush is a plain XLA scatter that the compiler KNOWS visits
+    bins monotonically — on chips whose scatter lowering exploits the
+    hint (sequential-window updates instead of random HBM access) this
+    can beat both random scatter and the windowed Pallas kernel.
+    Untried on real v5e; raced per chip by cuburn_tpu/retune.py.
+    Exact: pure reordering of f32 adds within each bin."""
+    flat_addr = addr.reshape(-1)
+    flat_rgba = rgba.reshape(-1, 4)
+    sa, r, g, b, d = jax.lax.sort(
+        (flat_addr, flat_rgba[:, 0], flat_rgba[:, 1], flat_rgba[:, 2],
+         flat_rgba[:, 3]), num_keys=1)
+    rgba_s = jnp.stack([r, g, b, d], axis=1)
+    return hist.at[sa].add(rgba_s, indices_are_sorted=True)
+
+
 # ---------------------------------------------------------------------------
 # sortcum backend: sort + prefix-sum + monotone fill, no scatter anywhere
 # ---------------------------------------------------------------------------
@@ -104,6 +129,7 @@ def accumulate_sortcum(hist, addr, rgba):
 
 BACKENDS = {
     "scatter": accumulate_scatter,
+    "scatter_sorted": accumulate_scatter_sorted,
     "sortcum": accumulate_sortcum,
 }
 

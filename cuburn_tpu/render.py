@@ -332,7 +332,7 @@ class Renderer:
             tiled = planes_rows(self.cam.n_bins) > BLOCK_ROWS
             choice = (tune.get("hist_backend_tiled") if tiled
                       else None) or tune.get("hist_backend")
-            if (choice in ("scatter", "pallas_win")
+            if (choice in ("scatter", "scatter_sorted", "pallas_win")
                     and jax.default_backend() == "tpu"):
                 # per-chip tune record (bench/retune.py)
                 backend = choice

@@ -95,11 +95,14 @@ def main():
         return CameraSpec(W, H, 1), \
             params.ppu * jnp.float32(W / g.size[0])
 
-    # 1. backend race at two densities
+    # 1. backend race at two densities (scatter_sorted: same sort the
+    # pallas_win flush pays, but a monotone XLA scatter — untried on
+    # real silicon, exact by construction)
+    CANDIDATES = ("scatter", "scatter_sorted", "pallas_win")
     for label, (W, H) in {"512": (512, 512),
                           "720p": (1280, 720)}.items():
         cam, ppu = cam_for(W, H)
-        for backend in ("scatter", "pallas_win"):
+        for backend in CANDIDATES:
             r = race(key, cam, params, cdf, ppu, backend, B, 64,
                      n_chunks)
             m[f"{backend}@{label}"] = round(r, 1)
@@ -109,12 +112,10 @@ def main():
     # where histograms go HBM-tiled, so a single global winner is
     # wrong on chips where they split (Renderer picks
     # hist_backend_tiled for tiled geometries, hist_backend otherwise)
-    tune["hist_backend"] = ("pallas_win"
-                            if m["pallas_win@512"] > m["scatter@512"]
-                            else "scatter")
-    tune["hist_backend_tiled"] = (
-        "pallas_win" if m["pallas_win@720p"] > m["scatter@720p"]
-        else "scatter")
+    tune["hist_backend"] = max(
+        CANDIDATES, key=lambda b: m[f"{b}@512"])
+    tune["hist_backend_tiled"] = max(
+        CANDIDATES, key=lambda b: m[f"{b}@720p"])
 
     # 2. segmented sub-sort width (pallas_win only)
     cam, ppu = cam_for(512, 512)

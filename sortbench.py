@@ -77,6 +77,8 @@ def main():
         np.asarray(out)[:n_bins] - truth[:n_bins]).max())
     run("scatter", jax.jit(hm.accumulate_scatter), h0, addr, rgba,
         validate=val)
+    run("scatter_sorted", jax.jit(hm.accumulate_scatter_sorted), h0,
+        addr, rgba, validate=val)
     run("sortcum", jax.jit(hm.accumulate_sortcum), h0, addr, rgba,
         validate=val)
 
@@ -148,6 +150,8 @@ def main():
     print(f"-- dense distribution: {M} records over {bins_d} bins --")
     run("scatter (dense)", jax.jit(hm.accumulate_scatter), h0d,
         addr_d, rgba_d)
+    run("scatter_sorted (dense)",
+        jax.jit(hm.accumulate_scatter_sorted), h0d, addr_d, rgba_d)
     p8d = pack_records(8, addr_d, color)
     hpld = ph.to_planes_layout(h0d)
     run("pallas_win (dense)", lambda *a: ph.accumulate_windowed_pallas(

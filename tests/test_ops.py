@@ -83,13 +83,18 @@ class TestHistogram:
         b = hist_mod.accumulate_sortcum(h0, addr, rgba)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=0.02)
+        # scatter_sorted is a pure reordering of f32 adds: per-bin
+        # sums match scatter to reassociation roundoff
+        c = hist_mod.accumulate_scatter_sorted(h0, addr, rgba)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-3)
 
     def test_hot_bin(self):
         """Everything lands on one pixel (the contention case the
         reference built its sort pipeline for)."""
         addr = jnp.zeros(10000, jnp.int32)
         rgba = jnp.ones((10000, 4), jnp.float32)
-        for backend in ("scatter", "sortcum"):
+        for backend in ("scatter", "scatter_sorted", "sortcum"):
             h = hist_mod.get_backend(backend)(hist_mod.alloc(16), addr,
                                               rgba)
             np.testing.assert_allclose(np.asarray(h[0]), 10000.0,
@@ -100,7 +105,7 @@ class TestHistogram:
         h = hist_mod.alloc(16)
         addr = jnp.full((100,), 16, jnp.int32)   # all junk
         rgba = jnp.ones((100, 4), jnp.float32)
-        for backend in ("scatter", "sortcum"):
+        for backend in ("scatter", "scatter_sorted", "sortcum"):
             out = hist_mod.get_backend(backend)(h, addr, rgba)
             assert float(jnp.abs(hist_mod.finalize(out)).max()) == 0.0
 

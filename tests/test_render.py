@@ -1381,6 +1381,20 @@ class TestAdversarialGenomes:
         assert a[:, 3].sum() == b[:, 3].sum()
         assert np.abs(a - b).max() < 0.5
 
+    def test_scatter_sorted_backend_render(self):
+        """The hinted-scatter backend end to end: density exact vs
+        scatter (integer counts), rgb within f32 reassociation."""
+        g = sierpinski()
+        prof_s = dataclasses.replace(FAST, width=64, height=64,
+                                     quality=30)
+        prof_o = dataclasses.replace(prof_s,
+                                     hist_backend="scatter_sorted")
+        h_s, _ = Renderer(g, prof_s).accumulate(0.0, seed=4)
+        h_o, _ = Renderer(g, prof_o).accumulate(0.0, seed=4)
+        a, b = np.asarray(h_s), np.asarray(h_o)
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        assert np.abs(a - b).max() < 1e-2
+
     def test_subframe_duration_still_renders_one_frame(self):
         """duration*fps rounding to 0 must yield ONE frame, not a
         silent empty animation (review finding)."""
