@@ -171,6 +171,140 @@ def _curl(x, y, r2, rng, P, aff):
     return s * (x * re + y * im), s * (y * re - x * im)
 
 
+def _fan(x, y, r2, rng, P, aff):
+    # affine-dependent sibling of fan2: pitch from the affine's own c
+    # term, offset from f, fold via C fmod (sign follows the
+    # dividend), and the flam3 quirk output order (cos, sin) — unlike
+    # fan2's (sin, cos) (CLAUDE.md: rings/fan emit (cos,sin))
+    dx = np.pi * (aff[2] * aff[2] + 1e-10)
+    dy = aff[5]
+    dx2 = 0.5 * dx
+    theta = np.arctan2(x, y)
+    r = np.sqrt(r2)
+    a = np.where(np.fmod(theta + dy, dx) > dx2,
+                 theta - dx2, theta + dx2)
+    return r * np.cos(a), r * np.sin(a)
+
+
+def _boarders(x, y, r2, rng, P, aff):
+    # stochastic 25/75 split (the flam3 quirk that IS the spec,
+    # CLAUDE.md): rand >= 0.75 draws the shrunken cell CORE (25%),
+    # else the cell rim at +-0.25 with the offset-slope preserved.
+    # rint = C round-half-to-even.
+    rx_, ry_ = np.rint(x), np.rint(y)
+    ox_, oy_ = x - rx_, y - ry_
+    core = rng.uniform(0, 1, x.shape) >= 0.75
+    cx_, cy_ = ox_ * 0.5 + rx_, oy_ * 0.5 + ry_
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope_yx = np.where(ox_ != 0, oy_ / ox_, 0.0)
+        slope_xy = np.where(oy_ != 0, ox_ / oy_, 0.0)
+    sgn_x = np.where(ox_ >= 0, 1.0, -1.0)
+    sgn_y = np.where(oy_ >= 0, 1.0, -1.0)
+    bx_h = ox_ * 0.5 + rx_ + 0.25 * sgn_x
+    by_h = oy_ * 0.5 + ry_ + 0.25 * slope_yx * sgn_x
+    by_v = oy_ * 0.5 + ry_ + 0.25 * sgn_y
+    bx_v = ox_ * 0.5 + rx_ + 0.25 * slope_xy * sgn_y
+    horiz = np.abs(ox_) >= np.abs(oy_)
+    bx = np.where(horiz, bx_h, bx_v)
+    by = np.where(horiz, by_h, by_v)
+    return np.where(core, cx_, bx), np.where(core, cy_, by)
+
+
+def _disc2(x, y, r2, rng, P, aff):
+    # parametric disc: rotation rate rot*pi on (x+y), twist folded
+    # into additive sin/cos offsets with flam3's beyond-2pi rescale
+    rot, twist = P("disc2_rot"), P("disc2_twist")
+    sinadd, cosadd = np.sin(twist), np.cos(twist) - 1.0
+    if twist > 2.0 * np.pi:
+        k = 1.0 + twist - 2.0 * np.pi
+        sinadd *= k
+        cosadd *= k
+    if twist < -2.0 * np.pi:
+        k = 1.0 + twist + 2.0 * np.pi
+        sinadd *= k
+        cosadd *= k
+    t = rot * np.pi * (x + y)
+    r = np.arctan2(x, y) / np.pi
+    return r * (np.sin(t) + cosadd), r * (np.cos(t) + sinadd)
+
+
+def _escher(x, y, r2, rng, P, aff):
+    # complex-log spiral z^(vc + i vd) with vc,vd from beta on the
+    # unit circle; mathematical angle atan2(y, x)
+    beta = P("escher_beta")
+    a = np.arctan2(y, x)
+    lnr = 0.5 * np.log(r2 + 1e-300)
+    vc = 0.5 * (1.0 + np.cos(beta))
+    vd = 0.5 * np.sin(beta)
+    m = np.exp(vc * lnr - vd * a)
+    n = vc * a + vd * lnr
+    return m * np.cos(n), m * np.sin(n)
+
+
+def _mobius(x, y, r2, rng, P, aff):
+    # complex Möbius (a z + b) / (c z + d)
+    re_u = P("mobius_re_a") * x - P("mobius_im_a") * y \
+        + P("mobius_re_b")
+    im_u = P("mobius_re_a") * y + P("mobius_im_a") * x \
+        + P("mobius_im_b")
+    re_v = P("mobius_re_c") * x - P("mobius_im_c") * y \
+        + P("mobius_re_d")
+    im_v = P("mobius_re_c") * y + P("mobius_im_c") * x \
+        + P("mobius_im_d")
+    s = 1.0 / (re_v * re_v + im_v * im_v + 1e-300)
+    return (s * (re_u * re_v + im_u * im_v),
+            s * (im_u * re_v - re_u * im_v))
+
+
+def _modulus(x, y, r2, rng, P, aff):
+    # wrap coordinates into [-mx, mx] x [-my, my] via C fmod
+    mx, my = P("modulus_x"), P("modulus_y")
+    xr, yr = 2.0 * mx, 2.0 * my
+    ox_ = np.where(
+        x > mx, -mx + np.fmod(x + mx, xr),
+        np.where(x < -mx, mx - np.fmod(mx - x, xr), x))
+    oy_ = np.where(
+        y > my, -my + np.fmod(y + my, yr),
+        np.where(y < -my, my - np.fmod(my - y, yr), y))
+    return ox_, oy_
+
+
+# weight-NONLINEAR variations (w appears inside the formula, not as a
+# scale factor): the harness passes w and adds the result unscaled
+def _lazysusan(x, y, r2, rng, P, aff, w):
+    # disc of radius w around (x0, -y0) spins/twists; outside points
+    # scale by 1 + space/r.  The +-x0/y0 recentering terms are NOT
+    # weight-scaled (flam3; why ops/xform.py gates additive terms on
+    # w != 0)
+    lx, ly = P("lazysusan_x"), P("lazysusan_y")
+    xx, yy = x - lx, y + ly
+    r = np.sqrt(xx * xx + yy * yy)
+    inside = r < w
+    a = np.arctan2(yy, xx) + P("lazysusan_spin") \
+        + P("lazysusan_twist") * (w - r)
+    rin = w * r
+    rout = w * (1.0 + P("lazysusan_space") / (r + 1e-300))
+    return (np.where(inside, rin * np.cos(a) + lx, rout * xx + lx),
+            np.where(inside, rin * np.sin(a) - ly, rout * yy - ly))
+
+
+_lazysusan.needs_weight = True
+
+
+def _whorl(x, y, r2, rng, P, aff, w):
+    # angle swirl 1/(w - r): inside pole attracts, outside the
+    # NEGATIVE denominator counter-rotates (flam3 spec, kept exact)
+    r = np.sqrt(r2)
+    den = w - r
+    den = np.where(den != 0.0, den, 1e-300)
+    a = np.arctan2(y, x) + np.where(r < w, P("whorl_inside"),
+                                    P("whorl_outside")) / den
+    return w * r * np.cos(a), w * r * np.sin(a)
+
+
+_whorl.needs_weight = True
+
+
 _VARS = {
     "linear": lambda x, y, r2, rng, P, aff: (x, y),
     "sinusoidal": lambda x, y, r2, rng, P, aff: (np.sin(x),
@@ -202,6 +336,14 @@ _VARS = {
     "fan2": _fan2,
     "rings2": _rings2,
     "curl": _curl,
+    "fan": _fan,
+    "boarders": _boarders,
+    "disc2": _disc2,
+    "escher": _escher,
+    "mobius": _mobius,
+    "modulus": _modulus,
+    "lazysusan": _lazysusan,
+    "whorl": _whorl,
 }
 
 
@@ -288,9 +430,16 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         ox = np.zeros_like(tx)
         oy = np.zeros_like(ty)
         for name, w in vset.items():
-            dx, dy = _VARS[name](tx, ty, r2, rng, pfn, aff)
-            ox += w * dx
-            oy += w * dy
+            fn = _VARS[name]
+            if getattr(fn, "needs_weight", False):
+                # weight-nonlinear family: w lives inside the formula
+                dx, dy = fn(tx, ty, r2, rng, pfn, aff, w)
+                ox += dx
+                oy += dy
+            else:
+                dx, dy = fn(tx, ty, r2, rng, pfn, aff)
+                ox += w * dx
+                oy += w * dy
         if post is not None:
             a, b, cc, d, e, f = post
             ox, oy = a * ox + b * oy + cc, d * ox + e * oy + f

@@ -926,6 +926,76 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_quirks")
         self._compare(g, 500_000, seed_ref=12, seed_our=31)
 
+    def test_fold_family(self):
+        """fan (affine-dependent (cos,sin) fold) + boarders (the
+        stochastic 25/75 cell split) + disc2 (twist offsets) +
+        modulus (C-fmod wrap) end-to-end — 8 more anchored variations
+        with branch/fold/RNG semantics (32 total)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.3, 0.9, 256)
+        pal[:, 1] = np.linspace(0.7, 0.2, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.15, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.6, -0.1, 0.55, 0.4),
+                      vars={"fan": 0.8, "linear": 0.2}),
+                XForm(weight=0.8, color=0.8, color_speed=0.5,
+                      affine=(-0.45, 0.2, -0.2, 0.2, 0.45, 0.25),
+                      vars={"boarders": 0.9, "linear": 0.1}),
+                XForm(weight=0.7, color=0.5, color_speed=0.4,
+                      affine=(0.5, 0.0, 0.3, 0.0, 0.5, -0.25),
+                      vars={"disc2": 0.7, "linear": 0.3},
+                      params={"disc2_rot": 0.5, "disc2_twist": 0.8}),
+                XForm(weight=0.6, color=0.35, color_speed=0.6,
+                      affine=(0.5, -0.1, 0.2, 0.1, 0.5, 0.05),
+                      vars={"modulus": 0.9, "linear": 0.1},
+                      params={"modulus_x": 0.7, "modulus_y": 0.5}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_folds")
+        self._compare(g, 500_000, seed_ref=14, seed_our=37)
+
+    def test_complex_and_nonlinear_weight_family(self):
+        """escher + mobius (complex maps) with lazysusan + whorl —
+        the weight-NONLINEAR pair (w inside the formula: branch radius
+        r < w, swirl 1/(w-r), un-scaled recenter terms), anchoring
+        ops/xform.py's union-evaluation weight gating end-to-end."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.2, 0.8, 256)
+        pal[:, 2] = np.linspace(0.9, 0.3, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"escher": 0.7, "linear": 0.3},
+                      params={"escher_beta": 0.7}),
+                XForm(weight=0.8, color=0.75, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"mobius": 0.9, "linear": 0.1},
+                      params={"mobius_re_a": 0.9, "mobius_im_a": 0.1,
+                              "mobius_re_b": 0.2, "mobius_im_b": -0.1,
+                              "mobius_re_c": 0.15, "mobius_im_c": 0.1,
+                              "mobius_re_d": 1.0, "mobius_im_d": 0.0}),
+                XForm(weight=0.7, color=0.5, color_speed=0.4,
+                      affine=(0.45, 0.0, 0.3, 0.0, 0.45, -0.25),
+                      vars={"lazysusan": 0.9},
+                      params={"lazysusan_spin": 0.4,
+                              "lazysusan_space": 0.3,
+                              "lazysusan_twist": 0.5,
+                              "lazysusan_x": 0.2,
+                              "lazysusan_y": 0.1}),
+                XForm(weight=0.6, color=0.35, color_speed=0.6,
+                      affine=(0.5, -0.1, 0.2, 0.1, 0.5, 0.05),
+                      vars={"whorl": 0.8, "linear": 0.2},
+                      params={"whorl_inside": 0.3,
+                              "whorl_outside": 0.2}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_nonlinear_w")
+        self._compare(g, 500_000, seed_ref=15, seed_our=41)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
