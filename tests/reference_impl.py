@@ -269,6 +269,68 @@ def _modulus(x, y, r2, rng, P, aff):
     return ox_, oy_
 
 
+def _waves(x, y, r2, rng, P, aff):
+    # affine-dependent: amplitudes from the xform's own b/e terms,
+    # frequencies from 1/(c^2), 1/(f^2) (completes the
+    # affine-dependent family: popcorn, rings, fan, waves)
+    return (x + aff[1] * np.sin(y / (aff[2] * aff[2] + 1e-10)),
+            y + aff[4] * np.sin(x / (aff[5] * aff[5] + 1e-10)))
+
+
+def _bent(x, y, r2, rng, P, aff):
+    # quadrant-wise rescale: negative x doubles, negative y halves
+    return (np.where(x < 0, 2.0 * x, x),
+            np.where(y < 0, 0.5 * y, y))
+
+
+def _elliptic(x, y, r2, rng, P, aff):
+    # inverse elliptic coordinates; the two clamped sqrts and the
+    # sign-of-y branch are the spec
+    tmp = r2 + 1.0
+    x2 = 2.0 * x
+    xmax = 0.5 * (np.sqrt(tmp + x2) + np.sqrt(tmp - x2))
+    a = x / xmax
+    b = np.sqrt(np.maximum(1.0 - a * a, 0.0))
+    ssx = np.sqrt(np.maximum(xmax - 1.0, 0.0))
+    s = 1.0 / (np.pi / 2.0)
+    return (s * np.arctan2(a, b),
+            np.where(y > 0, 1.0, -1.0) * s * np.log(xmax + ssx))
+
+
+def _juliascope(x, y, r2, rng, P, aff):
+    # random branch of the power-th root where the BRANCH-INDEX PARITY
+    # decides the angle reflection (flam3; the round-3 bug class the
+    # unit test pinned — this anchors it end-to-end)
+    power = P("juliascope_power")
+    dist = P("juliascope_dist")
+    p = int(round(power)) if power else 1
+    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
+    atanyx = np.arctan2(y, x)
+    a = np.where(t_rnd % 2 == 1,
+                 (-atanyx + 2.0 * np.pi * t_rnd) / p,
+                 (atanyx + 2.0 * np.pi * t_rnd) / p)
+    r = np.power(r2 + 1e-30, dist / (2.0 * p))
+    return r * np.cos(a), r * np.sin(a)
+
+
+def _wedge_julia(x, y, r2, rng, P, aff):
+    # random root branch, then the wedge fold: slice index c from the
+    # branch angle, compress by cf and fan out by angle*c
+    angle = P("wedge_julia_angle")
+    count = P("wedge_julia_count")
+    power = P("wedge_julia_power")
+    dist = P("wedge_julia_dist")
+    p = int(round(power)) if power else 1
+    cf = 1.0 - angle * count * (1.0 / np.pi) * 0.5
+    cn = dist / (2.0 * p)
+    r = np.power(r2 + 1e-30, cn)
+    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
+    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / p
+    c = np.floor((count * a + np.pi) * (1.0 / np.pi) * 0.5)
+    a = a * cf + c * angle
+    return r * np.cos(a), r * np.sin(a)
+
+
 # weight-NONLINEAR variations (w appears inside the formula, not as a
 # scale factor): the harness passes w and adds the result unscaled
 def _lazysusan(x, y, r2, rng, P, aff, w):
@@ -303,6 +365,43 @@ def _whorl(x, y, r2, rng, P, aff, w):
 
 
 _whorl.needs_weight = True
+
+
+def _scry(x, y, r2, rng, P, aff, w):
+    # NO leading weight multiply: w enters only through the 1/w pole
+    # radius (flam3)
+    s = 1.0 / (np.sqrt(r2 + 1e-300) * (r2 + 1.0 / (w + 1e-10)))
+    return x * s, y * s
+
+
+_scry.needs_weight = True
+
+
+def _loonie(x, y, r2, rng, P, aff, w):
+    # inside the |z| < w disc, eject to the inverted shell; outside,
+    # plain linear — the branch radius IS the weight
+    w2 = w * w
+    r = w * np.sqrt(np.maximum(w2 / (r2 + 1e-300) - 1.0, 0.0))
+    s = np.where(r2 < w2, r, w)
+    return s * x, s * y
+
+
+_loonie.needs_weight = True
+
+
+def _radial_blur(x, y, r2, rng, P, aff, w):
+    # weight enters ONLY through the pseudo-gaussian magnitude rndG
+    # (4-uniform sum - 2); angle parameter splits spin vs zoom
+    ang = P("radial_blur_angle") * (np.pi / 2.0)
+    spinvar, zoomvar = np.sin(ang), np.cos(ang)
+    rnd_g = w * (rng.uniform(0, 1, (4,) + x.shape).sum(axis=0) - 2.0)
+    ra = np.sqrt(r2)
+    alpha = np.arctan2(y, x) + spinvar * rnd_g
+    rz = zoomvar * rnd_g - 1.0
+    return ra * np.cos(alpha) + rz * x, ra * np.sin(alpha) + rz * y
+
+
+_radial_blur.needs_weight = True
 
 
 _VARS = {
@@ -344,6 +443,14 @@ _VARS = {
     "modulus": _modulus,
     "lazysusan": _lazysusan,
     "whorl": _whorl,
+    "waves": _waves,
+    "bent": _bent,
+    "elliptic": _elliptic,
+    "juliascope": _juliascope,
+    "wedge_julia": _wedge_julia,
+    "scry": _scry,
+    "loonie": _loonie,
+    "radial_blur": _radial_blur,
 }
 
 

@@ -996,6 +996,66 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_nonlinear_w")
         self._compare(g, 500_000, seed_ref=15, seed_our=41)
 
+    def test_root_branch_family(self):
+        """juliascope (branch-index parity decides reflection — the
+        round-3 bug class, now anchored end-to-end) + wedge_julia
+        (random root + wedge fold) + elliptic (clamped sqrts, sign-y
+        branch) + bent + waves (affine-dependent b/e/c/f)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.9, 0.4, 256)
+        pal[:, 1] = np.linspace(0.3, 0.7, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"juliascope": 0.8, "linear": 0.2},
+                      params={"juliascope_power": 3.0,
+                              "juliascope_dist": 1.0}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"wedge_julia": 0.7, "linear": 0.3},
+                      params={"wedge_julia_angle": 0.6,
+                              "wedge_julia_count": 2.0,
+                              "wedge_julia_power": 3.0,
+                              "wedge_julia_dist": 1.0}),
+                XForm(weight=0.7, color=0.5, color_speed=0.4,
+                      affine=(0.45, 0.0, 0.3, 0.0, 0.45, -0.25),
+                      vars={"elliptic": 0.6, "bent": 0.4}),
+                XForm(weight=0.6, color=0.35, color_speed=0.6,
+                      affine=(0.5, 0.3, 0.45, 0.1, 0.5, 0.35),
+                      vars={"waves": 0.8, "linear": 0.2}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_rootbranch")
+        self._compare(g, 500_000, seed_ref=16, seed_our=43)
+
+    def test_pole_family(self):
+        """scry + loonie + radial_blur — three more weight-NONLINEAR
+        variations (w only in the pole radius / branch radius /
+        pseudo-gaussian magnitude; no leading w multiply), anchoring
+        the remaining nonlinear-weight code paths (40 variations in
+        the anchor set total)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 2] = np.linspace(0.4, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.25, -0.1, 0.55, 0.1),
+                      vars={"scry": 0.8, "linear": 0.2}),
+                XForm(weight=0.8, color=0.8, color_speed=0.5,
+                      affine=(-0.45, 0.2, -0.2, 0.2, 0.45, 0.25),
+                      vars={"loonie": 0.9, "linear": 0.1}),
+                XForm(weight=0.6, color=0.5, color_speed=0.6,
+                      affine=(0.5, 0.0, 0.1, 0.0, 0.5, -0.2),
+                      vars={"radial_blur": 0.6, "linear": 0.4},
+                      params={"radial_blur_angle": 0.7}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_poles")
+        self._compare(g, 500_000, seed_ref=18, seed_our=47)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
