@@ -331,6 +331,60 @@ def _wedge_julia(x, y, r2, rng, P, aff):
     return r * np.cos(a), r * np.sin(a)
 
 
+def _cpow(x, y, r2, rng, P, aff):
+    # complex power z^((r + i*i_)/power) with a random branch of the
+    # power-th root
+    power = P("cpow_power")
+    vc = P("cpow_r") / power
+    vd = P("cpow_i") / power
+    va = 2.0 * np.pi / power
+    a = np.arctan2(y, x)
+    lnr = 0.5 * np.log(r2 + 1e-300)
+    ang = vc * a + vd * lnr \
+        + va * np.floor(power * rng.uniform(0, 1, x.shape))
+    m = np.exp(vc * lnr - vd * a)
+    return m * np.cos(ang), m * np.sin(ang)
+
+
+def _super_shape(x, y, r2, rng, P, aff):
+    # Gielis superformula radius modulation; rnd blends a uniform
+    # radius into the point's own
+    m, n1 = P("super_shape_m"), P("super_shape_n1")
+    n2, n3 = P("super_shape_n2"), P("super_shape_n3")
+    holes, rnd = P("super_shape_holes"), P("super_shape_rnd")
+    theta = (m / 4.0) * np.arctan2(y, x) + np.pi / 4.0
+    t1 = np.abs(np.cos(theta)) ** n2
+    t2 = np.abs(np.sin(theta)) ** n3
+    r = np.sqrt(r2) + 1e-300
+    rr = (rnd * rng.uniform(0, 1, x.shape) + (1.0 - rnd) * r - holes) \
+        * np.power(t1 + t2, -1.0 / n1) / r
+    return rr * x, rr * y
+
+
+def _square(x, y, r2, rng, P, aff):
+    # uniform unit cell centered on the origin; input ignored
+    return (rng.uniform(0, 1, x.shape) - 0.5,
+            rng.uniform(0, 1, x.shape) - 0.5)
+
+
+def _blur(x, y, r2, rng, P, aff):
+    # uniform disc: random angle FIRST then radius (flam3 draw order
+    # doesn't matter distributionally, but keep r uniform NOT
+    # area-uniform — the density spikes at the center by design)
+    a = rng.uniform(0, 2.0 * np.pi, x.shape)
+    r = rng.uniform(0, 1, x.shape)
+    return r * np.cos(a), r * np.sin(a)
+
+
+def _stripes(x, y, r2, rng, P, aff):
+    # snap x toward integer stripes, bow y by the squared offset
+    space, warp = P("stripes_space"), P("stripes_warp")
+    roundx = np.floor(x + 0.5)
+    offsetx = x - roundx
+    return (offsetx * (1.0 - space) + roundx,
+            y + offsetx * offsetx * warp)
+
+
 # weight-NONLINEAR variations (w appears inside the formula, not as a
 # scale factor): the harness passes w and adds the result unscaled
 def _lazysusan(x, y, r2, rng, P, aff, w):
@@ -404,6 +458,53 @@ def _radial_blur(x, y, r2, rng, P, aff, w):
 _radial_blur.needs_weight = True
 
 
+def _pie(x, y, r2, rng, P, aff, w):
+    # random slice wedge; input ignored, radius w * rand added with NO
+    # further weight multiply
+    slices = P("pie_slices")
+    rotation, thickness = P("pie_rotation"), P("pie_thickness")
+    sl = np.floor(rng.uniform(0, 1, x.shape) * slices + 0.5)
+    a = rotation + 2.0 * np.pi \
+        * (sl + rng.uniform(0, 1, x.shape) * thickness) / slices
+    r = w * rng.uniform(0, 1, x.shape)
+    return r * np.cos(a), r * np.sin(a)
+
+
+_pie.needs_weight = True
+
+
+def _blade(x, y, r2, rng, P, aff, w):
+    # w inside the random phase AND as the output scale
+    r = rng.uniform(0, 1, x.shape) * w * np.sqrt(r2)
+    return (w * x * (np.cos(r) + np.sin(r)),
+            w * x * (np.cos(r) - np.sin(r)))
+
+
+_blade.needs_weight = True
+
+
+def _rays(x, y, r2, rng, P, aff, w):
+    # w in the random angle, the pole radius, and the tangent scale
+    ang = w * rng.uniform(0, 1, x.shape) * np.pi
+    r = w / (r2 + 1e-10)
+    tanr = w * np.tan(ang) * r
+    return tanr * np.cos(x), tanr * np.sin(y)
+
+
+_rays.needs_weight = True
+
+
+def _arch(x, y, r2, rng, P, aff, w):
+    # w in the random angle and the output scale; input ignored
+    ang = rng.uniform(0, 1, x.shape) * w * np.pi
+    s, c = np.sin(ang), np.cos(ang)
+    c = np.where(np.abs(c) < 1e-12, 1e-12, c)
+    return w * s, w * s * s / c
+
+
+_arch.needs_weight = True
+
+
 _VARS = {
     "linear": lambda x, y, r2, rng, P, aff: (x, y),
     "sinusoidal": lambda x, y, r2, rng, P, aff: (np.sin(x),
@@ -451,6 +552,15 @@ _VARS = {
     "scry": _scry,
     "loonie": _loonie,
     "radial_blur": _radial_blur,
+    "cpow": _cpow,
+    "super_shape": _super_shape,
+    "square": _square,
+    "blur": _blur,
+    "stripes": _stripes,
+    "pie": _pie,
+    "blade": _blade,
+    "rays": _rays,
+    "arch": _arch,
 }
 
 

@@ -1056,6 +1056,89 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_poles")
         self._compare(g, 500_000, seed_ref=18, seed_our=47)
 
+    def test_stochastic_cloud_family(self):
+        """pie (random slice wedges, w-scaled radius, no leading w
+        multiply) + square + blur — input-ignoring stochastic point
+        clouds whose SHAPE is pure RNG-convention agreement."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.5, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.3, -0.1, 0.55, 0.1),
+                      vars={"spherical": 0.7, "linear": 0.3}),
+                XForm(weight=0.6, color=0.8, color_speed=0.5,
+                      affine=(0.5, 0.0, -0.2, 0.0, 0.5, 0.2),
+                      vars={"pie": 0.8},
+                      params={"pie_slices": 5.0,
+                              "pie_rotation": 0.3,
+                              "pie_thickness": 0.4}),
+                XForm(weight=0.5, color=0.5, color_speed=0.6,
+                      affine=(0.5, 0.0, 0.1, 0.0, 0.5, -0.15),
+                      vars={"square": 0.7, "blur": 0.5}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_clouds")
+        self._compare(g, 500_000, seed_ref=19, seed_our=53)
+
+    def test_cpow_supershape_stripes(self):
+        """cpow (complex power, random root branch) + super_shape
+        (Gielis superformula with rnd radius blend) + stripes (integer
+        snap + parabolic bow)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.8, 0.2, 256)
+        pal[:, 2] = np.linspace(0.2, 0.8, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.15, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"cpow": 0.8, "linear": 0.2},
+                      params={"cpow_r": 1.2, "cpow_i": 0.3,
+                              "cpow_power": 2.0}),
+                XForm(weight=0.8, color=0.75, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"super_shape": 0.7, "linear": 0.3},
+                      params={"super_shape_m": 4.0,
+                              "super_shape_n1": 2.0,
+                              "super_shape_n2": 1.3,
+                              "super_shape_n3": 0.8,
+                              "super_shape_holes": 0.2,
+                              "super_shape_rnd": 0.3}),
+                XForm(weight=0.6, color=0.4, color_speed=0.6,
+                      affine=(0.5, -0.1, 0.2, 0.1, 0.5, 0.05),
+                      vars={"stripes": 0.8, "linear": 0.2},
+                      params={"stripes_space": 0.4,
+                              "stripes_warp": 0.3}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_cpow")
+        self._compare(g, 500_000, seed_ref=20, seed_our=59)
+
+    def test_weight_phase_stochastic_family(self):
+        """blade + rays + arch — stochastic variations where w sets
+        the RANDOM PHASE RANGE itself (and scales the output with no
+        clean factoring); 49 variations in the anchor set total."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 2] = np.linspace(0.9, 0.4, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.55, 0.1, 0.3, -0.1, 0.55, 0.1),
+                      vars={"blade": 0.6, "linear": 0.4}),
+                XForm(weight=0.7, color=0.8, color_speed=0.5,
+                      affine=(-0.45, 0.2, -0.2, 0.2, 0.45, 0.25),
+                      vars={"rays": 0.5, "linear": 0.5}),
+                XForm(weight=0.6, color=0.5, color_speed=0.6,
+                      affine=(0.5, 0.0, 0.15, 0.0, 0.5, -0.2),
+                      vars={"arch": 0.6, "linear": 0.4}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_wphase")
+        self._compare(g, 500_000, seed_ref=21, seed_our=61)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
