@@ -385,6 +385,88 @@ def _stripes(x, y, r2, rng, P, aff):
             y + offsetx * offsetx * warp)
 
 
+# the complex trig/hyperbolic family: textbook complex functions of
+# z = x + iy (flam3 implements them straight)... except coth, whose
+# flam3 code emits the CONJUGATE (+sin 2y) — the quirk that IS the
+# spec (CLAUDE.md)
+def _c_sin(x, y, r2, rng, P, aff):
+    return np.sin(x) * np.cosh(y), np.cos(x) * np.sinh(y)
+
+
+def _c_cos(x, y, r2, rng, P, aff):
+    return np.cos(x) * np.cosh(y), -np.sin(x) * np.sinh(y)
+
+
+def _c_tan(x, y, r2, rng, P, aff):
+    den = np.cos(2 * x) + np.cosh(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return np.sin(2 * x) / den, np.sinh(2 * y) / den
+
+
+def _c_sec(x, y, r2, rng, P, aff):
+    den = np.cos(2 * x) + np.cosh(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return (2.0 * np.cos(x) * np.cosh(y) / den,
+            2.0 * np.sin(x) * np.sinh(y) / den)
+
+
+def _c_csc(x, y, r2, rng, P, aff):
+    den = np.cosh(2 * y) - np.cos(2 * x)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return (2.0 * np.sin(x) * np.cosh(y) / den,
+            -2.0 * np.cos(x) * np.sinh(y) / den)
+
+
+def _c_cot(x, y, r2, rng, P, aff):
+    den = np.cosh(2 * y) - np.cos(2 * x)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return np.sin(2 * x) / den, -np.sinh(2 * y) / den
+
+
+def _c_sinh(x, y, r2, rng, P, aff):
+    return np.sinh(x) * np.cos(y), np.cosh(x) * np.sin(y)
+
+
+def _c_cosh(x, y, r2, rng, P, aff):
+    return np.cosh(x) * np.cos(y), np.sinh(x) * np.sin(y)
+
+
+def _c_tanh(x, y, r2, rng, P, aff):
+    den = np.cosh(2 * x) + np.cos(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return np.sinh(2 * x) / den, np.sin(2 * y) / den
+
+
+def _c_sech(x, y, r2, rng, P, aff):
+    den = np.cosh(2 * x) + np.cos(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return (2.0 * np.cosh(x) * np.cos(y) / den,
+            -2.0 * np.sinh(x) * np.sin(y) / den)
+
+
+def _c_csch(x, y, r2, rng, P, aff):
+    den = np.cosh(2 * x) - np.cos(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return (2.0 * np.sinh(x) * np.cos(y) / den,
+            -2.0 * np.cosh(x) * np.sin(y) / den)
+
+
+def _c_coth(x, y, r2, rng, P, aff):
+    # true coth emits -sin 2y; flam3 ships the conjugate (+sin 2y)
+    den = np.cosh(2 * x) - np.cos(2 * y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return np.sinh(2 * x) / den, np.sin(2 * y) / den
+
+
+def _c_exp(x, y, r2, rng, P, aff):
+    m = np.exp(x)
+    return m * np.cos(y), m * np.sin(y)
+
+
+def _c_log(x, y, r2, rng, P, aff):
+    return 0.5 * np.log(r2 + 1e-300), np.arctan2(y, x)
+
+
 # weight-NONLINEAR variations (w appears inside the formula, not as a
 # scale factor): the harness passes w and adds the result unscaled
 def _lazysusan(x, y, r2, rng, P, aff, w):
@@ -561,6 +643,20 @@ _VARS = {
     "blade": _blade,
     "rays": _rays,
     "arch": _arch,
+    "sin": _c_sin,
+    "cos": _c_cos,
+    "tan": _c_tan,
+    "sec": _c_sec,
+    "csc": _c_csc,
+    "cot": _c_cot,
+    "sinh": _c_sinh,
+    "cosh": _c_cosh,
+    "tanh": _c_tanh,
+    "sech": _c_sech,
+    "csch": _c_csch,
+    "coth": _c_coth,
+    "exp": _c_exp,
+    "log": _c_log,
 }
 
 
@@ -646,17 +742,21 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         r2 = tx * tx + ty * ty
         ox = np.zeros_like(tx)
         oy = np.zeros_like(ty)
-        for name, w in vset.items():
-            fn = _VARS[name]
-            if getattr(fn, "needs_weight", False):
-                # weight-nonlinear family: w lives inside the formula
-                dx, dy = fn(tx, ty, r2, rng, pfn, aff, w)
-                ox += dx
-                oy += dy
-            else:
-                dx, dy = fn(tx, ty, r2, rng, pfn, aff)
-                ox += w * dx
-                oy += w * dy
+        # overflow/invalid at extreme points produce inf/nan that the
+        # badvalue respawn below eats (the flam3 rule) — not warnings
+        with np.errstate(over="ignore", invalid="ignore",
+                         divide="ignore"):
+            for name, w in vset.items():
+                fn = _VARS[name]
+                if getattr(fn, "needs_weight", False):
+                    # weight-nonlinear family: w inside the formula
+                    dx, dy = fn(tx, ty, r2, rng, pfn, aff, w)
+                    ox += dx
+                    oy += dy
+                else:
+                    dx, dy = fn(tx, ty, r2, rng, pfn, aff)
+                    ox += w * dx
+                    oy += w * dy
         if post is not None:
             a, b, cc, d, e, f = post
             ox, oy = a * ox + b * oy + cc, d * ox + e * oy + f

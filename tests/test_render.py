@@ -1139,6 +1139,54 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_wphase")
         self._compare(g, 500_000, seed_ref=21, seed_our=61)
 
+    def test_complex_trig_family(self):
+        """sin/cos/tan/sec/csc/cot — the complex-trig sextet (poles
+        and all) end-to-end."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.4, 0.9, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"sin": 0.5, "cos": 0.4, "linear": 0.1}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"tan": 0.5, "sec": 0.3, "linear": 0.2}),
+                XForm(weight=0.6, color=0.5, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"csc": 0.3, "cot": 0.3, "linear": 0.4}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_ctrig")
+        self._compare(g, 500_000, seed_ref=22, seed_our=67)
+
+    def test_complex_hyperbolic_family(self):
+        """sinh/cosh/tanh/sech/csch/coth/exp/log — including the coth
+        CONJUGATE quirk (flam3 emits +sin 2y; the spec, CLAUDE.md)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.3, 0.8, 256)
+        pal[:, 2] = np.linspace(0.8, 0.3, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.15, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"sinh": 0.4, "cosh": 0.4, "linear": 0.2}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"tanh": 0.5, "sech": 0.4, "linear": 0.1}),
+                XForm(weight=0.6, color=0.45, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"csch": 0.3, "coth": 0.3, "linear": 0.4}),
+                XForm(weight=0.5, color=0.9, color_speed=0.4,
+                      affine=(0.4, -0.1, 0.2, 0.1, 0.4, 0.05),
+                      vars={"exp": 0.4, "log": 0.3, "linear": 0.3}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_chyper")
+        self._compare(g, 500_000, seed_ref=23, seed_our=71)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
