@@ -385,6 +385,67 @@ def _stripes(x, y, r2, rng, P, aff):
             y + offsetx * offsetx * warp)
 
 
+def _bubble(x, y, r2, rng, P, aff):
+    s = 1.0 / (0.25 * r2 + 1.0)
+    return s * x, s * y
+
+
+def _butterfly(x, y, r2, rng, P, aff):
+    # flam3's constant is 4/sqrt(3*pi); note y enters doubled BOTH in
+    # the radius denominator and the output
+    y2 = 2.0 * y
+    r = 1.3029400317411197 * np.sqrt(
+        np.abs(x * y) / (1e-10 + x * x + y2 * y2))
+    return r * x, r * y2
+
+
+def _cylinder(x, y, r2, rng, P, aff):
+    return np.sin(x), y
+
+
+def _cosine(x, y, r2, rng, P, aff):
+    return (np.cos(np.pi * x) * np.cosh(y),
+            -np.sin(np.pi * x) * np.sinh(y))
+
+
+def _exponential(x, y, r2, rng, P, aff):
+    m = np.exp(x - 1.0)
+    return m * np.cos(np.pi * y), m * np.sin(np.pi * y)
+
+
+def _power(x, y, r2, rng, P, aff):
+    # r^sin(theta) along the unit direction, theta = atan2(x, y) so
+    # sina = x/r, cosa = y/r (flam3 precalc)
+    r = np.sqrt(r2) + 1e-300
+    sina, cosa = x / r, y / r
+    rr = np.power(r, sina)
+    return rr * cosa, rr * sina
+
+
+def _eyefish(x, y, r2, rng, P, aff):
+    # fisheye with the output swap FIXED (the historical pair)
+    s = 2.0 / (np.sqrt(r2) + 1.0)
+    return s * x, s * y
+
+
+def _tangent(x, y, r2, rng, P, aff):
+    cy = np.cos(y)
+    cy = np.where(np.abs(cy) < 1e-300, 1e-300, cy)
+    return np.sin(x) / cy, np.tan(y)
+
+
+def _cross(x, y, r2, rng, P, aff):
+    d = x * x - y * y
+    s = np.sqrt(1.0 / (d * d + 1e-10))
+    return s * x, s * y
+
+
+def _noise(x, y, r2, rng, P, aff):
+    r = rng.uniform(0, 1, x.shape)
+    a = rng.uniform(0, 2.0 * np.pi, x.shape)
+    return x * r * np.cos(a), y * r * np.sin(a)
+
+
 # the complex trig/hyperbolic family: textbook complex functions of
 # z = x + iy (flam3 implements them straight)... except coth, whose
 # flam3 code emits the CONJUGATE (+sin 2y) — the quirk that IS the
@@ -657,6 +718,18 @@ _VARS = {
     "coth": _c_coth,
     "exp": _c_exp,
     "log": _c_log,
+    "bubble": _bubble,
+    "butterfly": _butterfly,
+    "cylinder": _cylinder,
+    "cosine": _cosine,
+    "exponential": _exponential,
+    "power": _power,
+    "eyefish": _eyefish,
+    "tangent": _tangent,
+    "cross": _cross,
+    "noise": _noise,
+    # handled as a PRE-step in apply(), not an additive variation
+    "pre_blur": None,
 }
 
 
@@ -739,6 +812,16 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         a, b, cc, d, e, f = aff
         tx = a * x + b * y + cc
         ty = d * x + e * y + f
+        pw = vset.get("pre_blur")
+        if pw:
+            # pre_blur perturbs the post-affine point BEFORE the
+            # variations run (flam3 pre-xform slot): pseudo-gaussian
+            # radius scaled by ITS weight, uniform angle
+            rnd_g = pw * (rng.uniform(0, 1, (4,) + tx.shape)
+                          .sum(axis=0) - 2.0)
+            rnd_a = rng.uniform(0, 2.0 * np.pi, tx.shape)
+            tx = tx + rnd_g * np.cos(rnd_a)
+            ty = ty + rnd_g * np.sin(rnd_a)
         r2 = tx * tx + ty * ty
         ox = np.zeros_like(tx)
         oy = np.zeros_like(ty)
@@ -748,6 +831,8 @@ def render_reference(genome, width: int, height: int, n_samples: int,
                          divide="ignore"):
             for name, w in vset.items():
                 fn = _VARS[name]
+                if fn is None:       # pre-step (pre_blur), done above
+                    continue
                 if getattr(fn, "needs_weight", False):
                     # weight-nonlinear family: w inside the formula
                     dx, dy = fn(tx, ty, r2, rng, pfn, aff, w)

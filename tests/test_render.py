@@ -1187,6 +1187,57 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_chyper")
         self._compare(g, 500_000, seed_ref=23, seed_our=71)
 
+    def test_simple_shape_family(self):
+        """bubble, butterfly (the 4/sqrt(3pi) constant + doubled-y
+        radius), cylinder, cosine, exponential, power (r^sin-theta)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.9, 0.5, 256)
+        pal[:, 1] = np.linspace(0.2, 0.6, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"bubble": 0.6, "butterfly": 0.4}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"cylinder": 0.5, "cosine": 0.3,
+                            "linear": 0.2}),
+                XForm(weight=0.6, color=0.45, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"exponential": 0.4, "power": 0.4,
+                            "linear": 0.2}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_simple")
+        self._compare(g, 500_000, seed_ref=24, seed_our=73)
+
+    def test_preblur_and_pointwise_stochastic(self):
+        """pre_blur (the PRE-step slot: perturbs the post-affine point
+        before the variation union runs — classic spherical+pre_blur
+        combo) + noise (per-point random shrink) + eyefish/tangent/
+        cross (74 variations in the anchor set total)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 2] = np.linspace(0.5, 1.0, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"spherical": 0.8, "pre_blur": 0.5,
+                            "linear": 0.2}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"eyefish": 0.6, "noise": 0.4}),
+                XForm(weight=0.6, color=0.45, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"tangent": 0.3, "cross": 0.3,
+                            "linear": 0.4}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_preblur")
+        self._compare(g, 500_000, seed_ref=25, seed_our=79)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
