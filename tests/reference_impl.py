@@ -385,6 +385,104 @@ def _stripes(x, y, r2, rng, P, aff):
             y + offsetx * offsetx * warp)
 
 
+def _bent2(x, y, r2, rng, P, aff):
+    return (np.where(x < 0, x * P("bent2_x"), x),
+            np.where(y < 0, y * P("bent2_y"), y))
+
+
+def _bipolar(x, y, r2, rng, P, aff):
+    # complex bipolar coordinates with the shift folded back into
+    # (-pi/2, pi/2] by C fmod
+    t = r2 + 1.0
+    x2 = 2.0 * x
+    ps = -(np.pi / 2.0) * P("bipolar_shift")
+    yy = 0.5 * np.arctan2(2.0 * y, r2 - 1.0) + ps
+    yy = np.where(yy > np.pi / 2.0,
+                  -np.pi / 2.0 + np.fmod(yy + np.pi / 2.0, np.pi),
+                  np.where(yy < -np.pi / 2.0,
+                           np.pi / 2.0 - np.fmod(np.pi / 2.0 - yy,
+                                                 np.pi),
+                           yy))
+    den = np.maximum(t - x2, 1e-300)
+    return (0.25 * (2.0 / np.pi) * np.log((t + x2) / den),
+            (2.0 / np.pi) * yy)
+
+
+def _cell(x, y, r2, rng, P, aff):
+    # interleave grid cells into the first quadrant pattern; note the
+    # NEGATED y output (flam3)
+    size = P("cell_size")
+    inv = 1.0 / size
+    cx_ = np.floor(x * inv)
+    cy_ = np.floor(y * inv)
+    dx_ = x - cx_ * size
+    dy_ = y - cy_ * size
+    cx2 = np.where(cx_ >= 0, 2.0 * cx_, -(2.0 * cx_ + 1.0))
+    cy2 = np.where(cy_ >= 0, 2.0 * cy_, -(2.0 * cy_ + 1.0))
+    return dx_ + cx2 * size, -(dy_ + cy2 * size)
+
+
+def _rectangles(x, y, r2, rng, P, aff):
+    rx_, ry_ = P("rectangles_x"), P("rectangles_y")
+    ox_ = x if rx_ == 0 else \
+        (2.0 * np.floor(x / rx_) + 1.0) * rx_ - x
+    oy_ = y if ry_ == 0 else \
+        (2.0 * np.floor(y / ry_) + 1.0) * ry_ - y
+    return ox_, oy_
+
+
+def _separation(x, y, r2, rng, P, aff):
+    sx2 = P("separation_x") ** 2
+    sy2 = P("separation_y") ** 2
+    xin, yin = P("separation_xinside"), P("separation_yinside")
+    ox_ = np.where(x > 0, np.sqrt(x * x + sx2) - x * xin,
+                   -(np.sqrt(x * x + sx2) + x * xin))
+    oy_ = np.where(y > 0, np.sqrt(y * y + sy2) - y * yin,
+                   -(np.sqrt(y * y + sy2) + y * yin))
+    return ox_, oy_
+
+
+def _split(x, y, r2, rng, P, aff):
+    # each output keeps or flips the OTHER coordinate's sign by a
+    # cosine stripe test
+    sy = np.where(np.cos(x * P("split_xsize") * np.pi) >= 0, y, -y)
+    sx = np.where(np.cos(y * P("split_ysize") * np.pi) >= 0, x, -x)
+    return sx, sy
+
+
+def _splits(x, y, r2, rng, P, aff):
+    return (np.where(x >= 0, x + P("splits_x"), x - P("splits_x")),
+            np.where(y >= 0, y + P("splits_y"), y - P("splits_y")))
+
+
+def _popcorn2(x, y, r2, rng, P, aff):
+    c = P("popcorn2_c")
+    return (x + P("popcorn2_x") * np.sin(np.tan(y * c)),
+            y + P("popcorn2_y") * np.sin(np.tan(x * c)))
+
+
+def _waves2(x, y, r2, rng, P, aff):
+    return (x + P("waves2_scalex") * np.sin(y * P("waves2_freqx")),
+            y + P("waves2_scaley") * np.sin(x * P("waves2_freqy")))
+
+
+def _curve(x, y, r2, rng, P, aff):
+    xl = max(P("curve_xlength") ** 2, 1e-20)
+    yl = max(P("curve_ylength") ** 2, 1e-20)
+    return (x + P("curve_xamp") * np.exp(-y * y / xl),
+            y + P("curve_yamp") * np.exp(-x * x / yl))
+
+
+def _auger(x, y, r2, rng, P, aff):
+    freq, aw = P("auger_freq"), P("auger_weight")
+    scale, sym = P("auger_scale"), P("auger_sym")
+    s = np.sin(freq * x)
+    t = np.sin(freq * y)
+    dy_ = y + aw * (scale * s * 0.5 + np.abs(y) * s)
+    dx_ = x + aw * (scale * t * 0.5 + np.abs(x) * t)
+    return x + sym * (dx_ - x), dy_
+
+
 def _bubble(x, y, r2, rng, P, aff):
     s = 1.0 / (0.25 * r2 + 1.0)
     return s * x, s * y
@@ -728,6 +826,17 @@ _VARS = {
     "tangent": _tangent,
     "cross": _cross,
     "noise": _noise,
+    "bent2": _bent2,
+    "bipolar": _bipolar,
+    "cell": _cell,
+    "rectangles": _rectangles,
+    "separation": _separation,
+    "split": _split,
+    "splits": _splits,
+    "popcorn2": _popcorn2,
+    "waves2": _waves2,
+    "curve": _curve,
+    "auger": _auger,
     # handled as a PRE-step in apply(), not an additive variation
     "pre_blur": None,
 }

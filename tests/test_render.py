@@ -1238,6 +1238,80 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_preblur")
         self._compare(g, 500_000, seed_ref=25, seed_our=79)
 
+    def test_branch_parametric_family_a(self):
+        """bent2, bipolar (fmod angle fold), cell (quadrant
+        interleave + NEGATED y), rectangles, separation, split."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 0] = np.linspace(0.3, 0.8, 256)
+        pal[:, 2] = np.linspace(0.8, 0.3, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"bent2": 0.5, "bipolar": 0.5},
+                      params={"bent2_x": 1.6, "bent2_y": 0.7,
+                              "bipolar_shift": 0.4}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"cell": 0.6, "linear": 0.4},
+                      params={"cell_size": 0.8}),
+                XForm(weight=0.7, color=0.45, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"rectangles": 0.5, "separation": 0.5},
+                      params={"rectangles_x": 0.6,
+                              "rectangles_y": 0.9,
+                              "separation_x": 0.4,
+                              "separation_xinside": 0.3,
+                              "separation_y": 0.5,
+                              "separation_yinside": 0.2}),
+                XForm(weight=0.6, color=0.9, color_speed=0.4,
+                      affine=(0.4, -0.1, 0.2, 0.1, 0.4, 0.05),
+                      vars={"split": 0.7, "linear": 0.3},
+                      params={"split_xsize": 0.8,
+                              "split_ysize": 1.2}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_brancha")
+        self._compare(g, 500_000, seed_ref=26, seed_our=83)
+
+    def test_branch_parametric_family_b(self):
+        """splits, popcorn2, waves2, curve, auger (cross-coordinate
+        sine terms: dy uses sin(freq*x)) — 85 variations anchored."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        pal = np.zeros((256, 3))
+        pal[:, 1] = np.linspace(0.9, 0.4, 256)
+        g = Genome(
+            xforms=[
+                XForm(weight=1.0, color=0.2, color_speed=0.5,
+                      affine=(0.5, 0.1, 0.3, -0.1, 0.5, 0.1),
+                      vars={"splits": 0.5, "popcorn2": 0.5},
+                      params={"splits_x": 0.3, "splits_y": 0.2,
+                              "popcorn2_x": 0.4, "popcorn2_y": 0.3,
+                              "popcorn2_c": 1.5}),
+                XForm(weight=0.8, color=0.7, color_speed=0.5,
+                      affine=(-0.4, 0.2, -0.2, 0.2, 0.4, 0.25),
+                      vars={"waves2": 0.7, "linear": 0.3},
+                      params={"waves2_scalex": 0.5,
+                              "waves2_freqx": 2.0,
+                              "waves2_scaley": 0.4,
+                              "waves2_freqy": 3.0}),
+                XForm(weight=0.7, color=0.45, color_speed=0.6,
+                      affine=(0.45, 0.0, 0.35, 0.0, 0.45, -0.25),
+                      vars={"curve": 0.8, "linear": 0.2},
+                      params={"curve_xamp": 0.6, "curve_yamp": 0.4,
+                              "curve_xlength": 0.9,
+                              "curve_ylength": 1.3}),
+                XForm(weight=0.6, color=0.9, color_speed=0.4,
+                      affine=(0.4, -0.1, 0.2, 0.1, 0.4, 0.05),
+                      vars={"auger": 0.7, "linear": 0.3},
+                      params={"auger_freq": 3.0, "auger_weight": 0.6,
+                              "auger_scale": 0.8, "auger_sym": 0.4}),
+            ],
+            scale=8.0, size=(32, 32), spatial_filter=0.0,
+            palettes=[(0.0, pal)], name="anchor_branchb")
+        self._compare(g, 500_000, seed_ref=27, seed_our=89)
+
     def _motion_genome(self):
         from cuburn_tpu.genome.specs import Genome, XForm
         pal_a = np.zeros((256, 3))
