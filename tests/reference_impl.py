@@ -483,6 +483,129 @@ def _auger(x, y, r2, rng, P, aff):
     return x + sym * (dx_ - x), dy_
 
 
+def _conic(x, y, r2, rng, P, aff):
+    # polar conic r = e/(1 + e cos theta) with the focus at the
+    # origin, theta from the +x axis; random radial jitter minus holes
+    ecc, holes = P("conic_eccentricity"), P("conic_holes")
+    r = np.sqrt(r2) + 1e-300
+    ct = x / r
+    s = (rng.uniform(0, 1, x.shape) - holes) * ecc \
+        / (1.0 + ecc * ct) / r
+    return s * x, s * y
+
+
+def _flower(x, y, r2, rng, P, aff):
+    petals, holes = P("flower_petals"), P("flower_holes")
+    theta = np.arctan2(y, x)
+    r = np.sqrt(r2) + 1e-300
+    s = (rng.uniform(0, 1, x.shape) - holes) \
+        * np.cos(petals * theta) / r
+    return s * x, s * y
+
+
+def _parabola(x, y, r2, rng, P, aff):
+    # two INDEPENDENT rand draws, one per coordinate
+    r = np.sqrt(r2)
+    sr, cr = np.sin(r), np.cos(r)
+    return (P("parabola_height") * sr * sr
+            * rng.uniform(0, 1, x.shape),
+            P("parabola_width") * cr * rng.uniform(0, 1, x.shape))
+
+
+def _edisc(x, y, r2, rng, P, aff):
+    # elliptic disc: flam3's 11.57034632 normalization and the
+    # sign-of-y flip on sin(a1)
+    tmp = r2 + 1.0
+    tmp2 = 2.0 * x
+    r1 = np.sqrt(np.maximum(tmp + tmp2, 0.0))
+    rr2 = np.sqrt(np.maximum(tmp - tmp2, 0.0))
+    xmax = 0.5 * (r1 + rr2)
+    a1 = np.log(xmax + np.sqrt(np.maximum(xmax - 1.0, 0.0)))
+    a2 = -np.arccos(np.clip(x / np.maximum(xmax, 1e-300), -1.0, 1.0))
+    snv, csv = np.sin(a1), np.cos(a1)
+    snhu, cshu = np.sinh(a2), np.cosh(a2)
+    snv = np.where(y > 0, -snv, snv)
+    s = 1.0 / 11.57034632
+    return s * cshu * csv, s * snhu * snv
+
+
+def _foci(x, y, r2, rng, P, aff):
+    expx = np.exp(x) * 0.5
+    expnx = 0.25 / expx
+    den = expx + expnx - np.cos(y)
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return (expx - expnx) / den, np.sin(y) / den
+
+
+def _ngon(x, y, r2, rng, P, aff):
+    sides, power = P("ngon_sides"), P("ngon_power")
+    circle, corners = P("ngon_circle"), P("ngon_corners")
+    r_factor = np.power(r2 + 1e-300, power / 2.0)
+    theta = np.arctan2(y, x)
+    b = 2.0 * np.pi / sides
+    phi = theta - b * np.floor(theta / b)
+    phi = np.where(phi > b * 0.5, phi - b, phi)
+    amp = (corners * (1.0 / (np.cos(phi) + 1e-10) - 1.0) + circle) \
+        / (r_factor + 1e-10)
+    return amp * x, amp * y
+
+
+def _perspective(x, y, r2, rng, P, aff):
+    ang, dist = P("perspective_angle"), P("perspective_dist")
+    vsin = np.sin(ang * np.pi / 2.0)
+    vfcos = dist * np.cos(ang * np.pi / 2.0)
+    den = dist - y * vsin
+    den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+    return dist * x / den, vfcos * y / den
+
+
+def _polar2(x, y, r2, rng, P, aff):
+    return (np.arctan2(x, y) / np.pi,
+            np.log(r2 + 1e-300) / (2.0 * np.pi))
+
+
+def _wedge(x, y, r2, rng, P, aff):
+    angle, hole = P("wedge_angle"), P("wedge_hole")
+    count, swirl = P("wedge_count"), P("wedge_swirl")
+    r = np.sqrt(r2)
+    a = np.arctan2(y, x) + swirl * r
+    c = np.floor((count * a + np.pi) * (1.0 / np.pi) * 0.5)
+    a = a * (1.0 - angle * count * (1.0 / np.pi) * 0.5) + c * angle
+    return (r + hole) * np.cos(a), (r + hole) * np.sin(a)
+
+
+def _wedge_sph(x, y, r2, rng, P, aff):
+    # wedge on the INVERTED radius 1/r
+    angle, hole = P("wedge_sph_angle"), P("wedge_sph_hole")
+    count, swirl = P("wedge_sph_count"), P("wedge_sph_swirl")
+    rr = 1.0 / (np.sqrt(r2) + 1e-10)
+    a = np.arctan2(y, x) + swirl * rr
+    c = np.floor((count * a + np.pi) * (1.0 / np.pi) * 0.5)
+    a = a * (1.0 - angle * count * (1.0 / np.pi) * 0.5) + c * angle
+    return (rr + hole) * np.cos(a), (rr + hole) * np.sin(a)
+
+
+def _oscilloscope(x, y, r2, rng, P, aff):
+    # DOCUMENTED CONVENTION (test_variations.py test_oscilloscope):
+    # points inside the damped-cosine envelope flip their y
+    sep, freq = P("oscope_separation"), P("oscope_frequency")
+    amp, damp = P("oscope_amplitude"), P("oscope_damping")
+    tpf = 2.0 * np.pi * freq
+    if damp == 0.0:
+        t = amp * np.cos(tpf * x) + sep
+    else:
+        t = amp * np.exp(-np.abs(x) * damp) * np.cos(tpf * x) + sep
+    return x, np.where(np.abs(y) <= t, -y, y)
+
+
+def _unpolar(x, y, r2, rng, P, aff):
+    # DOCUMENTED CONVENTION (test_variations.py
+    # test_unpolar_convention_inverts_polar): the inverse of polar
+    r = y + 1.0
+    a = np.pi * x
+    return r * np.sin(a), r * np.cos(a)
+
+
 def _bubble(x, y, r2, rng, P, aff):
     s = 1.0 / (0.25 * r2 + 1.0)
     return s * x, s * y
@@ -699,6 +822,45 @@ def _radial_blur(x, y, r2, rng, P, aff, w):
 _radial_blur.needs_weight = True
 
 
+def _secant2(x, y, r2, rng, P, aff, w):
+    # w inside the cosine phase; the sign-of-cos branch shifts by +-1
+    r = w * np.sqrt(r2)
+    cr = np.cos(r)
+    icr = 1.0 / np.where(np.abs(cr) < 1e-300, 1e-300, cr)
+    return w * x, np.where(cr < 0, w * (icr + 1.0), w * (icr - 1.0))
+
+
+_secant2.needs_weight = True
+
+
+def _flux(x, y, r2, rng, P, aff, w):
+    # two foci at (+-w, 0): sqrt of the distance ratio, half the
+    # angle difference
+    spread = P("flux_spread")
+    xpw, xmw = x + w, x - w
+    d1 = np.sqrt(y * y + xpw * xpw)
+    d2 = np.sqrt(y * y + xmw * xmw) + 1e-300
+    avgr = w * (2.0 + spread) * np.sqrt(d1 / d2)
+    avga = (np.arctan2(y, xmw) - np.arctan2(y, xpw)) * 0.5
+    return avgr * np.cos(avga), avgr * np.sin(avga)
+
+
+_flux.needs_weight = True
+
+
+def _twintrian(x, y, r2, rng, P, aff, w):
+    # log10(sin^2 r) + cos r with flam3's badvalue -> -30 patch
+    r = rng.uniform(0, 1, x.shape) * w * np.sqrt(r2)
+    sinr, cosr = np.sin(r), np.cos(r)
+    with np.errstate(divide="ignore"):
+        diff = np.log10(sinr * sinr) + cosr
+    diff = np.where(np.isfinite(diff), diff, -30.0)
+    return w * x * diff, w * x * (diff - sinr * np.pi)
+
+
+_twintrian.needs_weight = True
+
+
 def _pie(x, y, r2, rng, P, aff, w):
     # random slice wedge; input ignored, radius w * rand added with NO
     # further weight multiply
@@ -837,6 +999,21 @@ _VARS = {
     "waves2": _waves2,
     "curve": _curve,
     "auger": _auger,
+    "conic": _conic,
+    "flower": _flower,
+    "parabola": _parabola,
+    "edisc": _edisc,
+    "foci": _foci,
+    "ngon": _ngon,
+    "perspective": _perspective,
+    "polar2": _polar2,
+    "wedge": _wedge,
+    "wedge_sph": _wedge_sph,
+    "oscilloscope": _oscilloscope,
+    "unpolar": _unpolar,
+    "secant2": _secant2,
+    "flux": _flux,
+    "twintrian": _twintrian,
     # handled as a PRE-step in apply(), not an additive variation
     "pre_blur": None,
 }
