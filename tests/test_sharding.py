@@ -65,6 +65,26 @@ def test_sharded_pallas_win_matches_scatter(eight_devices):
         rtol=1e-6)
 
 
+def test_sharded_scatter_sorted_matches_scatter(eight_devices):
+    """The hinted-scatter backend through shard_map: same RNG stream
+    as sharded scatter, so the histograms must match per-bin (density
+    exact — pure reordering of integer counts)."""
+    import dataclasses
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=64, height=64, quality=30, batch=2048,
+                         iters_per_chunk=8,
+                         hist_backend="scatter_sorted",
+                         de_enabled=False, fuse=8)
+    h_o, st_o = ShardedRenderer(g, prof).accumulate(0.0, seed=3)
+    prof_s = dataclasses.replace(prof, hist_backend="scatter")
+    h_s, st_s = ShardedRenderer(g, prof_s).accumulate(0.0, seed=3)
+    assert st_o.plotted_samples == st_s.plotted_samples
+    a, b = np.asarray(h_s), np.asarray(h_o)
+    np.testing.assert_array_equal(a[:, 3], b[:, 3])
+    assert np.abs(a - b).max() < 1e-2
+
+
 def test_sharded_temporal_single_dispatch_matches(eight_devices):
     """Sharded motion blur (one dispatch, packed interp, weighted
     samples) must statistically match the single-chip temporal path."""
