@@ -1412,6 +1412,62 @@ class TestIndependentReferenceExpanded:
             palettes=[(0.0, pal)], name="anchor_wedgeconv")
         self._compare(g, 500_000, seed_ref=30, seed_our=103)
 
+    def test_final_image_matches_independent_pipeline(self):
+        """Anchor the WHOLE still path at the u8 image level.
+
+        (a) The device finalize (logscale + colorclip + u8, DE and
+        spatial filter off) is BIT-IDENTICAL to the independent
+        transcription on the device's own histogram — a real attractor
+        histogram, not the synthetic ones of test_filters.
+        (b) The full cross-implementation image (independent chaos
+        game + independent color pipeline vs device render_frame)
+        agrees within the two-seed noise floor once both are
+        normalized by their own attempted-samples-per-cell
+        (render_reference counts IN-FRAME samples toward n while the
+        device, like flam3, attempts quality*cells total — an
+        accounting difference, not a semantics one; measured floor
+        mean ~2.5 u8 steps, cross-impl ~2.1)."""
+        import dataclasses
+        from tests.reference_impl import (colorclip_reference,
+                                          logscale_reference,
+                                          render_reference)
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+
+        g = TestIndependentReference._genome(None)
+        W, H = g.size
+        n = 600_000
+        q = int(np.ceil(n / (W * H)))
+        prof = RenderProfile(width=W, height=H, quality=q, batch=4096,
+                             iters_per_chunk=16, fuse=20,
+                             hist_backend="scatter", de_enabled=False)
+        r = Renderer(g, prof)
+
+        def ref_pipe(h, qpc):
+            img = logscale_reference(h[:-1].reshape(H, W, 4),
+                                     float(g.brightness(0.0)), qpc)
+            u = colorclip_reference(
+                img, float(g.gamma(0.0)), float(g.vibrancy(0.0)),
+                float(g.highlight_power(0.0)),
+                float(g.gamma_threshold(0.0)),
+                tuple(float(b(0.0)) for b in g.background))
+            return np.round(np.clip(u.reshape(H, W, 4), 0, 1)
+                            * 255).astype(np.uint8)
+
+        # (a) same histogram, both pipelines: exact
+        hist, stats = r.accumulate(0.0, seed=11)
+        ours = np.asarray(r.finalize_frame(hist, 0.0, stats))
+        h = np.asarray(hist, np.float64)
+        np.testing.assert_array_equal(ours, ref_pipe(h, q))
+
+        # (b) fully independent render, mass-consistent normalization
+        ref = render_reference(g, W, H, n, seed=4)
+        img_ref = ref_pipe(ref, ref[:, 3].sum() / (W * H))
+        img_dev = ref_pipe(h, h[:, 3].sum() / (W * H))
+        d = np.abs(img_ref.astype(int) - img_dev.astype(int))[..., :3]
+        assert d.mean() < 4.0, d.mean()
+        assert np.percentile(d, 95) < 16, np.percentile(d, 95)
+
     def test_anchor_set_is_complete(self):
         """Every variation in the registry has an independent anchor
         implementation (VERDICT round-2 weak #5, fully closed: 6 ->
