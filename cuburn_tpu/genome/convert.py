@@ -325,6 +325,20 @@ def flame_to_genome(flame: ET.Element) -> Genome:
             "flame sets earlyclip; cuburn_tpu renders the modern "
             "late-clip order — output may differ slightly in "
             "saturated highlights")
+    cam3d = [k for k in ("cam_yaw", "cam_pitch", "cam_perspective",
+                         "cam_zpos", "cam_dof")
+             if k in attrs and float(attrs[k]) != 0.0]
+    if cam3d:
+        # flam3's 3-D camera (yaw/pitch rotation of the z-augmented
+        # point cloud, perspective divide, z-blur DOF) is not
+        # implemented — the flat 2-D projection is rendered
+        # [flam3 flam3.c flam3_create_xform_distrib 3D path,
+        # SURVEY.md §2c tail; L-confidence recall]
+        import warnings
+        warnings.warn(
+            "flame uses flam3 3-D camera attrs "
+            f"({', '.join(cam3d)}); cuburn_tpu renders the flat 2-D "
+            "projection — depth rotation/perspective/DOF are ignored")
     background = tuple(
         _parse_floats(attrs.get("background", "0 0 0")))[:3]
     scalars = {k: float(attrs.get(k, d))
