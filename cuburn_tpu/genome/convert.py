@@ -326,7 +326,7 @@ def flame_to_genome(flame: ET.Element) -> Genome:
             "late-clip order — output may differ slightly in "
             "saturated highlights")
     cam3d = [k for k in ("cam_yaw", "cam_pitch", "cam_perspective",
-                         "cam_zpos", "cam_dof")
+                         "cam_persp", "cam_zpos", "cam_dof")
              if k in attrs and float(attrs[k]) != 0.0]
     if cam3d:
         # flam3's 3-D camera (yaw/pitch rotation of the z-augmented

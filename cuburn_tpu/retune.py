@@ -5,8 +5,8 @@ The dev environment is an emulator-class tunnel whose op economics do
 not extrapolate (CLAUDE.md); this script makes the first hour on real
 silicon executable instead of a manual checklist (docs/ROADMAP.md):
 
-  1. races histogram backends (scatter vs pallas_win) in-loop,
-     chained, at two flush densities (512² and 720p-bins)
+  1. races histogram backends (scatter / scatter_sorted / pallas_win)
+     in-loop, chained, at two flush densities (512² and 720p-bins)
   2. sweeps the segmented sub-sort width S for the pallas_win flush
   3. sweeps the flush chunk size K (records per sort+flush = B*K)
   4. optionally probes the max safe accumulator dimension

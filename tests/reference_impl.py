@@ -334,7 +334,9 @@ def _wedge_julia(x, y, r2, rng, P, aff):
 def _cpow(x, y, r2, rng, P, aff):
     # complex power z^((r + i*i_)/power) with a random branch of the
     # power-th root
-    power = P("cpow_power")
+    # np.float64: a zero power must yield inf/nan for the badvalue
+    # respawn (device semantics), not ZeroDivisionError
+    power = np.float64(P("cpow_power"))
     vc = P("cpow_r") / power
     vd = P("cpow_i") / power
     va = 2.0 * np.pi / power
@@ -349,7 +351,7 @@ def _cpow(x, y, r2, rng, P, aff):
 def _super_shape(x, y, r2, rng, P, aff):
     # Gielis superformula radius modulation; rnd blends a uniform
     # radius into the point's own
-    m, n1 = P("super_shape_m"), P("super_shape_n1")
+    m, n1 = P("super_shape_m"), np.float64(P("super_shape_n1"))
     n2, n3 = P("super_shape_n2"), P("super_shape_n3")
     holes, rnd = P("super_shape_holes"), P("super_shape_rnd")
     theta = (m / 4.0) * np.arctan2(y, x) + np.pi / 4.0
@@ -538,7 +540,7 @@ def _foci(x, y, r2, rng, P, aff):
 
 
 def _ngon(x, y, r2, rng, P, aff):
-    sides, power = P("ngon_sides"), P("ngon_power")
+    sides, power = np.float64(P("ngon_sides")), P("ngon_power")
     circle, corners = P("ngon_circle"), P("ngon_corners")
     r_factor = np.power(r2 + 1e-300, power / 2.0)
     theta = np.arctan2(y, x)
@@ -1118,6 +1120,14 @@ def render_reference(genome, width: int, height: int, n_samples: int,
             for name, w in vset.items():
                 fn = _VARS[name]
                 if fn is None:       # pre-step (pre_blur), done above
+                    continue
+                if w == 0.0:
+                    # flam3 never evaluates inactive variations; the
+                    # device gates weight-independent additive terms
+                    # on w != 0 for the same reason (ops/xform.py,
+                    # CLAUDE.md zero-weight invariant) — without this
+                    # skip the weight-nonlinear family (lazysusan's
+                    # +lx/-ly recentering) would diverge at w == 0
                     continue
                 if getattr(fn, "needs_weight", False):
                     # weight-nonlinear family: w inside the formula
