@@ -110,7 +110,10 @@ def random_genome(seed: int, size=(640, 640)) -> Genome:
     return Genome(
         xforms=xforms, final_xform=final, xaos=xaos,
         palettes=[(0.0, builtin_palette(int(rng.randint(0, 1 << 16))))],
-        scale=float(rng.uniform(60, 140)), size=size,
+        # ppu proportional to the nominal width so the framing is
+        # resolution-independent (flam3-genome ties scale to size;
+        # identical to before at the default 640)
+        scale=float(rng.uniform(60, 140)) * size[0] / 640.0, size=size,
         brightness=4.0, gamma=4.0,
         name=f"random_{seed}")
 

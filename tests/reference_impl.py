@@ -32,12 +32,16 @@ def _julian(x, y, r2, rng, P, aff):
     # exponent dist/power (theta here is atan2(y, x) — the julia
     # FAMILY uses the mathematical angle, unlike the atan2(x, y)
     # variations)
-    power = P("julian_power")
+    # fractional powers are legal: flam3 draws the branch as
+    # trunc(|power| * rand01) — the TOP branch carries the fractional
+    # probability — and divides the angle / exponent by the true
+    # float power (the round-3 fuzz caught an int-rounded version of
+    # this diverging at power 4.49)
+    power = np.float64(P("julian_power"))
     dist = P("julian_dist")
-    p = int(round(power)) if power else 1
-    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
-    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / p
-    r = np.power(r2 + 1e-30, dist / (2.0 * p))
+    t_rnd = np.trunc(np.abs(power) * rng.uniform(0, 1, x.shape))
+    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / power
+    r = np.power(r2 + 1e-30, dist / (2.0 * power))
     return r * np.cos(a), r * np.sin(a)
 
 
@@ -301,15 +305,14 @@ def _juliascope(x, y, r2, rng, P, aff):
     # random branch of the power-th root where the BRANCH-INDEX PARITY
     # decides the angle reflection (flam3; the round-3 bug class the
     # unit test pinned — this anchors it end-to-end)
-    power = P("juliascope_power")
+    power = np.float64(P("juliascope_power"))
     dist = P("juliascope_dist")
-    p = int(round(power)) if power else 1
-    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
+    t_rnd = np.trunc(np.abs(power) * rng.uniform(0, 1, x.shape))
     atanyx = np.arctan2(y, x)
     a = np.where(t_rnd % 2 == 1,
-                 (-atanyx + 2.0 * np.pi * t_rnd) / p,
-                 (atanyx + 2.0 * np.pi * t_rnd) / p)
-    r = np.power(r2 + 1e-30, dist / (2.0 * p))
+                 (-atanyx + 2.0 * np.pi * t_rnd) / power,
+                 (atanyx + 2.0 * np.pi * t_rnd) / power)
+    r = np.power(r2 + 1e-30, dist / (2.0 * power))
     return r * np.cos(a), r * np.sin(a)
 
 
@@ -318,14 +321,13 @@ def _wedge_julia(x, y, r2, rng, P, aff):
     # branch angle, compress by cf and fan out by angle*c
     angle = P("wedge_julia_angle")
     count = P("wedge_julia_count")
-    power = P("wedge_julia_power")
+    power = np.float64(P("wedge_julia_power"))
     dist = P("wedge_julia_dist")
-    p = int(round(power)) if power else 1
     cf = 1.0 - angle * count * (1.0 / np.pi) * 0.5
-    cn = dist / (2.0 * p)
+    cn = dist / (2.0 * power)
     r = np.power(r2 + 1e-30, cn)
-    t_rnd = rng.randint(0, max(abs(p), 1), x.shape)
-    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / p
+    t_rnd = np.trunc(np.abs(power) * rng.uniform(0, 1, x.shape))
+    a = (np.arctan2(y, x) + 2.0 * np.pi * t_rnd) / power
     c = np.floor((count * a + np.pi) * (1.0 / np.pi) * 0.5)
     a = a * cf + c * angle
     return r * np.cos(a), r * np.sin(a)

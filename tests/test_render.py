@@ -781,6 +781,33 @@ class TestIndependentReference:
             assert abs(rr - ro) < 0.02, (ch, rr, ro)
 
 
+def _anchor_compare(g, n, seed_ref, seed_our, tv_bound=0.05, t=0.0):
+    """Render genome g through the device pipeline and the independent
+    NumPy reference with different seeds; assert the per-bin density
+    distributions agree (TV distance) and the channel/density mass
+    ratios match."""
+    from tests.reference_impl import render_reference
+    from cuburn_tpu.profile import RenderProfile
+    from cuburn_tpu.render import Renderer
+    W, H = g.size
+    ref = render_reference(g, W, H, n, seed=seed_ref, t=t)
+    prof = RenderProfile(width=W, height=H,
+                         quality=int(np.ceil(n / (W * H))),
+                         batch=4096, iters_per_chunk=16, fuse=20,
+                         hist_backend="scatter", de_enabled=False)
+    hist, _ = Renderer(g, prof).accumulate(t, seed=seed_our)
+    ours = np.asarray(hist, np.float64)
+    d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
+    d_our = ours[:-1, 3] / ours[:-1, 3].sum()
+    tv = 0.5 * np.abs(d_ref - d_our).sum()
+    assert tv < tv_bound, f"TV distance {tv:.4f}"
+    for ch in range(3):
+        rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
+        ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
+        assert abs(rr - ro) < 0.02, (ch, rr, ro)
+    return tv
+
+
 class TestIndependentReferenceExpanded:
     """Round-3 anchor expansion (VERDICT round-2 weak #5): parametric
     (julian, pdj), affine-dependent (popcorn, rings), stochastic
@@ -793,26 +820,8 @@ class TestIndependentReferenceExpanded:
 
     def _compare(self, g, n, seed_ref, seed_our, tv_bound=0.05,
                  t=0.0):
-        from tests.reference_impl import render_reference
-        from cuburn_tpu.profile import RenderProfile
-        from cuburn_tpu.render import Renderer
-        W, H = g.size
-        ref = render_reference(g, W, H, n, seed=seed_ref, t=t)
-        prof = RenderProfile(width=W, height=H,
-                             quality=int(np.ceil(n / (W * H))),
-                             batch=4096, iters_per_chunk=16, fuse=20,
-                             hist_backend="scatter", de_enabled=False)
-        hist, _ = Renderer(g, prof).accumulate(t, seed=seed_our)
-        ours = np.asarray(hist, np.float64)
-        d_ref = ref[:-1, 3] / ref[:-1, 3].sum()
-        d_our = ours[:-1, 3] / ours[:-1, 3].sum()
-        tv = 0.5 * np.abs(d_ref - d_our).sum()
-        assert tv < tv_bound, f"TV distance {tv:.4f}"
-        for ch in range(3):
-            rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
-            ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
-            assert abs(rr - ro) < 0.02, (ch, rr, ro)
-        return tv
+        return _anchor_compare(g, n, seed_ref, seed_our,
+                               tv_bound=tv_bound, t=t)
 
     def test_parametric_and_affine_dependent(self):
         """julian (random-branch parametric), pdj (4-param), popcorn +
@@ -1981,3 +1990,41 @@ def test_bench_json_driver_contract():
     if "mass_parity" in rec.get("extra", {}):
         assert rec["extra"]["mass_parity"] == pytest.approx(
             1.0, abs=1e-3)
+
+
+class TestRandomGenomeAnchorFuzz:
+    """Randomized differential fuzz: flam3-genome-style random genomes
+    (random structures over the SAFE variation set — random affines,
+    posts, finals, xaos, parametric knobs) rendered through BOTH the
+    device pipeline and the independent NumPy reference
+    (tests/reference_impl.py), compared distributionally.  The fixed
+    anchor families pin each variation's formula; this pins the
+    COMPOSITION machinery on structures nobody hand-picked.  Seeds are
+    fixed for reproducibility; any failure is a real divergence (or a
+    too-tight bound) worth investigating, never flake."""
+
+    @pytest.mark.parametrize(
+        "seed", [101, 202, 303, 404, 505, 606, 707, 808])
+    def test_random_genome_matches_reference(self, seed):
+        import dataclasses
+        from cuburn_tpu.genome.randgen import random_genome
+        g = random_genome(seed, size=(48, 48))
+        # gutterless histogram so the device layout matches the
+        # reference's W*H bins (same convention as the fixed anchors)
+        g = dataclasses.replace(g, spatial_filter=0.0)
+        # random attractors vary in in-frame retention; require enough
+        # in-frame mass that the TV comparison is meaningful, then
+        # compare distributions (bound looser than the hand-framed
+        # anchors: arbitrary random framing concentrates mass in fewer
+        # bins, raising the two-seed noise floor)
+        from tests.reference_impl import render_reference
+        ref = render_reference(g, 48, 48, 200_000, seed=seed * 7 + 1)
+        if ref[:-1, 3].sum() < 30_000:
+            pytest.skip(f"random genome {seed} keeps <15% of mass "
+                        "in frame; TV would be noise-dominated")
+        # measured two-seed noise floors for these seeds: 0.001-0.017
+        # (seed 707 sat at 0.127 until the fuzz exposed the reference
+        # harness int-rounding fractional julian powers — the bound is
+        # tight enough to catch that class again)
+        _anchor_compare(g, 500_000, seed_ref=seed * 7 + 1,
+                        seed_our=seed * 11 + 3, tv_bound=0.05)
