@@ -36,6 +36,39 @@ class TestBlend:
         np.testing.assert_allclose(pa.palette, src_a.palette, atol=1e-6)
         np.testing.assert_allclose(pb.palette, src_b.palette, atol=1e-6)
 
+    @pytest.mark.parametrize("seed", [1, 2, 3, 5, 7, 8, 10, 12])
+    def test_endpoints_match_sources_random_pairs(self, seed):
+        """Blend fuzz: random flam3-genome-style pairs (mismatched
+        xform counts, finals, xaos) must reproduce each source exactly
+        at its endpoint — pads are zero-weight identity slots that may
+        sit ANYWHERE in the slot order, so sources are compared as
+        multisets over the nonzero-weight slots."""
+        from cuburn_tpu.genome.randgen import random_genome
+        a, b = random_genome(seed), random_genome(seed + 100)
+        edge = blend_genomes(a, b)
+
+        def rows(m):
+            return np.asarray(sorted(map(tuple, np.round(m, 5))))
+
+        for t, src in ((0.0, a), (1.0, b)):
+            pe, ps = edge.eval_at(t), src.eval_at(0.0)
+            w = np.asarray(pe.weights)
+            live = w > 0
+            assert live.sum() == len(src.xforms), (t, w)
+            np.testing.assert_allclose(
+                rows(np.asarray(pe.affine)[live]), rows(ps.affine),
+                atol=1e-5)
+            np.testing.assert_allclose(
+                np.sort(w[live]),
+                np.sort([x.weight(0.0) for x in src.xforms]),
+                atol=1e-5)
+            np.testing.assert_allclose(pe.palette, ps.palette,
+                                       atol=1e-6)
+        # interior of the morph stays finite/renderable
+        pm = edge.eval_at(0.5)
+        assert np.isfinite(np.asarray(pm.affine)).all()
+        assert np.isfinite(np.asarray(pm.var_weights)).all()
+
     def test_variation_union_fades(self):
         a, b = sierpinski(), classic_swirl()    # linear vs swirl etc.
         edge = blend_genomes(a, b)
