@@ -805,6 +805,15 @@ def _anchor_compare(g, n, seed_ref, seed_our, tv_bound=0.05, t=0.0):
         rr = ref[:-1, ch].sum() / ref[:-1, 3].sum()
         ro = ours[:-1, ch].sum() / ours[:-1, 3].sum()
         assert abs(rr - ro) < 0.02, (ch, rr, ro)
+        # per-bin COLOR distribution agreement (fuzz-measured at the
+        # two-seed floor); skip channels carrying <1% of the mass —
+        # their normalized distribution is noise
+        if min(rr, ro) > 0.01:
+            c_ref = ref[:-1, ch] / ref[:-1, ch].sum()
+            c_our = ours[:-1, ch] / ours[:-1, ch].sum()
+            ctv = 0.5 * np.abs(c_ref - c_our).sum()
+            assert ctv < 1.5 * tv_bound, \
+                f"channel {ch} TV {ctv:.4f} (density TV {tv:.4f})"
     return tv
 
 
