@@ -38,6 +38,29 @@ import jax.numpy as jnp
 
 RECALLED_BASELINE_SAMPLES_PER_SEC = 400e6
 
+# Device-init watchdog: when the axon tunnel is down, jax.devices()
+# hangs indefinitely instead of erroring.  Fail FAST with a clear
+# message (and NO misleading JSON line) so the driver's bench run
+# reports an environment failure rather than timing out silently.
+DEVICE_INIT_TIMEOUT_S = int(os.environ.get("CUBURN_BENCH_INIT_TIMEOUT",
+                                           "300"))
+
+
+def _devices_or_die():
+    import threading
+    out = []
+    th = threading.Thread(target=lambda: out.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(DEVICE_INIT_TIMEOUT_S)
+    if not out:
+        print(f"bench.py: device init did not complete within "
+              f"{DEVICE_INIT_TIMEOUT_S}s — TPU tunnel down? "
+              "(set CUBURN_BENCH_INIT_TIMEOUT to adjust)",
+              file=sys.stderr)
+        os._exit(1)
+    return out[0]
+
 
 def main():
     from cuburn_tpu.models import full_feature
@@ -48,9 +71,10 @@ def main():
     from cuburn_tpu.render import _filter_frame
     from cuburn_tpu.utils.timing import hard_sync
 
+    devices = _devices_or_die()
     backend_name = jax.default_backend()
     extra = {"jax_backend": backend_name,
-             "device": str(jax.devices()[0])}
+             "device": str(devices[0])}
 
     # ---- headline: iterate+accumulate throughput, config-3 genome ----
     g = full_feature()
