@@ -122,6 +122,14 @@ class TestColorclip:
         v0 = np.asarray(colorclip(img, args[0], jnp.float32(0.0),
                                   *args[1:]))[0, 0]
         assert not np.allclose(v1[:3], v0[:3], atol=1e-3)
+        # ... and AGREE for gray: r=g=b=alpha makes the alpha-driven
+        # gamma (vib=1) identical to per-channel gamma (vib=0)
+        gray = self._px([0.6, 0.6, 0.6, 0.6])
+        g1 = np.asarray(colorclip(gray, args[0], jnp.float32(1.0),
+                                  *args[1:]))[0, 0]
+        g0 = np.asarray(colorclip(gray, args[0], jnp.float32(0.0),
+                                  *args[1:]))[0, 0]
+        np.testing.assert_allclose(g1[:3], g0[:3], atol=1e-5)
 
 
 class TestDownsample:
@@ -392,7 +400,8 @@ class TestColorPipelineAnchor:
 
     @pytest.mark.parametrize("hp,vib,transparent", [
         (2.0, 1.0, False), (-1.0, 1.0, False), (2.0, 0.6, False),
-        (-0.5, 0.8, True), (0.0, 1.0, False)])
+        (-0.5, 0.8, True), (0.0, 1.0, False),
+        (2.0, 0.0, False), (-1.0, 0.0, True)])  # pure per-channel gamma
     def test_colorclip_matches(self, hp, vib, transparent):
         from cuburn_tpu.ops.filtering import colorclip, logscale
         from tests.reference_impl import (colorclip_reference,

@@ -49,20 +49,22 @@ def _kaleido():
 @pytest.mark.parametrize("make", [sierpinski, full_feature,
                                   animated_spark, _kaleido])
 def test_pack_genome_matches_eval_at(make):
+    """EVERY GenomeParams field (enumerated via dataclasses.fields so
+    new fields can't silently escape coverage — a hardcoded list once
+    left post/final-color/DE params unchecked) must round-trip through
+    the packed-knot device interpolation."""
+    import dataclasses
+    from cuburn_tpu.genome.specs import GenomeParams
     g = make()
     packed = pack_genome(g)
     for t in (0.0, 0.3, 0.77, 1.0):
         dev = jax.tree_util.tree_map(
             lambda x: np.asarray(x)[0], packed.eval_params(np.array([t])))
         host = g.eval_at(t)
-        for field in ("weights", "affine", "var_weights", "var_params",
-                      "xaos", "color", "color_speed", "opacity",
-                      "final_affine", "final_var_weights", "palette",
-                      "center", "ppu", "rotate", "brightness",
-                      "gamma"):
+        for f in dataclasses.fields(GenomeParams):
             np.testing.assert_allclose(
-                getattr(dev, field), getattr(host, field),
-                rtol=2e-4, atol=2e-5, err_msg=f"{field} at t={t}")
+                getattr(dev, f.name), getattr(host, f.name),
+                rtol=2e-4, atol=2e-5, err_msg=f"{f.name} at t={t}")
 
 
 def test_temporal_axis_shapes():

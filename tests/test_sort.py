@@ -171,7 +171,9 @@ class TestMergedPallasFlush:
         a non-pow2 count."""
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
-        rng = np.random.RandomState(hash(dist) % 2**31)
+        # deterministic across processes (hash() is salted per run)
+        import zlib
+        rng = np.random.RandomState(zlib.crc32(dist.encode()))
         n_bins, cbits = 4000, 10
         M = 3000   # non-power-of-two
         if dist == "dense":
