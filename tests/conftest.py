@@ -13,10 +13,16 @@ import os
 # unconditional setdefault would silently run the "TPU" suite on CPU.
 if not os.environ.get("CUBURN_TEST_TPU"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The suite assumes an 8-device virtual mesh: REPLACE any
+    # pre-existing count (a substring check would silently keep e.g.
+    # =4 from an unrelated CI job and run the sharding tests on the
+    # wrong mesh size)
+    import re
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   flags).strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
     # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS via
     # the config API, so env vars alone don't stick — force CPU the
     # same way.

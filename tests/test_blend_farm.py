@@ -75,9 +75,37 @@ class TestBlend:
         key = edge.structure_key()
         assert "linear" in key.variations
         assert "swirl" in key.variations
-        # a-only variations have zero weight at t=1 on a's xforms:
         p_mid = edge.eval_at(0.5)
         assert p_mid.var_weights.shape[1] == len(key.variations)
+
+    def test_variation_union_fades_to_zero_at_endpoints(self):
+        """The union fade must actually reach zero: a side's exclusive
+        variations carry ZERO total weight at the other endpoint and
+        nonzero weight mid-morph (a fade stuck at 0.5, or no fade at
+        all, passes any shape/membership check)."""
+        from cuburn_tpu.genome.specs import Genome, XForm
+        mk = lambda vname: Genome(
+            xforms=[XForm(weight=1.0, color=0.3, color_speed=0.5,
+                          affine=(0.5, 0.0, 0.2, 0.0, 0.5, 0.1),
+                          vars={vname: 0.8}),
+                    XForm(weight=0.7, color=0.7, color_speed=0.5,
+                          affine=(0.4, 0.1, -0.2, -0.1, 0.4, 0.2),
+                          vars={vname: 0.6})],
+            scale=8.0, size=(64, 64), name=f"u_{vname}")
+        a, b = mk("sinusoidal"), mk("swirl")
+        edge = blend_genomes(a, b)
+        names = list(edge.structure_key().variations)
+        i_a, i_b = names.index("sinusoidal"), names.index("swirl")
+
+        def total(t, col):
+            return float(np.asarray(edge.eval_at(t).var_weights)
+                         [:, col].sum())
+        assert total(0.0, i_b) == 0.0     # b-only silent at t=0
+        assert total(1.0, i_a) == 0.0     # a-only silent at t=1
+        assert total(0.0, i_a) == pytest.approx(1.4, abs=1e-5)
+        assert total(1.0, i_b) == pytest.approx(1.4, abs=1e-5)
+        assert 0.0 < total(0.5, i_a) < 1.4
+        assert 0.0 < total(0.5, i_b) < 1.4
 
     def test_padding_xforms_have_zero_weight(self):
         a, b = sierpinski(), classic_swirl()   # 3 vs 3; force pad
@@ -197,31 +225,44 @@ class TestFarm:
             client = FarmClient(server.address)
             ids = client.submit_animation(
                 sierpinski(), self._profile(), [0.0, 0.0, 0.0], seed=3)
+            # second identical batch: workers must reproduce it exactly
+            ids2 = client.submit_animation(
+                sierpinski(), self._profile(), [0.0, 0.0, 0.0], seed=3)
             assert len(ids) == 3
             workers = [threading.Thread(
                 target=run_worker, args=(server.address,),
-                kwargs={"max_tasks": 2}) for _ in range(2)]
+                kwargs={"max_tasks": 3}) for _ in range(2)]
             for w in workers:
                 w.start()
             frames = [client.fetch(i, timeout=180) for i in ids]
+            frames2 = [client.fetch(i, timeout=180) for i in ids2]
             for w in workers:
                 w.join(timeout=60)
             for f in frames:
                 assert f.shape == (48, 48, 4)
                 assert f[..., :3].max() > 0
-            # same genome+seed policy: determinism per job seed
+            # determinism: same (genome, t, seed+i) job renders the
+            # same frame regardless of which worker picked it up
+            for f1, f2 in zip(frames, frames2):
+                np.testing.assert_array_equal(f1, f2)
+            # per-frame seed policy (seed + i): frames within a batch
+            # use DIFFERENT seeds at the same t
+            assert not np.array_equal(frames[0], frames[1])
             client.close()
         finally:
             server.shutdown()
 
     def test_lease_requeue_on_worker_loss(self):
         from cuburn_tpu.parallel.farm import FarmState
-        st = FarmState(lease_seconds=0.1)
+        # generous lease/margins: with a 0.1s lease a loaded CI
+        # machine could stall past expiry between get_task calls and
+        # flake the 'leased, not available' assert
+        st = FarmState(lease_seconds=2.0)
         [tid] = st.submit("{}", {}, [0.0])
         t1 = st.get_task()
         assert t1 is not None and t1.job_id == tid
         assert st.get_task() is None            # leased, not available
-        time.sleep(0.15)
+        time.sleep(2.2)
         t2 = st.get_task()                      # lease expired: requeued
         assert t2 is not None and t2.job_id == tid
         st.put_result(tid, b"xx", (1, 2))

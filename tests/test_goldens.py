@@ -31,11 +31,22 @@ def _check(name, img):
         Image.open(os.path.join(GOLDEN_DIR, f"{name}.png")))
     assert img.shape == golden.shape
     diff = np.abs(img.astype(np.int32) - golden.astype(np.int32))
-    # identical RNG + deterministic math should be exact on the same
-    # stack; allow a little slack for cross-version XLA changes
-    frac_off = (diff > 2).mean()
-    assert frac_off < 0.02, \
-        f"{name}: {frac_off:.1%} of pixels differ by >2 (max {diff.max()})"
+    if os.environ.get("CUBURN_GOLDEN_LOOSE"):
+        # cross-version/cross-backend runs: transcendental lowering may
+        # legitimately shift a few u8 values
+        frac_off = (diff > 2).mean()
+        assert frac_off < 0.02, (f"{name}: {frac_off:.1%} of pixels "
+                                 f"differ by >2 (max {diff.max()})")
+    else:
+        # identical RNG + deterministic math: EXACT on the same stack
+        # (verified bit-exact round 3).  A loose default (2% of pixels
+        # by any amount) would pass systematic ~1% tone drifts or an
+        # 81-pixel local corruption; set CUBURN_GOLDEN_LOOSE=1 only
+        # when the XLA version actually changed.
+        assert diff.max() == 0, \
+            (f"{name}: {(diff > 0).mean():.2%} of pixels differ "
+             f"(max {diff.max()}); if the XLA stack changed, rerun "
+             "with CUBURN_GOLDEN_LOOSE=1 or regenerate goldens")
 
 
 @pytest.mark.parametrize("name", sorted(GALLERY))

@@ -56,6 +56,40 @@ def test_finite_on_grid(name):
     assert np.isfinite(dy).all(), f"{name} produced non-finite y"
 
 
+def test_stochastic_partition_matches_rng_usage():
+    """The STOCHASTIC_VARIATIONS set must be exactly the set of
+    implementations whose output depends on the RNG stream: run every
+    variation twice on the same inputs with different seeds and
+    compare.  Keeps the schema's stochastic/deterministic partition
+    (used for test policy and documentation) from drifting as
+    variations are added."""
+    tx, ty = _grid(16)
+    actually_stochastic = set()
+    for name in ALL_VARIATIONS:
+        # probe at defaults AND at activated params: several stochastic
+        # variations are deterministic at their flam3 defaults (power=1
+        # makes trunc(|power|*u)=0; super_shape_rnd=0 blends no random
+        # radius), which is exactly why the partition needs pinning
+        bumped = {attr: d * 1.7 + 0.9
+                  for attr, d in VARIATION_PARAMS[name]}
+        for params in (None, bumped):
+            a = _eval(name, tx, ty, params=params, seed=0)
+            b = _eval(name, tx, ty, params=params, seed=1)
+            if not (np.array_equal(a[0], b[0])
+                    and np.array_equal(a[1], b[1])):
+                actually_stochastic.add(name)
+                break
+    # pre_blur's registered impl is a deliberate no-op — its RNG use
+    # lives in the PRE-step path (ops/xform.py), pinned by
+    # test_pre_blur_perturbs_before_variations
+    actually_stochastic.add("pre_blur")
+    assert actually_stochastic == set(STOCHASTIC_VARIATIONS), (
+        "rng-using but not declared: "
+        f"{sorted(actually_stochastic - set(STOCHASTIC_VARIATIONS))}; "
+        "declared but deterministic: "
+        f"{sorted(set(STOCHASTIC_VARIATIONS) - actually_stochastic)}")
+
+
 @pytest.mark.parametrize("name", ALL_VARIATIONS)
 def test_zero_weight_is_zero(name):
     """w=0 must contribute nothing (the union-evaluation design relies
@@ -230,6 +264,21 @@ class TestClosedForms:
         # a=1, d=1 (b=c=0): the identity Mobius map
         p = {"mobius_re_a": 1.0, "mobius_re_d": 1.0}
         self.check("mobius", self.x, self.y, params=p, tol=1e-3)
+
+    def test_mobius_general_params(self):
+        """Full Mobius arithmetic vs numpy complex division: nonzero
+        b and c, complex everything — a conjugated denominator or
+        transposed b/c roles reduces to identity at the
+        identity-params test above and would pass it."""
+        a, b = 0.8 + 0.3j, 0.1 - 0.2j
+        cc, d = 0.25 + 0.15j, 1.1 - 0.1j   # pole at ~(-3.1, 2.2), off-grid
+        z = self.x + 1j * self.y
+        m = (a * z + b) / (cc * z + d)
+        p = {"mobius_re_a": a.real, "mobius_im_a": a.imag,
+             "mobius_re_b": b.real, "mobius_im_b": b.imag,
+             "mobius_re_c": cc.real, "mobius_im_c": cc.imag,
+             "mobius_re_d": d.real, "mobius_im_d": d.imag}
+        self.check("mobius", m.real, m.imag, params=p, tol=2e-3)
 
     def test_complex_sin(self):
         self.check("sin", np.sin(self.x) * np.cosh(self.y),
@@ -887,6 +936,30 @@ class TestStochasticInvariants:
         scale = np.hypot(dx, dy) / np.hypot(x, y)
         assert scale.std() > 1e-3
 
+    def test_flower_length_law(self):
+        """Pin flower's defining radius law |out| = w*(u-holes)*
+        cos(petals*theta): zero at petal boundaries, and at theta=0
+        the signed scale spans exactly [-w*holes, w*(1-holes))."""
+        B, w = 4096, 0.9
+        petals, holes = 4.0, 0.25
+        p = {"flower_petals": petals, "flower_holes": holes}
+        # petal boundary: cos(4 * pi/8) = 0 -> output collapses
+        th = np.pi / 8.0
+        tx = jnp.full((B,), 1.6 * np.cos(th), jnp.float32)
+        ty = jnp.full((B,), 1.6 * np.sin(th), jnp.float32)
+        dx, dy = _eval("flower", tx, ty, w=w, params=p, seed=5)
+        assert np.hypot(dx, dy).max() < 5e-3
+        # theta = 0: out_x = w*(u - holes), u ~ U[0,1) — the /r in
+        # rr cancels against |x|, so the law is radius-independent
+        tx0 = jnp.full((B,), 1.6, jnp.float32)
+        ty0 = jnp.zeros((B,), jnp.float32)
+        dx0, dy0 = _eval("flower", tx0, ty0, w=w, params=p, seed=6)
+        s = np.asarray(dx0)
+        np.testing.assert_allclose(np.abs(dy0), 0.0, atol=1e-4)
+        assert s.max() == pytest.approx(w * (1 - holes), abs=0.01)
+        assert s.min() == pytest.approx(-w * holes, abs=0.01)
+        assert s.mean() == pytest.approx(w * (0.5 - holes), abs=0.02)
+
     def test_pie_slice_quantization(self):
         # pie with slices=4, rotation=0: output angles cluster at
         # multiples of 2pi/4 +- thickness*slice width
@@ -1178,3 +1251,23 @@ def test_pre_blur_perturbs_before_variations():
     ox, oy = np.asarray(ox), np.asarray(oy)
     assert abs(ox.mean() - 0.4) < 0.02 and abs(oy.mean() + 0.2) < 0.02
     assert ox.std() > 0.05 and oy.std() > 0.05
+
+    # the linear stack above cannot distinguish PRE from additive
+    # (f(x+j) == f(x)+j when f is identity) — pin the ordering with a
+    # NONLINEAR variation: spherical at |x|=3 with pre_blur w=0.5.
+    # PRE semantics: out = (x+j)/|x+j|^2, spread ~ std(|j|)/9 ≈ 0.03;
+    # additive would add 0.5*j directly, spread ≈ 0.29 — 10x apart.
+    tx3 = jnp.full((B,), 3.0, jnp.float32)
+    ty3 = jnp.zeros((B,), jnp.float32)
+    stream2 = rng_mod.RngStream(rng_mod.seed(jax.random.PRNGKey(5), B))
+    ox3, oy3 = apply_variation_stack(
+        ("spherical", "pre_blur"), (), tx3, ty3, vw,
+        jnp.zeros((B, 1)),
+        jnp.stack([jnp.full((B,), v) for v in
+                   (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)], 1), stream2)
+    ox3, oy3 = np.asarray(ox3), np.asarray(oy3)
+    assert abs(ox3.mean() - 1.0 / 3.0) < 0.02
+    assert abs(oy3.mean()) < 0.02
+    assert ox3.std() < 0.1 and oy3.std() < 0.1, \
+        (ox3.std(), oy3.std(), "pre_blur applied additively?")
+    assert ox3.std() > 1e-4                     # jitter did happen
