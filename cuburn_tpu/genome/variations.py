@@ -112,14 +112,6 @@ AFFINE_DEPENDENT_VARIATIONS = frozenset({
 })
 
 
-def param_names(var: str):
-    return tuple(n for n, _ in VARIATION_PARAMS[var])
-
-
-def param_defaults(var: str):
-    return dict(VARIATION_PARAMS[var])
-
-
 def is_variation(name: str) -> bool:
     return name in VARIATION_PARAMS
 
