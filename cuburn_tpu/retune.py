@@ -83,8 +83,12 @@ def main():
     key = g.structure_key()
     params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
     cdf = xform_cdf_rows(params)
-    B = 1 << 15
-    n_chunks = 8 if args.quick else 16
+    # sweep sizes: env overrides exist so the tool itself can be
+    # exercised end-to-end in CI at toy sizes (the measured VALUES are
+    # then meaningless — only the default sizes produce a real tune)
+    B = int(os.environ.get("CUBURN_RETUNE_BATCH", 1 << 15))
+    n_chunks = int(os.environ.get("CUBURN_RETUNE_CHUNKS",
+                                  8 if args.quick else 16))
 
     tune = {"device": str(jax.devices()[0]),
             "jax_backend": jax.default_backend(),

@@ -165,6 +165,36 @@ class TestAnimation:
         tune.write_text(json.dumps({"sort_segments": 8}))
         assert Renderer(sierpinski(), FAST).sort_segments == 2
 
+    def test_retune_tool_end_to_end(self, tmp_path, monkeypatch):
+        """The first-hour-on-real-silicon tool itself must RUN: a full
+        retune pass at toy sweep sizes (env knobs) — backend races at
+        both densities, S/K/tiled sweeps — writing a record the
+        Renderer consumes.  Protects the one script whose bit-rot
+        would surface at the worst possible moment."""
+        import json
+        import sys
+        from cuburn_tpu import retune as rt
+        out = tmp_path / "tune.json"
+        monkeypatch.setenv("CUBURN_RETUNE_BATCH", "512")
+        monkeypatch.setenv("CUBURN_RETUNE_CHUNKS", "1")
+        monkeypatch.setattr(sys, "argv",
+                            ["retune", "--quick", "--out", str(out)])
+        rt.main()
+        rec = json.loads(out.read_text())
+        assert rec["hist_backend"] in ("scatter", "scatter_sorted",
+                                       "pallas_win")
+        assert rec["hist_backend_tiled"] in ("scatter", "scatter_sorted",
+                                             "pallas_win")
+        assert rec["sort_segments"] in (1, 4, 16)
+        assert rec["flush_records"] % 512 == 0
+        # every race row measured (quick: 3 backends x 2 densities,
+        # 3 S values, 2 K values, 2 tiled K values)
+        assert len(rec["measurements"]) >= 13
+        # and the Renderer actually consumes the written file
+        monkeypatch.setenv("CUBURN_TUNE_FILE", str(out))
+        r = Renderer(sierpinski(), FAST)
+        assert r.sort_segments == rec["sort_segments"]
+
     def test_auto_iters_per_chunk(self, monkeypatch):
         """iters_per_chunk=0 resolves by histogram geometry: base (32
         or the tune record) for VMEM-resident pallas_win histograms
