@@ -165,6 +165,23 @@ class TestAnimation:
         tune.write_text(json.dumps({"sort_segments": 8}))
         assert Renderer(sierpinski(), FAST).sort_segments == 2
 
+    def test_bench_scripts_import_clean(self):
+        """Every bench/ script plus sortbench.py must at least import
+        (all have __main__ guards): the real-silicon measurement kit
+        (ROADMAP.md's first-hour list) must not bit-rot while the dev
+        chip is unavailable."""
+        import glob
+        import importlib.util
+        root = os.path.join(os.path.dirname(__file__), "..")
+        scripts = sorted(glob.glob(os.path.join(root, "bench", "*.py")))
+        scripts.append(os.path.join(root, "sortbench.py"))
+        assert len(scripts) >= 12
+        for path in scripts:
+            name = "bench_smoke_" + os.path.basename(path)[:-3]
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)     # raises on rot
+
     def test_retune_tool_end_to_end(self, tmp_path, monkeypatch):
         """The first-hour-on-real-silicon tool itself must RUN: a full
         retune pass at toy sweep sizes (env knobs) — backend races at
