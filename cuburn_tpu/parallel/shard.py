@@ -179,6 +179,86 @@ def sharded_accumulate_temporal(
                  n_chunks)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("key", "cam", "backend", "mesh", "n_iters",
+                     "fuse", "packed", "op_bits", "sort_segments",
+                     "band_rows", "block_rows", "pad_bot", "gutter"))
+def sharded_accumulate_scattered(
+    key: StructureKey,
+    cam: CameraSpec,
+    backend: str,
+    mesh: Mesh,
+    params,
+    cdf_rows,
+    state: IterState,
+    myblocks,                 # (n, block_rows, acc_w, 4) P(BATCH_AXIS)
+    ppu,
+    n_chunks: int,
+    n_iters: int,
+    fuse: int,
+    band_rows: int,
+    block_rows: int,
+    pad_bot: int,
+    gutter: int,
+    packed: bool = True,
+    op_bits: int = 0,
+    sort_segments: int = 1,
+):
+    """sharded_accumulate with a reduce-scatter instead of the psum:
+    device k ends up owning ONLY the reduced rows its filter band
+    needs (band k's acc rows ± the DE/spatial margin, baked into the
+    block slicing so no halo exchange is ever required).
+
+    ICI cost is ~half the replicated psum's (reduce-scatter moves
+    (n-1)/n of the array once vs psum's 2(n-1)/n), and the
+    post-reduction per-chip residency is ~1/n of the histogram — the
+    ROADMAP.md multi-chip alternative for replica-sized frames
+    (138 MB/chip at 1080p ss2).  The pre-reduction delta is still
+    full-size per chip: trajectory sharding lets any chip plot
+    anywhere, so that term is inherent to the decomposition.
+
+    Exactness: block k of the scatter equals rows of psum(delta) —
+    density (integer counts in f32) is exact; RGB may differ from the
+    replicated path only by f32 reduction-order ulps.
+
+    `n_chunks` is TRACED (the single-chip rule, CLAUDE.md)."""
+    from cuburn_tpu.ops.iterate import hist_alloc_for, hist_to_logical
+    n = mesh.devices.size
+    n_chunks = jnp.int32(n_chunks)
+    acc_h, acc_w = cam.acc_height, cam.acc_width
+    margin_top = (block_rows - band_rows) // 2  # == margin
+
+    def device_body(params, cdf_rows, state, myblock, ppu, n_chunks):
+        zero = hist_alloc_for(backend, cam.n_bins)
+        state, delta, n_plot = iterate_accumulate(
+            key, cam, backend, params, cdf_rows, state, zero, ppu,
+            n_chunks, n_iters, fuse, packed=packed, op_bits=op_bits,
+            sort_segments=sort_segments)
+        h_log = hist_to_logical(backend, delta, cam.n_bins)
+        img = h_log[:cam.n_bins].reshape(acc_h, acc_w, 4)
+        img = jnp.pad(img, ((margin_top, pad_bot), (0, 0), (0, 0)))
+        # block k = the padded rows band k's filter needs (the same
+        # slice the replicated finalize takes from the full replica)
+        blocks = jnp.stack([
+            jax.lax.dynamic_slice(
+                img, (gutter + k * band_rows, 0, 0),
+                (block_rows, acc_w, 4))
+            for k in range(n)])
+        mine = jax.lax.psum_scatter(blocks, BATCH_AXIS,
+                                    scatter_dimension=0)
+        plotted = jax.lax.psum(n_plot, BATCH_AXIS)
+        return state, (myblock[0] + mine)[None], plotted
+
+    shard = jax.shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
+        check_vma=False,
+    )
+    return shard(params, cdf_rows, state, myblocks, ppu, n_chunks)
+
+
 from cuburn_tpu.render import Renderer
 
 
@@ -351,6 +431,33 @@ class ShardedRenderer(Renderer):
             stats.filter_s = _time.perf_counter() - t1
         return out
 
+    def _band_geometry(self, de_on: bool):
+        """Static per-renderer band-filter geometry shared by the
+        replicated and scattered paths: (h_band, band_rows, margin,
+        block_rows, pad_bot) — output rows per device, their acc rows,
+        the DE+spatial context margin, the context block height, and
+        the bottom padding that keeps every block slice in bounds."""
+        from cuburn_tpu.render import de_mod
+        prof, cam = self.profile, self.cam
+        ss, g = cam.ss, cam.gutter
+        h_band = -(-prof.height // self.n_devices)
+        band_rows = h_band * ss
+        de_r = self._static_de_r
+        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
+                                         de_mod.MAX_RADIUS_CAP)))
+                   if de_on else 0)
+        pad = 0
+        sf = self._static_sf
+        if sf > 0:
+            from cuburn_tpu.ops.filtering import spatial_filter_taps
+            pad = (spatial_filter_taps(
+                self.genome.spatial_filter_shape, sf, ss).shape[0]
+                - ss) // 2
+        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        bot = max(margin + self.n_devices * band_rows
+                  - (cam.acc_height - g), 0)
+        return h_band, band_rows, margin, band_rows + 2 * margin, bot
+
     def finalize_frame_device(self, hist, t: float = 0.0):
         """Sharded finalize_frame WITHOUT the host readback (returns
         the (H, W, 4) u8 frame as a device array) — lets the
@@ -373,21 +480,12 @@ class ShardedRenderer(Renderer):
         de_on = self._de_on(params)
         sf = self._static_sf
         shape = self.genome.spatial_filter_shape
-        band_rows = h_band * ss
-        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
-                                         de_mod.MAX_RADIUS_CAP)))
-                   if de_on else 0)
-        pad = 0
-        if sf > 0:
-            from cuburn_tpu.ops.filtering import spatial_filter_taps
-            pad = (spatial_filter_taps(shape, sf, ss).shape[0]
-                   - ss) // 2
-        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        h_band, band_rows, margin, _block, _bot = \
+            self._band_geometry(de_on)
         acc_h, acc_w = cam.acc_height, cam.acc_width
         img = jnp.asarray(hist)[:-1].reshape(acc_h, acc_w, 4)
         # pad so every band's +-margin slice is in bounds
-        bot = margin + n * band_rows - (acc_h - g)
-        img = jnp.pad(img, ((margin, max(bot, 0)), (0, 0), (0, 0)))
+        img = jnp.pad(img, ((margin, _bot), (0, 0), (0, 0)))
 
         def device_band(img, params, q_cell):
             k = jax.lax.axis_index(BATCH_AXIS)
@@ -408,6 +506,119 @@ class ShardedRenderer(Renderer):
         )
         bands = shard(img, params, q_cell)       # (n, h_band, W, 4)
         return bands.reshape(n * h_band, W, 4)[:H]
+
+    # -- reduce-scatter mode ------------------------------------------------
+    # Alternative to the replicated psum (ROADMAP.md multi-chip): the
+    # reduction scatters each device the exact context block its
+    # filter band needs — ~half the ICI bytes, 1/n post-reduction
+    # residency, no full histogram replica ever materialized after
+    # the collective.  Exact for density; RGB within reduction-order
+    # ulps of the replicated path.
+
+    def accumulate_scattered(self, t: float = 0.0, seed: int = 0):
+        """One frame's accumulation with the reduce-scatter reduction.
+        Returns (myblocks (n, block_rows, acc_w, 4) device array where
+        row k is device k's reduced filter-context block, stats).
+        Motion blur and histogram resume are not supported in this
+        mode (use the replicated default)."""
+        import time as _time
+        prof, cam, key = self.profile, self.cam, self.key
+        if prof.temporal_samples > 1:
+            raise NotImplementedError(
+                "scattered mode does not support temporal_samples>1")
+        from cuburn_tpu.render import FrameStats as _FS, _to_device
+        from cuburn_tpu.utils.timing import hard_sync
+        stats = _FS()
+        t0 = _time.perf_counter()
+        params = _to_device(self.genome.eval_at(t))
+        de_on = self._de_on(params)
+        h_band, band_rows, margin, block_rows, pad_bot = \
+            self._band_geometry(de_on)
+        n = self.n_devices
+        cdf_rows = xform_cdf_rows(params)
+        iters = prof.total_iters
+        batch = self._halved_batch(iters)
+        state = init_state(jax.random.PRNGKey(seed * 7919), batch)
+        state = jax.device_put(
+            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        ppu = params.ppu * jnp.float32(
+            prof.width / self.genome.size[0])
+        myblocks = jnp.zeros((n, block_rows, cam.acc_width, 4),
+                             jnp.float32)
+        myblocks = jax.device_put(
+            myblocks, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        per_chunk = batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters / per_chunk)))
+        cap = (max(1, prof.dispatch_iter_cap // per_chunk)
+               if prof.dispatch_iter_cap else n_chunks)
+        plotted = jnp.float32(0.0)
+        left = n_chunks
+        while left > 0:
+            k = min(left, cap)
+            state, myblocks, n_plot = sharded_accumulate_scattered(
+                key, cam, self.backend, self.mesh, params, cdf_rows,
+                state, myblocks, ppu, k, prof.iters_per_chunk,
+                prof.fuse, band_rows, block_rows, pad_bot,
+                cam.gutter, packed=self.packed, op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+            plotted = plotted + n_plot
+            left -= k
+        hard_sync(myblocks)
+        stats.plotted_samples = int(np.asarray(plotted))
+        stats.total_iters = n_chunks * batch * prof.iters_per_chunk
+        stats.iterate_s = _time.perf_counter() - t0
+        return myblocks, stats
+
+    def finalize_frame_scattered(self, myblocks, t: float = 0.0,
+                                 stats=None):
+        """Filter the scattered blocks where they live: each device
+        runs _filter_band on its own reduced block (no collective at
+        all — the margins were baked in by the scatter) and the u8
+        bands gather back."""
+        import time as _time
+        from cuburn_tpu.render import _filter_band, _to_device
+        t1 = _time.perf_counter()
+        prof, cam = self.profile, self.cam
+        n = self.n_devices
+        params = _to_device(self.genome.eval_at(t))
+        _times, _w, sumfilt = self._temporal_times(t)
+        q_cell = jnp.float32(prof.quality * sumfilt
+                             / (cam.ss * cam.ss))
+        de_on = self._de_on(params)
+        de_r = self._static_de_r
+        de_static = de_r if de_r > 0 else 9.0
+        sf = self._static_sf
+        shape = self.genome.spatial_filter_shape
+        h_band, band_rows, margin, block_rows, _bot = \
+            self._band_geometry(de_on)
+
+        def device_band(myblock, params, q_cell):
+            band = _filter_band(
+                myblock[0], params, q_cell, cam.ss, margin,
+                cam.gutter, prof.transparent, de_on, de_static, sf,
+                shape)
+            return band[None]
+
+        shard = jax.shard_map(
+            device_band, mesh=self.mesh,
+            in_specs=(P(BATCH_AXIS), P(), P()),
+            out_specs=P(BATCH_AXIS),
+            check_vma=False,
+        )
+        bands = shard(myblocks, params, q_cell)
+        out = np.asarray(
+            bands.reshape(n * h_band, prof.width, 4)[:prof.height])
+        if stats is not None:
+            stats.filter_s = _time.perf_counter() - t1
+        return out
+
+    def render_frame_scattered(self, t: float = 0.0, seed: int = 0):
+        """render_frame through the reduce-scatter mode: same output
+        contract (density-exact vs the replicated path; RGB within
+        reduction-order ulps, i.e. <=1 u8 step)."""
+        myblocks, stats = self.accumulate_scattered(t, seed)
+        img = self.finalize_frame_scattered(myblocks, t, stats)
+        return img, stats
 
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
                              iters_per_sample, tile_row0=None):

@@ -331,3 +331,75 @@ def test_sharded_temporal_dispatch_cap_parity(eight_devices):
         np.testing.assert_array_equal(a[:, 3], b[:, 3])
         np.testing.assert_allclose(a[:, :3], b[:, :3],
                                    rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("backend", ["scatter", "pallas_win"])
+def test_scattered_mode_matches_replicated(eight_devices, backend):
+    """Reduce-scatter mode (each chip owns only its filter band's
+    reduced context block; ~half the ICI bytes of the psum, 1/n
+    post-reduction residency) must reproduce the replicated-psum
+    render: same trajectory stream, same filter math — frames within
+    one u8 step (reduction-order ulps), same plotted count."""
+    from cuburn_tpu.models import full_feature
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = full_feature()
+    prof = RenderProfile(width=64, height=64, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend=backend,
+                         de_enabled=True, fuse=8)
+    sr = ShardedRenderer(g, prof)
+    img_r, st_r = sr.render_frame(0.0, seed=3)
+    img_s, st_s = sr.render_frame_scattered(0.0, seed=3)
+    assert st_s.plotted_samples == st_r.plotted_samples
+    d = np.abs(np.asarray(img_r).astype(int) - img_s.astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_scattered_blocks_density_exact(eight_devices):
+    """Each scattered block must equal the corresponding rows of the
+    replicated psum histogram EXACTLY in density (integer counts; the
+    scatter is the same sum, distributed)."""
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=64, height=64, quality=25, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=True, fuse=8)
+    sr = ShardedRenderer(g, prof)
+    hist, _ = sr.accumulate(0.0, seed=7)          # replicated psum
+    blocks, _ = sr.accumulate_scattered(0.0, seed=7)
+    cam = sr.cam
+    de_on = sr._de_on(
+        __import__("cuburn_tpu.render", fromlist=["_to_device"])
+        ._to_device(g.eval_at(0.0)))
+    h_band, band_rows, margin, block_rows, pad_bot = \
+        sr._band_geometry(de_on)
+    img = np.asarray(hist)[:-1].reshape(cam.acc_height,
+                                        cam.acc_width, 4)
+    img = np.pad(img, ((margin, pad_bot), (0, 0), (0, 0)))
+    blocks = np.asarray(blocks)
+    for k in range(sr.n_devices):
+        ref = img[cam.gutter + k * band_rows:
+                  cam.gutter + k * band_rows + block_rows]
+        np.testing.assert_array_equal(blocks[k][..., 3], ref[..., 3])
+        np.testing.assert_allclose(blocks[k], ref, atol=1e-3)
+
+
+def test_scattered_mode_odd_height_and_cap(eight_devices):
+    """Scattered mode at a height not divisible by the mesh size and
+    under dispatch_iter_cap: capped calls accumulate into the carried
+    blocks through ONE traced program and still match the replicated
+    render."""
+    import dataclasses
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=72, height=50, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=True, fuse=8)
+    sr = ShardedRenderer(g, prof)
+    img_r, _ = sr.render_frame(0.0, seed=5)
+    prof_c = dataclasses.replace(prof, dispatch_iter_cap=2048 * 8)
+    src = ShardedRenderer(g, prof_c)
+    img_s, st_s = src.render_frame_scattered(0.0, seed=5)
+    assert img_s.shape == (50, 72, 4)
+    d = np.abs(np.asarray(img_r).astype(int) - img_s.astype(int))
+    assert d.max() <= 1, d.max()
+    assert st_s.plotted_samples > 0
