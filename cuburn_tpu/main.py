@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int,
                    help="shard the frame across N local chips "
                         "(trajectory DP + ICI histogram reduce)")
+    p.add_argument("--reduce-scatter", action="store_true",
+                   help="with --devices N: reduce-scatter the "
+                        "histogram instead of replicating it (each "
+                        "chip owns only its filter band's block — "
+                        "~half the ICI bytes, 1/n residency; stills "
+                        "only)")
     p.add_argument("--save-hist",
                    help="write the raw f32 accumulation histogram to "
                         "this .npy (checkpoint for high-quality stills)")
@@ -196,6 +202,16 @@ def main(argv=None) -> int:
         raise SystemExit(
             "--save-hist/--resume-hist/--time apply to stills; "
             "they have no effect with --animate")
+    if args.reduce_scatter:
+        if not (args.devices and args.devices > 1):
+            raise SystemExit("--reduce-scatter requires --devices N>1")
+        if (args.animate or args.stripes > 1 or args.bands > 1
+                or args.save_hist or args.resume_hist):
+            raise SystemExit(
+                "--reduce-scatter renders stills through the "
+                "scattered pipeline only (no animate/stripes/bands/"
+                "checkpoints — each chip never holds a full "
+                "histogram)")
 
     from cuburn_tpu import output as output_mod
     from cuburn_tpu.profile import get_profile
@@ -217,6 +233,10 @@ def main(argv=None) -> int:
     if args.no_de:
         overrides["de_enabled"] = False
     prof = get_profile(args.profile, **overrides)
+    if args.reduce_scatter and prof.temporal_samples > 1:
+        raise SystemExit(
+            "--reduce-scatter does not support motion blur "
+            "(temporal_samples > 1); use the replicated default")
 
     if args.devices and args.devices > 1:
         from cuburn_tpu.parallel import ShardedRenderer, make_mesh
@@ -325,6 +345,9 @@ def main(argv=None) -> int:
                 if args.save_hist:
                     np.save(args.save_hist, np.asarray(hist))
                 img = finalize(hist, stats)
+            elif args.reduce_scatter:
+                img, stats = renderer.render_frame_scattered(
+                    args.time, seed=args.seed)
             else:
                 img, stats = renderer.render_frame(args.time,
                                                    seed=args.seed)

@@ -682,6 +682,34 @@ class TestShardedCLI:
         img = np.asarray(Image.open(out))
         assert img[..., :3].max() > 0
 
+    def test_reduce_scatter_flag(self, tmp_path):
+        """--reduce-scatter routes stills through the scattered
+        pipeline and refuses the combinations where a full per-chip
+        histogram never exists."""
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        from cuburn_tpu.main import main
+        out = str(tmp_path / "rs.png")
+        rc = main(["gallery:sierpinski", "-o", out, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "20", "--devices", "4",
+                   "--reduce-scatter"])
+        assert rc == 0
+        from PIL import Image
+        img = np.asarray(Image.open(out))
+        assert img[..., :3].max() > 0
+        # refusals: no --devices, and full-histogram-only features
+        for extra in ([],
+                      ["--devices", "4", "--save-hist",
+                       str(tmp_path / "h.npy")],
+                      ["--devices", "4", "--stripes", "2"],
+                      ["--devices", "4", "--temporal-samples", "2"]):
+            with pytest.raises(SystemExit):
+                main(["gallery:sierpinski", "-o", out,
+                      "--profile", "preview", "--width", "64",
+                      "--height", "64", "--reduce-scatter"] + extra)
+
     def test_devices_animate_overlapped(self, tmp_path):
         """--devices N --animate goes through the sharded renderer's
         overlapped driver (regression: the CLI used to force
