@@ -183,7 +183,7 @@ def sharded_accumulate_temporal(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_iters",
                      "fuse", "packed", "op_bits", "sort_segments",
-                     "band_rows", "block_rows", "pad_bot", "gutter"))
+                     "band_rows", "margin", "pad_bot"))
 def sharded_accumulate_scattered(
     key: StructureKey,
     cam: CameraSpec,
@@ -198,9 +198,8 @@ def sharded_accumulate_scattered(
     n_iters: int,
     fuse: int,
     band_rows: int,
-    block_rows: int,
+    margin: int,
     pad_bot: int,
-    gutter: int,
     packed: bool = True,
     op_bits: int = 0,
     sort_segments: int = 1,
@@ -227,7 +226,8 @@ def sharded_accumulate_scattered(
     n = mesh.devices.size
     n_chunks = jnp.int32(n_chunks)
     acc_h, acc_w = cam.acc_height, cam.acc_width
-    margin_top = (block_rows - band_rows) // 2  # == margin
+    gutter = cam.gutter
+    block_rows = band_rows + 2 * margin
 
     def device_body(params, cdf_rows, state, myblock, ppu, n_chunks):
         zero = hist_alloc_for(backend, cam.n_bins)
@@ -237,7 +237,7 @@ def sharded_accumulate_scattered(
             sort_segments=sort_segments)
         h_log = hist_to_logical(backend, delta, cam.n_bins)
         img = h_log[:cam.n_bins].reshape(acc_h, acc_w, 4)
-        img = jnp.pad(img, ((margin_top, pad_bot), (0, 0), (0, 0)))
+        img = jnp.pad(img, ((margin, pad_bot), (0, 0), (0, 0)))
         # block k = the padded rows band k's filter needs (the same
         # slice the replicated finalize takes from the full replica)
         blocks = jnp.stack([
@@ -437,23 +437,14 @@ class ShardedRenderer(Renderer):
         block_rows, pad_bot) — output rows per device, their acc rows,
         the DE+spatial context margin, the context block height, and
         the bottom padding that keeps every block slice in bounds."""
-        from cuburn_tpu.render import de_mod
+        from cuburn_tpu.render import band_margin
         prof, cam = self.profile, self.cam
         ss, g = cam.ss, cam.gutter
         h_band = -(-prof.height // self.n_devices)
         band_rows = h_band * ss
-        de_r = self._static_de_r
-        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
-                                         de_mod.MAX_RADIUS_CAP)))
-                   if de_on else 0)
-        pad = 0
-        sf = self._static_sf
-        if sf > 0:
-            from cuburn_tpu.ops.filtering import spatial_filter_taps
-            pad = (spatial_filter_taps(
-                self.genome.spatial_filter_shape, sf, ss).shape[0]
-                - ss) // 2
-        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        margin = band_margin(de_on, self._static_de_r,
+                             self._static_sf,
+                             self.genome.spatial_filter_shape, ss)
         bot = max(margin + self.n_devices * band_rows
                   - (cam.acc_height - g), 0)
         return h_band, band_rows, margin, band_rows + 2 * margin, bot
@@ -558,8 +549,8 @@ class ShardedRenderer(Renderer):
             state, myblocks, n_plot = sharded_accumulate_scattered(
                 key, cam, self.backend, self.mesh, params, cdf_rows,
                 state, myblocks, ppu, k, prof.iters_per_chunk,
-                prof.fuse, band_rows, block_rows, pad_bot,
-                cam.gutter, packed=self.packed, op_bits=self.op_bits,
+                prof.fuse, band_rows, margin, pad_bot,
+                packed=self.packed, op_bits=self.op_bits,
                 sort_segments=self.sort_segments)
             plotted = plotted + n_plot
             left -= k

@@ -146,6 +146,25 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     return to_u8(img)
 
 
+def band_margin(de_on: bool, de_r: float, spatial_filter: float,
+                filter_shape: str, ss: int) -> int:
+    """Vertical context rows a band filter needs: 1.5x the (capped)
+    static DE radius + the spatial filter's half-width, rounded up to
+    an ss multiple.  The ONE margin formula shared by
+    finalize_frame_banded, the sharded band filter, and the
+    reduce-scatter mode — these paths must never compute different
+    supports."""
+    de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
+                                     de_mod.MAX_RADIUS_CAP)))
+               if de_on else 0)
+    pad = 0
+    if spatial_filter > 0:
+        from cuburn_tpu.ops.filtering import spatial_filter_taps
+        pad = (spatial_filter_taps(filter_shape, spatial_filter,
+                                   ss).shape[0] - ss) // 2
+    return ss * int(np.ceil((de_half + pad + 1) / ss))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "ss", "margin", "gutter_x", "transparent", "de_on",
     "de_static_r", "spatial_filter", "filter_shape"))
@@ -629,15 +648,7 @@ class Renderer:
         H, W = prof.height, prof.width
         h_band = -(-H // n_bands)
         band_rows = h_band * ss
-        de_half = (int(np.ceil(1.5 * min(max(de_r, 0.0),
-                                         de_mod.MAX_RADIUS_CAP)))
-                   if de_on else 0)
-        pad = 0
-        if sf > 0:
-            from cuburn_tpu.ops.filtering import spatial_filter_taps
-            pad = (spatial_filter_taps(shape, sf, ss).shape[0]
-                   - ss) // 2
-        margin = ss * int(np.ceil((de_half + pad + 1) / ss))
+        margin = band_margin(de_on, de_r, sf, shape, ss)
         acc_h, acc_w = cam.acc_height, cam.acc_width
         # Round-3: the whole banding runs DEVICE-side.  The old path
         # pulled the full histogram to host (138 MB D2H at 1080p ss2
