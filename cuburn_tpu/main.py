@@ -233,10 +233,6 @@ def main(argv=None) -> int:
     if args.no_de:
         overrides["de_enabled"] = False
     prof = get_profile(args.profile, **overrides)
-    if args.reduce_scatter and prof.temporal_samples > 1:
-        raise SystemExit(
-            "--reduce-scatter does not support motion blur "
-            "(temporal_samples > 1); use the replicated default")
 
     if args.devices and args.devices > 1:
         from cuburn_tpu.parallel import ShardedRenderer, make_mesh

@@ -203,6 +203,7 @@ def sharded_accumulate_scattered(
     packed: bool = True,
     op_bits: int = 0,
     sort_segments: int = 1,
+    weight=None,
 ):
     """sharded_accumulate with a reduce-scatter instead of the psum:
     device k ends up owning ONLY the reduced rows its filter band
@@ -222,19 +223,46 @@ def sharded_accumulate_scattered(
     replicated path only by f32 reduction-order ulps.
 
     `n_chunks` is TRACED (the single-chip rule, CLAUDE.md)."""
-    from cuburn_tpu.ops.iterate import hist_alloc_for, hist_to_logical
+    from cuburn_tpu.ops.iterate import hist_alloc_for
     n = mesh.devices.size
     n_chunks = jnp.int32(n_chunks)
-    acc_h, acc_w = cam.acc_height, cam.acc_width
-    gutter = cam.gutter
-    block_rows = band_rows + 2 * margin
+    w = jnp.float32(1.0) if weight is None \
+        else jnp.asarray(weight, jnp.float32)
 
-    def device_body(params, cdf_rows, state, myblock, ppu, n_chunks):
+    scatter_delta = _make_block_scatter(backend, cam, n, band_rows,
+                                        margin, pad_bot)
+
+    def device_body(params, cdf_rows, state, myblock, ppu, n_chunks,
+                    w):
         zero = hist_alloc_for(backend, cam.n_bins)
         state, delta, n_plot = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state, zero, ppu,
-            n_chunks, n_iters, fuse, packed=packed, op_bits=op_bits,
-            sort_segments=sort_segments)
+            n_chunks, n_iters, fuse, packed=packed, weight=w,
+            op_bits=op_bits, sort_segments=sort_segments)
+        mine = scatter_delta(delta)
+        plotted = jax.lax.psum(n_plot, BATCH_AXIS)
+        return state, (myblock[0] + mine)[None], plotted
+
+    shard = jax.shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS), P(), P(),
+                  P()),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
+        check_vma=False,
+    )
+    return shard(params, cdf_rows, state, myblocks, ppu, n_chunks, w)
+
+
+def _make_block_scatter(backend, cam, n, band_rows, margin, pad_bot):
+    """The scattered modes' shared reduction: slice the local delta
+    into the n overlapping filter-context blocks and psum_scatter so
+    device k receives reduced block k."""
+    from cuburn_tpu.ops.iterate import hist_to_logical
+    acc_h, acc_w = cam.acc_height, cam.acc_width
+    block_rows = band_rows + 2 * margin
+    gutter = cam.gutter
+
+    def scatter_delta(delta):
         h_log = hist_to_logical(backend, delta, cam.n_bins)
         img = h_log[:cam.n_bins].reshape(acc_h, acc_w, 4)
         img = jnp.pad(img, ((margin, pad_bot), (0, 0), (0, 0)))
@@ -245,18 +273,66 @@ def sharded_accumulate_scattered(
                 img, (gutter + k * band_rows, 0, 0),
                 (block_rows, acc_w, 4))
             for k in range(n)])
-        mine = jax.lax.psum_scatter(blocks, BATCH_AXIS,
+        return jax.lax.psum_scatter(blocks, BATCH_AXIS,
                                     scatter_dimension=0)
+
+    return scatter_delta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("key", "cam", "backend", "mesh", "n_iters",
+                     "fuse", "packed", "op_bits", "sort_segments",
+                     "band_rows", "margin", "pad_bot"))
+def sharded_accumulate_temporal_scattered(
+    key: StructureKey,
+    cam: CameraSpec,
+    backend: str,
+    mesh: Mesh,
+    params_T,
+    state: IterState,
+    myblocks,
+    ppu_T,
+    weights_T,
+    n_chunks: int,
+    n_iters: int,
+    fuse: int,
+    band_rows: int,
+    margin: int,
+    pad_bot: int,
+    packed: bool = True,
+    op_bits: int = 0,
+    sort_segments: int = 1,
+):
+    """sharded_accumulate_temporal with the reduce-scatter reduction:
+    motion blur through the scattered mode, one dispatch, one
+    psum_scatter on the way out."""
+    from cuburn_tpu.ops.iterate import hist_alloc_for
+    n = mesh.devices.size
+    n_chunks = jnp.int32(n_chunks)
+    scatter_delta = _make_block_scatter(backend, cam, n, band_rows,
+                                        margin, pad_bot)
+
+    def device_body(params_T, state, myblock, ppu_T, weights_T,
+                    n_chunks):
+        zero = hist_alloc_for(backend, cam.n_bins)
+        state, delta, n_plot = iterate_accumulate_temporal(
+            key, cam, backend, params_T, state, zero, ppu_T,
+            n_chunks, n_iters, fuse, packed=packed,
+            weights_T=weights_T, op_bits=op_bits,
+            sort_segments=sort_segments)
+        mine = scatter_delta(delta)
         plotted = jax.lax.psum(n_plot, BATCH_AXIS)
         return state, (myblock[0] + mine)[None], plotted
 
     shard = jax.shard_map(
         device_body, mesh=mesh,
-        in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+        in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS), P(), P(), P()),
         out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
         check_vma=False,
     )
-    return shard(params, cdf_rows, state, myblocks, ppu, n_chunks)
+    return shard(params_T, state, myblocks, ppu_T, weights_T,
+                 n_chunks)
 
 
 from cuburn_tpu.render import Renderer
@@ -510,13 +586,11 @@ class ShardedRenderer(Renderer):
         """One frame's accumulation with the reduce-scatter reduction.
         Returns (myblocks (n, block_rows, acc_w, 4) device array where
         row k is device k's reduced filter-context block, stats).
-        Motion blur and histogram resume are not supported in this
-        mode (use the replicated default)."""
+        Motion blur runs through the scattered temporal collective;
+        histogram resume is not supported in this mode (no chip ever
+        holds a full histogram — use the replicated default)."""
         import time as _time
-        prof, cam, key = self.profile, self.cam, self.key
-        if prof.temporal_samples > 1:
-            raise NotImplementedError(
-                "scattered mode does not support temporal_samples>1")
+        prof, cam = self.profile, self.cam
         from cuburn_tpu.render import FrameStats as _FS, _to_device
         from cuburn_tpu.utils.timing import hard_sync
         stats = _FS()
@@ -526,18 +600,35 @@ class ShardedRenderer(Renderer):
         h_band, band_rows, margin, block_rows, pad_bot = \
             self._band_geometry(de_on)
         n = self.n_devices
-        cdf_rows = xform_cdf_rows(params)
-        iters = prof.total_iters
-        batch = self._halved_batch(iters)
-        state = init_state(jax.random.PRNGKey(seed * 7919), batch)
-        state = jax.device_put(
-            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
-        ppu = params.ppu * jnp.float32(
-            prof.width / self.genome.size[0])
         myblocks = jnp.zeros((n, block_rows, cam.acc_width, 4),
                              jnp.float32)
         myblocks = jax.device_put(
             myblocks, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        geom = (band_rows, margin, pad_bot)
+        ts_times, ts_weights, _sumfilt = self._temporal_times(t)
+        if len(ts_times) == 1:
+            myblocks, plotted, total = self._scattered_single(
+                params, myblocks, seed * 7919, geom)
+        else:
+            myblocks, plotted, total = self._scattered_temporal(
+                ts_times, ts_weights, myblocks, seed * 7919, geom)
+        hard_sync(myblocks)
+        stats.plotted_samples = int(np.asarray(plotted))
+        stats.total_iters = total
+        stats.iterate_s = _time.perf_counter() - t0
+        return myblocks, stats
+
+    def _scattered_single(self, params, myblocks, seed, geom):
+        prof, cam, key = self.profile, self.cam, self.key
+        band_rows, margin, pad_bot = geom
+        cdf_rows = xform_cdf_rows(params)
+        iters = prof.total_iters
+        batch = self._halved_batch(iters)
+        state = init_state(jax.random.PRNGKey(seed), batch)
+        state = jax.device_put(
+            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        ppu = params.ppu * jnp.float32(
+            prof.width / self.genome.size[0])
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters / per_chunk)))
         cap = (max(1, prof.dispatch_iter_cap // per_chunk)
@@ -554,11 +645,82 @@ class ShardedRenderer(Renderer):
                 sort_segments=self.sort_segments)
             plotted = plotted + n_plot
             left -= k
-        hard_sync(myblocks)
-        stats.plotted_samples = int(np.asarray(plotted))
-        stats.total_iters = n_chunks * batch * prof.iters_per_chunk
-        stats.iterate_s = _time.perf_counter() - t0
-        return myblocks, stats
+        return myblocks, plotted, n_chunks * batch * prof.iters_per_chunk
+
+    def _scattered_temporal(self, ts_times, ts_weights, myblocks,
+                            seed, geom):
+        """Motion blur in scattered mode: the same sample-major cap
+        ladder as _accumulate_temporal, accumulating into the carried
+        per-device blocks instead of a replicated histogram."""
+        from cuburn_tpu.ops.interp import pack_genome
+        prof, cam, key = self.profile, self.cam, self.key
+        band_rows, margin, pad_bot = geom
+        if not hasattr(self, "_packed_genome"):
+            self._packed_genome = pack_genome(self.genome)
+        params_T = self._packed_genome.eval_params(
+            np.asarray(ts_times, np.float32))
+        ppu_T = params_T.ppu * jnp.float32(
+            prof.width / self.genome.size[0])
+        T = len(ts_times)
+        iters_per_sample = prof.total_iters / T
+        batch = self._halved_batch(iters_per_sample * T)
+        state = init_state(jax.random.PRNGKey(seed), batch)
+        state = jax.device_put(
+            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        per_chunk = batch * prof.iters_per_chunk
+        n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
+        weights = jnp.asarray(ts_weights, jnp.float32)
+        per_sample = n_chunks * per_chunk
+        cap = prof.dispatch_iter_cap
+        total = per_sample * T
+
+        def call_temporal(p_T, ppu_s, w_s, state, blocks, nc):
+            return sharded_accumulate_temporal_scattered(
+                key, cam, self.backend, self.mesh, p_T, state,
+                blocks, ppu_s, w_s, nc, prof.iters_per_chunk,
+                prof.fuse, band_rows, margin, pad_bot,
+                packed=self.packed, op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+
+        if not cap or total <= cap:
+            state, myblocks, plotted = call_temporal(
+                params_T, ppu_T, weights, state, myblocks, n_chunks)
+            return myblocks, plotted, total
+
+        plotted = jnp.float32(0.0)
+        if per_sample <= cap:
+            g = max(1, int(cap // per_sample))
+            for s0 in range(0, T, g):
+                sl = slice(s0, min(s0 + g, T))
+                p_sl = jax.tree_util.tree_map(lambda a: a[sl],
+                                              params_T)
+                state, myblocks, n = call_temporal(
+                    p_sl, ppu_T[sl], weights[sl], state, myblocks,
+                    n_chunks)
+                plotted = plotted + n
+            return myblocks, plotted, total
+
+        # per-chunk within a sample: the weighted plain collective,
+        # sample-major order identical to the uncapped execution
+        cap_chunks = max(1, int(cap // per_chunk))
+        for k in range(T):
+            params_k = jax.tree_util.tree_map(lambda a: a[k],
+                                              params_T)
+            cdf_k = xform_cdf_rows(params_k)
+            left = n_chunks
+            while left > 0:
+                c = min(left, cap_chunks)
+                state, myblocks, n = sharded_accumulate_scattered(
+                    key, cam, self.backend, self.mesh, params_k,
+                    cdf_k, state, myblocks, ppu_T[k], c,
+                    prof.iters_per_chunk, prof.fuse, band_rows,
+                    margin, pad_bot, packed=self.packed,
+                    op_bits=self.op_bits,
+                    sort_segments=self.sort_segments,
+                    weight=weights[k])
+                plotted = plotted + n
+                left -= c
+        return myblocks, plotted, total
 
     def finalize_frame_scattered(self, myblocks, t: float = 0.0,
                                  stats=None):

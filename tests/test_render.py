@@ -699,12 +699,17 @@ class TestShardedCLI:
         from PIL import Image
         img = np.asarray(Image.open(out))
         assert img[..., :3].max() > 0
+        # motion blur runs through the scattered temporal collective
+        rc = main(["gallery:animated_spark", "-o", out, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "16", "--devices", "4",
+                   "--temporal-samples", "2", "--reduce-scatter"])
+        assert rc == 0
         # refusals: no --devices, and full-histogram-only features
         for extra in ([],
                       ["--devices", "4", "--save-hist",
                        str(tmp_path / "h.npy")],
-                      ["--devices", "4", "--stripes", "2"],
-                      ["--devices", "4", "--temporal-samples", "2"]):
+                      ["--devices", "4", "--stripes", "2"]):
             with pytest.raises(SystemExit):
                 main(["gallery:sierpinski", "-o", out,
                       "--profile", "preview", "--width", "64",

@@ -403,3 +403,31 @@ def test_scattered_mode_odd_height_and_cap(eight_devices):
     d = np.abs(np.asarray(img_r).astype(int) - img_s.astype(int))
     assert d.max() <= 1, d.max()
     assert st_s.plotted_samples > 0
+
+
+def test_scattered_temporal_matches_replicated(eight_devices):
+    """Motion blur through the scattered mode (single-dispatch
+    temporal collective + sample-group and per-chunk cap ladders) must
+    match the replicated temporal render within one u8 step."""
+    import dataclasses
+    from cuburn_tpu.models import animated_spark
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = animated_spark()
+    prof = RenderProfile(width=64, height=64, quality=24, batch=2048,
+                         iters_per_chunk=8, hist_backend="scatter",
+                         de_enabled=True, fuse=8, temporal_samples=3)
+    sr = ShardedRenderer(g, prof)
+    img_r, st_r = sr.render_frame(0.5, seed=4)
+    img_s, st_s = sr.render_frame_scattered(0.5, seed=4)
+    assert st_s.plotted_samples == st_r.plotted_samples
+    d = np.abs(np.asarray(img_r).astype(int) - img_s.astype(int))
+    assert d.max() <= 1, d.max()
+    # capped variants (sample groups, then per-chunk splitting) must
+    # reproduce the uncapped scattered frame
+    for cap in (2048 * 8 * 3, 2048 * 8):
+        prof_c = dataclasses.replace(prof, dispatch_iter_cap=cap)
+        img_c, st_c = ShardedRenderer(
+            g, prof_c).render_frame_scattered(0.5, seed=4)
+        assert st_c.plotted_samples == st_s.plotted_samples, cap
+        dc = np.abs(img_c.astype(int) - img_s.astype(int))
+        assert dc.max() <= 1, (cap, dc.max())
