@@ -219,8 +219,11 @@ def sharded_accumulate_scattered(
     anywhere, so that term is inherent to the decomposition.
 
     Exactness: block k of the scatter equals rows of psum(delta) —
-    density (integer counts in f32) is exact; RGB may differ from the
-    replicated path only by f32 reduction-order ulps.
+    with unit `weight`, density (integer counts in f32) is exact; RGB
+    may differ from the replicated path only by f32 reduction-order
+    ulps.  A non-unit `weight` (the temporal per-chunk fallback's
+    flam3 filter weight) scales the whole delta, so density then
+    carries the same ulp-level reassociation caveat as RGB.
 
     `n_chunks` is TRACED (the single-chip rule, CLAUDE.md)."""
     from cuburn_tpu.ops.iterate import hist_alloc_for
@@ -373,9 +376,16 @@ class ShardedRenderer(Renderer):
             batch //= 2
         return batch
 
-    def _accumulate_sample(self, params, hist, seed: int, iters: float,
-                           tile_row0=None):
-        prof, cam, key = self.profile, self.cam, self.key
+    def _chunked_cap_loop(self, params, carry, seed: int, iters: float,
+                          call):
+        """The shared seed/batch/dispatch-cap chunk loop behind the
+        replicated and scattered single-sample paths — ONE copy of the
+        cap derivation so the two modes can't drift.  `call(params,
+        cdf_rows, state, carry, ppu, k)` -> (state, carry', n); the
+        long-execution worker kill does not care which collective runs
+        (n_chunks is traced, so all capped calls share one compiled
+        program)."""
+        prof = self.profile
         cdf_rows = xform_cdf_rows(params)
         batch = self._halved_batch(iters)
         state = init_state(jax.random.PRNGKey(seed), batch)
@@ -385,25 +395,29 @@ class ShardedRenderer(Renderer):
             prof.width / self.genome.size[0])
         per_chunk = batch * prof.iters_per_chunk
         n_chunks = max(1, int(np.ceil(iters / per_chunk)))
-        # honor dispatch_iter_cap like the base renderer: the
-        # long-execution worker kill does not care that the program is
-        # sharded (n_chunks is traced, so all capped calls share one
-        # compiled program)
         cap = (max(1, prof.dispatch_iter_cap // per_chunk)
                if prof.dispatch_iter_cap else n_chunks)
         plotted = jnp.float32(0.0)
         left = n_chunks
         while left > 0:
             k = min(left, cap)
-            state, hist, n = sharded_accumulate(
+            state, carry, n = call(params, cdf_rows, state, carry,
+                                   ppu, k)
+            plotted = plotted + n
+            left -= k
+        return carry, plotted, n_chunks * per_chunk
+
+    def _accumulate_sample(self, params, hist, seed: int, iters: float,
+                           tile_row0=None):
+        def call(params, cdf_rows, state, hist, ppu, k):
+            return sharded_accumulate(
                 key, cam, self.backend, self.mesh, params, cdf_rows,
                 state, hist, ppu, k, prof.iters_per_chunk,
                 prof.fuse, packed=self.packed, tile_row0=tile_row0,
                 op_bits=self.op_bits,
                 sort_segments=self.sort_segments)
-            plotted = plotted + n
-            left -= k
-        return hist, plotted, n_chunks * per_chunk
+        prof, cam, key = self.profile, self.cam, self.key
+        return self._chunked_cap_loop(params, hist, seed, iters, call)
 
     def accumulate_striped(self, t: float = 0.0, seed: int = 0,
                            n_stripes: Optional[int] = None):
@@ -621,40 +635,31 @@ class ShardedRenderer(Renderer):
     def _scattered_single(self, params, myblocks, seed, geom):
         prof, cam, key = self.profile, self.cam, self.key
         band_rows, margin, pad_bot = geom
-        cdf_rows = xform_cdf_rows(params)
-        iters = prof.total_iters
-        batch = self._halved_batch(iters)
-        state = init_state(jax.random.PRNGKey(seed), batch)
-        state = jax.device_put(
-            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
-        ppu = params.ppu * jnp.float32(
-            prof.width / self.genome.size[0])
-        per_chunk = batch * prof.iters_per_chunk
-        n_chunks = max(1, int(np.ceil(iters / per_chunk)))
-        cap = (max(1, prof.dispatch_iter_cap // per_chunk)
-               if prof.dispatch_iter_cap else n_chunks)
-        plotted = jnp.float32(0.0)
-        left = n_chunks
-        while left > 0:
-            k = min(left, cap)
-            state, myblocks, n_plot = sharded_accumulate_scattered(
+
+        def call(params, cdf_rows, state, blocks, ppu, k):
+            return sharded_accumulate_scattered(
                 key, cam, self.backend, self.mesh, params, cdf_rows,
-                state, myblocks, ppu, k, prof.iters_per_chunk,
+                state, blocks, ppu, k, prof.iters_per_chunk,
                 prof.fuse, band_rows, margin, pad_bot,
                 packed=self.packed, op_bits=self.op_bits,
                 sort_segments=self.sort_segments)
-            plotted = plotted + n_plot
-            left -= k
-        return myblocks, plotted, n_chunks * batch * prof.iters_per_chunk
+        return self._chunked_cap_loop(params, myblocks, seed,
+                                      prof.total_iters, call)
 
-    def _scattered_temporal(self, ts_times, ts_weights, myblocks,
-                            seed, geom):
-        """Motion blur in scattered mode: the same sample-major cap
-        ladder as _accumulate_temporal, accumulating into the carried
-        per-device blocks instead of a replicated histogram."""
+    def _temporal_cap_ladder(self, ts_times, ts_weights, carry, seed,
+                             iters_per_sample, call_temporal,
+                             call_single):
+        """The shared sample-major dispatch-cap ladder behind the
+        replicated and scattered temporal paths — ONE copy of the
+        uncapped / sample-group / per-chunk-fallback branching so the
+        modes can't drift.  `call_temporal(p_T, ppu_s, w_s, state,
+        carry, nc)` runs the in-program temporal collective on a
+        sample slice; `call_single(params_k, cdf_k, state, carry,
+        ppu_k, c, w_k)` runs the weighted plain collective for the
+        per-chunk fallback (sample-major state threading makes every
+        split identical to the uncapped execution)."""
         from cuburn_tpu.ops.interp import pack_genome
-        prof, cam, key = self.profile, self.cam, self.key
-        band_rows, margin, pad_bot = geom
+        prof = self.profile
         if not hasattr(self, "_packed_genome"):
             self._packed_genome = pack_genome(self.genome)
         params_T = self._packed_genome.eval_params(
@@ -662,7 +667,6 @@ class ShardedRenderer(Renderer):
         ppu_T = params_T.ppu * jnp.float32(
             prof.width / self.genome.size[0])
         T = len(ts_times)
-        iters_per_sample = prof.total_iters / T
         batch = self._halved_batch(iters_per_sample * T)
         state = init_state(jax.random.PRNGKey(seed), batch)
         state = jax.device_put(
@@ -674,18 +678,10 @@ class ShardedRenderer(Renderer):
         cap = prof.dispatch_iter_cap
         total = per_sample * T
 
-        def call_temporal(p_T, ppu_s, w_s, state, blocks, nc):
-            return sharded_accumulate_temporal_scattered(
-                key, cam, self.backend, self.mesh, p_T, state,
-                blocks, ppu_s, w_s, nc, prof.iters_per_chunk,
-                prof.fuse, band_rows, margin, pad_bot,
-                packed=self.packed, op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
-
         if not cap or total <= cap:
-            state, myblocks, plotted = call_temporal(
-                params_T, ppu_T, weights, state, myblocks, n_chunks)
-            return myblocks, plotted, total
+            state, carry, plotted = call_temporal(
+                params_T, ppu_T, weights, state, carry, n_chunks)
+            return carry, plotted, total
 
         plotted = jnp.float32(0.0)
         if per_sample <= cap:
@@ -694,14 +690,12 @@ class ShardedRenderer(Renderer):
                 sl = slice(s0, min(s0 + g, T))
                 p_sl = jax.tree_util.tree_map(lambda a: a[sl],
                                               params_T)
-                state, myblocks, n = call_temporal(
-                    p_sl, ppu_T[sl], weights[sl], state, myblocks,
+                state, carry, n = call_temporal(
+                    p_sl, ppu_T[sl], weights[sl], state, carry,
                     n_chunks)
                 plotted = plotted + n
-            return myblocks, plotted, total
+            return carry, plotted, total
 
-        # per-chunk within a sample: the weighted plain collective,
-        # sample-major order identical to the uncapped execution
         cap_chunks = max(1, int(cap // per_chunk))
         for k in range(T):
             params_k = jax.tree_util.tree_map(lambda a: a[k],
@@ -710,17 +704,42 @@ class ShardedRenderer(Renderer):
             left = n_chunks
             while left > 0:
                 c = min(left, cap_chunks)
-                state, myblocks, n = sharded_accumulate_scattered(
-                    key, cam, self.backend, self.mesh, params_k,
-                    cdf_k, state, myblocks, ppu_T[k], c,
-                    prof.iters_per_chunk, prof.fuse, band_rows,
-                    margin, pad_bot, packed=self.packed,
-                    op_bits=self.op_bits,
-                    sort_segments=self.sort_segments,
-                    weight=weights[k])
+                state, carry, n = call_single(
+                    params_k, cdf_k, state, carry, ppu_T[k], c,
+                    weights[k])
                 plotted = plotted + n
                 left -= c
-        return myblocks, plotted, total
+        return carry, plotted, total
+
+    def _scattered_temporal(self, ts_times, ts_weights, myblocks,
+                            seed, geom):
+        """Motion blur in scattered mode: the shared cap ladder,
+        accumulating into the carried per-device blocks instead of a
+        replicated histogram."""
+        prof, cam, key = self.profile, self.cam, self.key
+        band_rows, margin, pad_bot = geom
+
+        def call_temporal(p_T, ppu_s, w_s, state, blocks, nc):
+            return sharded_accumulate_temporal_scattered(
+                key, cam, self.backend, self.mesh, p_T, state,
+                blocks, ppu_s, w_s, nc, prof.iters_per_chunk,
+                prof.fuse, band_rows, margin, pad_bot,
+                packed=self.packed, op_bits=self.op_bits,
+                sort_segments=self.sort_segments)
+
+        def call_single(params_k, cdf_k, state, blocks, ppu_k, c,
+                        w_k):
+            return sharded_accumulate_scattered(
+                key, cam, self.backend, self.mesh, params_k, cdf_k,
+                state, blocks, ppu_k, c, prof.iters_per_chunk,
+                prof.fuse, band_rows, margin, pad_bot,
+                packed=self.packed, op_bits=self.op_bits,
+                sort_segments=self.sort_segments, weight=w_k)
+
+        return self._temporal_cap_ladder(
+            ts_times, ts_weights, myblocks, seed,
+            prof.total_iters / len(ts_times), call_temporal,
+            call_single)
 
     def finalize_frame_scattered(self, myblocks, t: float = 0.0,
                                  stats=None):
@@ -767,8 +786,10 @@ class ShardedRenderer(Renderer):
 
     def render_frame_scattered(self, t: float = 0.0, seed: int = 0):
         """render_frame through the reduce-scatter mode: same output
-        contract (density-exact vs the replicated path; RGB within
-        reduction-order ulps, i.e. <=1 u8 step)."""
+        contract as render_frame, matching the replicated path within
+        f32 reduction-order ulps (<=1 u8 step; density additionally
+        exact for stills — motion-blurred densities carry the flam3
+        temporal weights, so they share the ulp caveat)."""
         myblocks, stats = self.accumulate_scattered(t, seed)
         img = self.finalize_frame_scattered(myblocks, t, stats)
         return img, stats
@@ -776,27 +797,9 @@ class ShardedRenderer(Renderer):
     def _accumulate_temporal(self, ts_times, ts_weights, hist, seed,
                              iters_per_sample, tile_row0=None):
         """Single-dispatch sharded motion blur: packed-knot interp
-        feeds every temporal sample inside the shard_map region."""
-        from cuburn_tpu.ops.interp import pack_genome
+        feeds every temporal sample inside the shard_map region; the
+        shared cap ladder splits when dispatch_iter_cap binds."""
         prof, cam, key = self.profile, self.cam, self.key
-        if not hasattr(self, "_packed_genome"):
-            self._packed_genome = pack_genome(self.genome)
-        params_T = self._packed_genome.eval_params(
-            np.asarray(ts_times, np.float32))
-        factor = jnp.float32(prof.width / self.genome.size[0])
-        ppu_T = params_T.ppu * factor
-
-        total = iters_per_sample * len(ts_times)
-        batch = self._halved_batch(total)
-        state = init_state(jax.random.PRNGKey(seed), batch)
-        state = jax.device_put(
-            state, NamedSharding(self.mesh, P(BATCH_AXIS)))
-        per_chunk = batch * prof.iters_per_chunk
-        n_chunks = max(1, int(np.ceil(iters_per_sample / per_chunk)))
-        T = len(ts_times)
-        weights = jnp.asarray(ts_weights, jnp.float32)
-        per_sample = n_chunks * per_chunk
-        cap = prof.dispatch_iter_cap
 
         def call_temporal(p_T, ppu_s, w_s, state, hist, nc):
             return sharded_accumulate_temporal(
@@ -806,46 +809,14 @@ class ShardedRenderer(Renderer):
                 op_bits=self.op_bits,
                 sort_segments=self.sort_segments)
 
-        if not cap or per_sample * T <= cap:
-            state, hist, plotted = call_temporal(
-                params_T, ppu_T, weights, state, hist, n_chunks)
-            return hist, plotted, per_sample * T
+        def call_single(params_k, cdf_k, state, hist, ppu_k, c, w_k):
+            return sharded_accumulate(
+                key, cam, self.backend, self.mesh, params_k, cdf_k,
+                state, hist, ppu_k, c, prof.iters_per_chunk,
+                prof.fuse, packed=self.packed, tile_row0=tile_row0,
+                op_bits=self.op_bits,
+                sort_segments=self.sort_segments, weight=w_k)
 
-        # dispatch_iter_cap binds: split host-side exactly like the
-        # single-chip renderer (render._accumulate_temporal) — whole
-        # sample groups, or per-chunk within a sample; the sample-
-        # major state threading makes both orders identical to the
-        # uncapped execution
-        plotted = jnp.float32(0.0)
-        if per_sample <= cap:
-            g = max(1, int(cap // per_sample))
-            for s0 in range(0, T, g):
-                sl = slice(s0, min(s0 + g, T))
-                p_sl = jax.tree_util.tree_map(lambda a: a[sl],
-                                              params_T)
-                state, hist, n = call_temporal(
-                    p_sl, ppu_T[sl], weights[sl], state, hist,
-                    n_chunks)
-                plotted = plotted + n
-            return hist, plotted, per_sample * T
-
-        from cuburn_tpu.ops.iterate import xform_cdf_rows as _cdf
-        cap_chunks = max(1, int(cap // per_chunk))
-        for k in range(T):
-            params_k = jax.tree_util.tree_map(lambda a: a[k],
-                                              params_T)
-            cdf_k = _cdf(params_k)
-            left = n_chunks
-            while left > 0:
-                c = min(left, cap_chunks)
-                state, hist, n = sharded_accumulate(
-                    key, cam, self.backend, self.mesh, params_k,
-                    cdf_k, state, hist, ppu_T[k], c,
-                    prof.iters_per_chunk, prof.fuse,
-                    packed=self.packed, tile_row0=tile_row0,
-                    op_bits=self.op_bits,
-                    sort_segments=self.sort_segments,
-                    weight=weights[k])
-                plotted = plotted + n
-                left -= c
-        return hist, plotted, per_sample * T
+        return self._temporal_cap_ladder(
+            ts_times, ts_weights, hist, seed, iters_per_sample,
+            call_temporal, call_single)
