@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "histogram instead of replicating it (each "
                         "chip owns only its filter band's block — "
                         "~half the ICI bytes, 1/n residency; stills "
-                        "only)")
+                        "and animations, incl. motion blur; no "
+                        "checkpoints/stripes/bands)")
     p.add_argument("--save-hist",
                    help="write the raw f32 accumulation histogram to "
                         "this .npy (checkpoint for high-quality stills)")
@@ -205,13 +206,12 @@ def main(argv=None) -> int:
     if args.reduce_scatter:
         if not (args.devices and args.devices > 1):
             raise SystemExit("--reduce-scatter requires --devices N>1")
-        if (args.animate or args.stripes > 1 or args.bands > 1
+        if (args.stripes > 1 or args.bands > 1
                 or args.save_hist or args.resume_hist):
             raise SystemExit(
-                "--reduce-scatter renders stills through the "
-                "scattered pipeline only (no animate/stripes/bands/"
+                "--reduce-scatter is incompatible with stripes/bands/"
                 "checkpoints — each chip never holds a full "
-                "histogram)")
+                "histogram")
 
     from cuburn_tpu import output as output_mod
     from cuburn_tpu.profile import get_profile
@@ -265,6 +265,11 @@ def main(argv=None) -> int:
                 # renderers included: their finalize_frame_device routes
                 # through the collective band filter
                 overlap = not args.no_overlap
+                if args.reduce_scatter:
+                    if overlap:
+                        return r.frames_overlapped_scattered(seed=seed)
+                    return ((r.render_frame_scattered(t, seed=seed + i))
+                            for i, t in r.frame_times())
                 return r.frames_partitioned(
                     seed=seed, n_stripes=args.stripes, n_bands=args.bands,
                     overlap=overlap)

@@ -596,19 +596,14 @@ class ShardedRenderer(Renderer):
     # the collective.  Exact for density; RGB within reduction-order
     # ulps of the replicated path.
 
-    def accumulate_scattered(self, t: float = 0.0, seed: int = 0):
-        """One frame's accumulation with the reduce-scatter reduction.
-        Returns (myblocks (n, block_rows, acc_w, 4) device array where
-        row k is device k's reduced filter-context block, stats).
-        Motion blur runs through the scattered temporal collective;
-        histogram resume is not supported in this mode (no chip ever
-        holds a full histogram — use the replicated default)."""
-        import time as _time
+    def accumulate_scattered_async(self, t: float = 0.0,
+                                   seed: int = 0):
+        """Dispatch one frame's reduce-scatter accumulation WITHOUT
+        any host sync (the throughput-mode half, mirroring
+        accumulate_async).  Returns (myblocks, plotted device scalar,
+        total_iters int)."""
+        from cuburn_tpu.render import _to_device
         prof, cam = self.profile, self.cam
-        from cuburn_tpu.render import FrameStats as _FS, _to_device
-        from cuburn_tpu.utils.timing import hard_sync
-        stats = _FS()
-        t0 = _time.perf_counter()
         params = _to_device(self.genome.eval_at(t))
         de_on = self._de_on(params)
         h_band, band_rows, margin, block_rows, pad_bot = \
@@ -621,11 +616,25 @@ class ShardedRenderer(Renderer):
         geom = (band_rows, margin, pad_bot)
         ts_times, ts_weights, _sumfilt = self._temporal_times(t)
         if len(ts_times) == 1:
-            myblocks, plotted, total = self._scattered_single(
+            return self._scattered_single(
                 params, myblocks, seed * 7919, geom)
-        else:
-            myblocks, plotted, total = self._scattered_temporal(
-                ts_times, ts_weights, myblocks, seed * 7919, geom)
+        return self._scattered_temporal(
+            ts_times, ts_weights, myblocks, seed * 7919, geom)
+
+    def accumulate_scattered(self, t: float = 0.0, seed: int = 0):
+        """One frame's accumulation with the reduce-scatter reduction.
+        Returns (myblocks (n, block_rows, acc_w, 4) device array where
+        row k is device k's reduced filter-context block, stats).
+        Motion blur runs through the scattered temporal collective;
+        histogram resume is not supported in this mode (no chip ever
+        holds a full histogram — use the replicated default)."""
+        import time as _time
+        from cuburn_tpu.render import FrameStats as _FS
+        from cuburn_tpu.utils.timing import hard_sync
+        stats = _FS()
+        t0 = _time.perf_counter()
+        myblocks, plotted, total = self.accumulate_scattered_async(
+            t, seed)
         hard_sync(myblocks)
         stats.plotted_samples = int(np.asarray(plotted))
         stats.total_iters = total
@@ -748,8 +757,19 @@ class ShardedRenderer(Renderer):
         all — the margins were baked in by the scatter) and the u8
         bands gather back."""
         import time as _time
-        from cuburn_tpu.render import _filter_band, _to_device
         t1 = _time.perf_counter()
+        out = np.asarray(
+            self.finalize_frame_scattered_device(myblocks, t))
+        if stats is not None:
+            stats.filter_s = _time.perf_counter() - t1
+        return out
+
+    def finalize_frame_scattered_device(self, myblocks,
+                                        t: float = 0.0):
+        """finalize_frame_scattered WITHOUT the host readback —
+        returns the (H, W, 4) u8 frame as a device array for the
+        overlapped driver."""
+        from cuburn_tpu.render import _filter_band, _to_device
         prof, cam = self.profile, self.cam
         n = self.n_devices
         params = _to_device(self.genome.eval_at(t))
@@ -778,11 +798,30 @@ class ShardedRenderer(Renderer):
             check_vma=False,
         )
         bands = shard(myblocks, params, q_cell)
-        out = np.asarray(
-            bands.reshape(n * h_band, prof.width, 4)[:prof.height])
-        if stats is not None:
-            stats.filter_s = _time.perf_counter() - t1
-        return out
+        return bands.reshape(n * h_band, prof.width, 4)[:prof.height]
+
+    def frames_overlapped_scattered(self, seed: int = 0):
+        """frames_overlapped through the reduce-scatter mode: frame
+        N's scattered accumulate + block filtering are dispatched
+        before frame N-1's u8 readback (the only sync point), exactly
+        like the base overlapped driver.  Frames are bit-identical to
+        serial render_frame_scattered calls at the same per-frame
+        seeds."""
+        import time as _time
+        pending = None
+        t_prev = _time.perf_counter()
+        for i, t in self.frame_times():
+            blocks, n_plot, n_iter = self.accumulate_scattered_async(
+                t, seed + i)
+            img_dev = self.finalize_frame_scattered_device(blocks, t)
+            now = _time.perf_counter()
+            if pending is not None:
+                yield self._resolve_pending(pending, now - t_prev)
+            t_prev = now
+            pending = (img_dev, n_plot, n_iter)
+        if pending is not None:
+            yield self._resolve_pending(
+                pending, _time.perf_counter() - t_prev)
 
     def render_frame_scattered(self, t: float = 0.0, seed: int = 0):
         """render_frame through the reduce-scatter mode: same output

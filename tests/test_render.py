@@ -705,6 +705,16 @@ class TestShardedCLI:
                    "--quality", "16", "--devices", "4",
                    "--temporal-samples", "2", "--reduce-scatter"])
         assert rc == 0
+        # animation through the scattered overlapped driver
+        y4m = str(tmp_path / "rs.y4m")
+        rc = main(["gallery:animated_spark", "-o", y4m, "--profile",
+                   "preview", "--width", "64", "--height", "64",
+                   "--quality", "12", "--devices", "4", "--animate",
+                   "--fps", "3", "--duration", "1",
+                   "--reduce-scatter"])
+        assert rc == 0
+        data = open(y4m, "rb").read()
+        assert data.count(b"FRAME\n") == 3
         # refusals: no --devices, and full-histogram-only features
         for extra in ([],
                       ["--devices", "4", "--save-hist",

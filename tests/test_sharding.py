@@ -431,3 +431,24 @@ def test_scattered_temporal_matches_replicated(eight_devices):
         assert st_c.plotted_samples == st_s.plotted_samples, cap
         dc = np.abs(img_c.astype(int) - img_s.astype(int))
         assert dc.max() <= 1, (cap, dc.max())
+
+
+def test_scattered_overlapped_frames_identical(eight_devices):
+    """The scattered overlapped animation driver must yield frames
+    bit-identical to serial render_frame_scattered calls at the same
+    per-frame seeds (only host synchronization moves)."""
+    from cuburn_tpu.models import animated_spark
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = animated_spark()
+    prof = RenderProfile(width=64, height=64, quality=15, batch=2048,
+                         iters_per_chunk=8, fuse=8, fps=4.0,
+                         duration=0.75, hist_backend="scatter",
+                         de_enabled=True)
+    r = ShardedRenderer(g, prof)
+    serial = [r.render_frame_scattered(t, seed=2 + k)[0]
+              for k, t in r.frame_times()]
+    overlapped = list(r.frames_overlapped_scattered(seed=2))
+    assert len(serial) == len(overlapped) == 3
+    for a, (b, sb) in zip(serial, overlapped):
+        np.testing.assert_array_equal(a, np.asarray(b))
+        assert sb.plotted_samples > 0
