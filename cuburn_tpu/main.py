@@ -51,8 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--duration", type=float,
                    help="override animation duration in seconds")
     p.add_argument("--hist-backend",
-                   choices=["auto", "scatter", "sortcum", "pallas",
-                            "pallas_merged", "pallas_win"],
+                   choices=["auto", "scatter", "scatter_sorted",
+                            "sortcum", "pallas", "pallas_merged",
+                            "pallas_win"],
                    help="histogram accumulation backend")
     p.add_argument("--no-de", action="store_true",
                    help="disable density-estimation filtering")
