@@ -452,3 +452,22 @@ def test_scattered_overlapped_frames_identical(eight_devices):
     for a, (b, sb) in zip(serial, overlapped):
         np.testing.assert_array_equal(a, np.asarray(b))
         assert sb.plotted_samples > 0
+
+
+def test_sharded_sortcum_matches_scatter(eight_devices):
+    """The sort-free prefix-sum backend through shard_map (the one
+    remaining pure-XLA backend without sharded coverage): same RNG
+    stream as sharded scatter, so density must match per-bin exactly."""
+    import dataclasses
+    from cuburn_tpu.parallel import ShardedRenderer
+    g = sierpinski()
+    prof = RenderProfile(width=64, height=64, quality=30, batch=2048,
+                         iters_per_chunk=8, hist_backend="sortcum",
+                         de_enabled=False, fuse=8)
+    h_o, st_o = ShardedRenderer(g, prof).accumulate(0.0, seed=3)
+    prof_s = dataclasses.replace(prof, hist_backend="scatter")
+    h_s, st_s = ShardedRenderer(g, prof_s).accumulate(0.0, seed=3)
+    assert st_o.plotted_samples == st_s.plotted_samples
+    a, b = np.asarray(h_s), np.asarray(h_o)
+    np.testing.assert_array_equal(a[:, 3], b[:, 3])
+    assert np.abs(a - b).max() < 1e-2
