@@ -39,27 +39,56 @@ import jax.numpy as jnp
 RECALLED_BASELINE_SAMPLES_PER_SEC = 400e6
 
 # Device-init watchdog: when the axon tunnel is down, jax.devices()
-# hangs indefinitely instead of erroring.  Fail FAST with a clear
-# message (and NO misleading JSON line) so the driver's bench run
-# reports an environment failure rather than timing out silently.
+# hangs indefinitely instead of erroring.  Round 3 lost its only
+# driver-captured perf record to a single 300 s probe during an
+# hours-long-but-TRANSIENT outage, so the watchdog now retries within
+# a bounded budget: probe for CUBURN_BENCH_INIT_TIMEOUT (per attempt),
+# sleep CUBURN_BENCH_INIT_RETRY_S between attempts, give up only once
+# CUBURN_BENCH_INIT_BUDGET of wall time is spent.  Only then fail
+# with a clear message and NO misleading JSON line.
 DEVICE_INIT_TIMEOUT_S = int(os.environ.get("CUBURN_BENCH_INIT_TIMEOUT",
-                                           "300"))
+                                           "120"))
+DEVICE_INIT_BUDGET_S = int(os.environ.get("CUBURN_BENCH_INIT_BUDGET",
+                                          "2100"))
+DEVICE_INIT_RETRY_S = int(os.environ.get("CUBURN_BENCH_INIT_RETRY_S",
+                                         "60"))
 
 
 def _devices_or_die():
-    import threading
-    out = []
-    th = threading.Thread(target=lambda: out.append(jax.devices()),
-                          daemon=True)
-    th.start()
-    th.join(DEVICE_INIT_TIMEOUT_S)
-    if not out:
-        print(f"bench.py: device init did not complete within "
-              f"{DEVICE_INIT_TIMEOUT_S}s — TPU tunnel down? "
-              "(set CUBURN_BENCH_INIT_TIMEOUT to adjust)",
-              file=sys.stderr)
-        os._exit(1)
-    return out[0]
+    # jax.devices() caches a failure in some versions, so each probe
+    # runs in a fresh subprocess; the parent only calls jax.devices()
+    # itself after a probe succeeds (the tunnel is connection-oriented,
+    # so a fresh success strongly predicts the parent's call works).
+    import subprocess
+    deadline = time.monotonic() + DEVICE_INIT_BUDGET_S
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(len(d))"],
+                timeout=DEVICE_INIT_TIMEOUT_S,
+                capture_output=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                print(f"bench.py: device init succeeded on attempt "
+                      f"{attempt}", file=sys.stderr)
+            return jax.devices()
+        remaining = deadline - time.monotonic()
+        if remaining <= DEVICE_INIT_RETRY_S:
+            print(f"bench.py: device init failed after {attempt} "
+                  f"attempts over {DEVICE_INIT_BUDGET_S}s — TPU tunnel "
+                  "down? (CUBURN_BENCH_INIT_BUDGET / _TIMEOUT / "
+                  "_RETRY_S to adjust)", file=sys.stderr)
+            os._exit(1)
+        print(f"bench.py: device init attempt {attempt} failed; "
+              f"retrying in {DEVICE_INIT_RETRY_S}s "
+              f"({int(remaining)}s of budget left)", file=sys.stderr)
+        time.sleep(DEVICE_INIT_RETRY_S)
 
 
 def main():

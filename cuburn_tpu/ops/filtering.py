@@ -196,7 +196,7 @@ def _bspline(x):
 
 SPATIAL_FILTERS = {
     "gaussian": (1.5, lambda x: np.exp(-2.0 * x * x)),
-    "box": (0.5, lambda x: (np.abs(x) <= 0.5).astype(np.float64)),
+    "box": (0.5, lambda x: (np.abs(x) < 0.5).astype(np.float64)),
     "triangle": (1.0, lambda x: np.maximum(1.0 - np.abs(x), 0.0)),
     "hermite": (1.0, lambda x: np.where(
         np.abs(x) < 1.0,

@@ -33,6 +33,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 LEASE_SECONDS = 120.0
+RESULT_GRACE_SECONDS = 60.0
 
 
 @dataclasses.dataclass
@@ -45,14 +46,29 @@ class _Task:
     leased_at: Optional[float] = None
     result: Optional[bytes] = None
     shape: Optional[Tuple[int, ...]] = None
+    fetched_at: Optional[float] = None
 
 
 class FarmState:
-    def __init__(self, lease_seconds: float = LEASE_SECONDS):
+    def __init__(self, lease_seconds: float = LEASE_SECONDS,
+                 result_grace_seconds: float = RESULT_GRACE_SECONDS):
         self.lock = threading.Lock()
         self.tasks: Dict[int, _Task] = {}
         self.next_id = 0
         self.lease_seconds = lease_seconds
+        self.result_grace_seconds = result_grace_seconds
+
+    def _sweep_fetched(self, now: float):
+        """Evict results a grace period AFTER first fetch (lock held).
+        Immediate eviction made a lost fetch response unrecoverable —
+        the retried fetch looked like an unknown job id (advisor,
+        round 3); the grace window lets a retry succeed while still
+        bounding server memory for long animations."""
+        dead = [jid for jid, t in self.tasks.items()
+                if t.fetched_at is not None
+                and now - t.fetched_at > self.result_grace_seconds]
+        for jid in dead:
+            del self.tasks[jid]
 
     def submit(self, genome_json: str, profile: dict,
                times: List[float], seed: int = 0) -> List[int]:
@@ -69,6 +85,7 @@ class FarmState:
     def get_task(self) -> Optional[_Task]:
         now = time.time()
         with self.lock:
+            self._sweep_fetched(now)
             for task in self.tasks.values():
                 if task.result is not None:
                     continue
@@ -86,17 +103,22 @@ class FarmState:
             t.shape = tuple(shape)
 
     def fetch(self, job_id: int):
-        """Return (frame_bytes, shape) and CONSUME the task: results
-        are evicted on fetch so a long-running server doesn't
-        accumulate every rendered frame (a 1080p RGBA frame is ~8 MB;
-        without eviction a 1000-frame animation pins ~8 GB after the
-        client has already taken everything).  Fetching a consumed id
-        returns None, like an unknown id."""
+        """Return (frame_bytes, shape) and schedule the task for
+        eviction: results leave the table `result_grace_seconds` after
+        their FIRST fetch, so a long-running server doesn't accumulate
+        every rendered frame (a 1080p RGBA frame is ~8 MB; without
+        eviction a 1000-frame animation pins ~8 GB after the client
+        has already taken everything) while a fetch whose response was
+        lost in transit can still be retried within the grace window.
+        Fetching an evicted id returns None, like an unknown id."""
+        now = time.time()
         with self.lock:
+            self._sweep_fetched(now)
             t = self.tasks.get(job_id)
             if t is None or t.result is None:
                 return None
-            del self.tasks[job_id]
+            if t.fetched_at is None:
+                t.fetched_at = now
             return t.result, t.shape
 
 
@@ -149,8 +171,9 @@ class FarmServer:
     """Threaded TCP job server (the reference's dist server)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 lease_seconds: float = LEASE_SECONDS):
-        self.state = FarmState(lease_seconds)
+                 lease_seconds: float = LEASE_SECONDS,
+                 result_grace_seconds: float = RESULT_GRACE_SECONDS):
+        self.state = FarmState(lease_seconds, result_grace_seconds)
         self._srv = socketserver.ThreadingTCPServer(
             (host, port), _Handler, bind_and_activate=True)
         self._srv.daemon_threads = True

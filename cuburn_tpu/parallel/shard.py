@@ -362,6 +362,21 @@ class ShardedRenderer(Renderer):
         # pallas backends run per-device inside the shard_map region
         # (each chip accumulates its own replica, psum reduces) — no
         # special-casing needed; layout conversion is elementwise.
+        if profile.iters_per_chunk == 0 and self.n_devices > 1:
+            # auto flush cadence: the base class resolved records/flush
+            # against the GLOBAL batch, but each device flushes only
+            # batch/n_devices records per chunk — at HBM-tiled
+            # densities that ran every chip at ~1/n of the tuned
+            # optimum (the measured 2^20..2^23 ladder swings ~3x).
+            # Re-resolve against the per-device batch.
+            import dataclasses as _dc
+            from cuburn_tpu.render import _load_tune
+            per_dev = _dc.replace(
+                profile, batch=profile.batch // self.n_devices)
+            self.profile = _dc.replace(
+                self.profile,
+                iters_per_chunk=self._resolve_iters_per_chunk(
+                    per_dev, _load_tune()))
 
     def _halved_batch(self, iters: float) -> int:
         """The base renderer's trajectory-lifetime batch cap, with a

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 
 import functools
+import sys
 import time
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
@@ -201,19 +202,32 @@ def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
     return to_u8(img)
 
 
+_TUNE_ANNOUNCED: set = set()
+
+
 def _load_tune() -> dict:
     """Per-chip tune record written by bench/retune.py: the
     CUBURN_TUNE_FILE env var, or ./cuburn_tune.json.  Missing or
-    malformed files silently yield {} (built-in defaults apply)."""
+    malformed files silently yield {} (built-in defaults apply).
+    Consuming a record logs ONCE per path naming the file and the
+    keys applied — a stale tune file silently changing sort_segments
+    and flush sizes was an advisor-flagged footgun."""
     import json
     import os
     path = os.environ.get("CUBURN_TUNE_FILE", "cuburn_tune.json")
     try:
         with open(path) as f:
             rec = json.load(f)
-        return rec if isinstance(rec, dict) else {}
+        rec = rec if isinstance(rec, dict) else {}
     except (OSError, ValueError):
         return {}
+    if rec and path not in _TUNE_ANNOUNCED:
+        _TUNE_ANNOUNCED.add(path)
+        keys = sorted(k for k in rec if k != "measurements")
+        print(f"cuburn-tpu: applying tune record {os.path.abspath(path)}"
+              f" (keys: {', '.join(keys)}); delete the file or unset "
+              "CUBURN_TUNE_FILE for built-in defaults", file=sys.stderr)
+    return rec
 
 
 def _to_device(params: GenomeParams) -> GenomeParams:

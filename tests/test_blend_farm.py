@@ -268,19 +268,25 @@ class TestFarm:
         st.put_result(tid, b"xx", (1, 2))
         assert st.get_task() is None            # done: never re-issued
 
-    def test_fetch_evicts_result(self):
-        """fetch() consumes: the server must not pin every rendered
-        frame forever (regression: unbounded memory growth on long
-        farms)."""
+    def test_fetch_evicts_result_after_grace(self):
+        """fetch() consumes — after a grace window: the server must not
+        pin every rendered frame forever (regression: unbounded memory
+        growth on long farms), but a retried fetch inside the window
+        must still succeed (round-3 advisor: immediate eviction made a
+        lost fetch response unrecoverable)."""
         from cuburn_tpu.parallel.farm import FarmState
-        st = FarmState()
+        st = FarmState(result_grace_seconds=0.5)
         [tid] = st.submit("{}", {}, [0.0])
         assert st.fetch(tid) is None            # not done yet
         st.get_task()
         st.put_result(tid, b"frame", (1, 5))
         assert st.fetch(tid) == (b"frame", (1, 5))
-        assert tid not in st.tasks              # evicted
-        assert st.fetch(tid) is None            # consumed == unknown
+        # retry within the grace window (lost-response recovery)
+        assert st.fetch(tid) == (b"frame", (1, 5))
+        assert tid in st.tasks                  # not yet evicted
+        time.sleep(0.6)
+        assert st.fetch(tid) is None            # grace over: evicted
+        assert tid not in st.tasks
 
 
 class TestNativeOutput:
