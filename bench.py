@@ -182,6 +182,47 @@ def main():
     extra["retention"] = round(plotted / (n_chunks * B * K), 3)
     extra["config"] = f"full_feature {W}x{H} B={B} backend={hist_backend}"
 
+    # ---- roofline context: iterate-only ceiling ----
+    # The chaos game with records DISCARDED (jnp.sum sink) bounds any
+    # histogram backend from above on this chip; flush_frac says how
+    # much of the full loop the flush costs and frac_of_ceiling how
+    # close the headline sits to the measured ceiling — so the number
+    # above carries its own context on whatever chip runs it, instead
+    # of pointing at prose (BASELINE.md roofline paragraphs).
+    try:
+        from cuburn_tpu.ops.iterate import iterate_step
+
+        @jax.jit
+        def iterate_only(state, n):
+            def chunk(_, carry):
+                state, acc = carry
+
+                def body(state, __):
+                    state, addr, pcolor, opacity = iterate_step(
+                        key, cam, 32, params, cdf, ppu, state)
+                    return state, jnp.sum(addr)
+
+                state, sums = jax.lax.scan(body, state, None, length=K)
+                return state, acc + jnp.sum(sums)
+
+            return jax.lax.fori_loop(0, n, chunk, (state, jnp.int32(0)))
+
+        st0 = init_state(jax.random.PRNGKey(0), B)
+        out = iterate_only(st0, jnp.int32(n_chunks))    # warm
+        hard_sync(out)
+        t0 = time.perf_counter()
+        out = iterate_only(out[0], jnp.int32(n_chunks))  # chained
+        hard_sync(out)
+        dt_iter = time.perf_counter() - t0
+        extra["iterate_only_ms"] = round(dt_iter * 1e3, 1)
+        extra["iterate_only_miters_per_s"] = round(
+            n_chunks * B * K / dt_iter / 1e6, 1)
+        extra["flush_frac"] = round(max(0.0, 1.0 - dt_iter / dt), 3)
+        extra["frac_of_iterate_ceiling"] = round(
+            min(dt_iter / dt, 1.0), 3)
+    except Exception as e:  # pragma: no cover
+        extra["roofline_error"] = f"{type(e).__name__}: {e}"[:160]
+
     # ---- secondary: DE + colorclip latency (north star < 50 ms) ----
     try:
         from cuburn_tpu.ops.iterate import hist_to_logical
@@ -201,6 +242,37 @@ def main():
                                         1)
     except Exception as e:  # pragma: no cover
         extra["de_colorize_error"] = f"{type(e).__name__}: {e}"
+
+    # ---- north star: config-3 genome at TRUE 1920x1080 ----
+    # BASELINE.md's headline target is samples/s/chip at binding size;
+    # the 512² number above is the dev-worker-safe measurement.  The
+    # binding-size run is dispatch-capped (the worker kill is long
+    # single executions, not bin count — bench/fullframe*.py) and
+    # skipped off-TPU or when CUBURN_BENCH_1080P=0.
+    if backend_name == "tpu" and \
+            os.environ.get("CUBURN_BENCH_1080P", "1") != "0":
+        try:
+            import dataclasses
+
+            from cuburn_tpu.profile import RenderProfile
+            from cuburn_tpu.render import Renderer
+            q1080 = int(os.environ.get("CUBURN_BENCH_1080P_QUALITY",
+                                       "500"))
+            prof = RenderProfile(
+                width=1920, height=1080, quality=q1080, batch=1 << 15,
+                iters_per_chunk=0, fuse=32, hist_backend="auto",
+                de_enabled=False, dispatch_iter_cap=1_200_000_000)
+            r = Renderer(g, prof)
+            rw = Renderer(g, dataclasses.replace(prof, quality=1))
+            rw.accumulate(0.2, seed=1)          # warm (same program:
+            _, st = r.accumulate(0.2, seed=2)   # n_chunks is traced)
+            extra["samples_per_sec_1080p"] = round(
+                st.samples_per_sec, 1)
+            extra["retention_1080p"] = round(st.retention, 3)
+            extra["backend_1080p"] = r.backend
+        except Exception as e:  # pragma: no cover
+            extra["samples_per_sec_1080p_error"] = \
+                f"{type(e).__name__}: {e}"[:160]
 
     print(json.dumps({
         "metric": "ifs_samples_per_sec_per_chip",
