@@ -298,6 +298,11 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         # zoom blends linearly in its own (log2) domain — exactly
         # flam3's log-scale zoom interpolation
         zoom=tv(lambda g: g.zoom),
+        cam_yaw=tv(lambda g: g.cam_yaw),
+        cam_pitch=tv(lambda g: g.cam_pitch),
+        cam_perspective=tv(lambda g: g.cam_perspective),
+        cam_zpos=tv(lambda g: g.cam_zpos),
+        cam_dof=tv(lambda g: g.cam_dof),
         rotate=rot_spline,
         brightness=tv(lambda g: g.brightness),
         gamma=tv(lambda g: g.gamma),

@@ -325,20 +325,18 @@ def flame_to_genome(flame: ET.Element) -> Genome:
             "flame sets earlyclip; cuburn_tpu renders the modern "
             "late-clip order — output may differ slightly in "
             "saturated highlights")
-    cam3d = [k for k in ("cam_yaw", "cam_pitch", "cam_perspective",
-                         "cam_persp", "cam_zpos", "cam_dof")
-             if k in attrs and float(attrs[k]) != 0.0]
-    if cam3d:
-        # flam3's 3-D camera (yaw/pitch rotation of the z-augmented
-        # point cloud, perspective divide, z-blur DOF) is not
-        # implemented — the flat 2-D projection is rendered
-        # [flam3 flam3.c flam3_create_xform_distrib 3D path,
-        # SURVEY.md §2c tail; L-confidence recall]
-        import warnings
-        warnings.warn(
-            "flame uses flam3 3-D camera attrs "
-            f"({', '.join(cam3d)}); cuburn_tpu renders the flat 2-D "
-            "projection — depth rotation/perspective/DOF are ignored")
+    # Apophysis-7X 3-D camera attrs (cam_persp is the Apophysis
+    # spelling, cam_perspective the Ember/fractorium one).  Angles are
+    # taken as RADIANS — the Ember XML convention; editors that write
+    # degrees exist, but radians is the convention the published
+    # renderer implementations consume directly (ops/camera.py
+    # project_3d documents the algorithm).
+    cam_yaw = float(attrs.get("cam_yaw", 0.0))
+    cam_pitch = float(attrs.get("cam_pitch", 0.0))
+    cam_persp = float(attrs.get("cam_perspective",
+                                attrs.get("cam_persp", 0.0)))
+    cam_zpos = float(attrs.get("cam_zpos", 0.0))
+    cam_dof = float(attrs.get("cam_dof", 0.0))
     background = tuple(
         _parse_floats(attrs.get("background", "0 0 0")))[:3]
     scalars = {k: float(attrs.get(k, d))
@@ -349,6 +347,8 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         center=center, rot_center=rot_center,
         scale=scalars["scale"], zoom=scalars["zoom"],
         rotate=scalars["rotate"],
+        cam_yaw=cam_yaw, cam_pitch=cam_pitch,
+        cam_perspective=cam_persp, cam_zpos=cam_zpos, cam_dof=cam_dof,
         brightness=scalars["brightness"], gamma=scalars["gamma"],
         gamma_threshold=scalars["gamma_threshold"],
         vibrancy=scalars["vibrancy"],
@@ -423,6 +423,10 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         "temporal_filter_width": f"{g.temporal_filter_width(t):.9g}",
         "temporal_filter_exp": f"{g.temporal_filter_exp(t):.9g}",
     })
+    for k in ("cam_yaw", "cam_pitch", "cam_perspective", "cam_zpos",
+              "cam_dof"):
+        if getattr(g, k)(t) != 0.0:
+            flame.set(k, f"{getattr(g, k)(t):.9g}")
     if g.flame_time is not None:
         flame.set("time", f"{g.flame_time:.9g}")
     if g.interpolation != "linear":

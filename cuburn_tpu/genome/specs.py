@@ -109,6 +109,11 @@ class StructureKey:
     has_xaos: bool
     final_variations: Optional[Tuple[str, ...]]  # None = no final xform
     final_has_post: bool
+    # Apophysis-7X 3-D camera (ops/camera.py project_3d): 0 = all five
+    # cam_* splines identically zero (the transform is statically
+    # elided), 1 = yaw/pitch/perspective/zpos in play, 2 = additionally
+    # cam_dof (the projection consumes two RNG draws per point)
+    cam_mode: int = 0
 
     @property
     def param_slots(self) -> Tuple[Tuple[str, str], ...]:
@@ -182,6 +187,9 @@ class GenomeParams:
     estimator_minimum: np.ndarray
     estimator_curve: np.ndarray
     spatial_filter: np.ndarray
+    # (5,) [cam_yaw, cam_pitch, cam_perspective, cam_zpos, cam_dof]
+    # (radians / world units; ops/camera.py project_3d)
+    cam3d: np.ndarray
 
 
 try:  # register as a JAX pytree so it can flow through jit/vmap/scan
@@ -219,6 +227,13 @@ class Genome:
     # constant — here the quality budget is profile-driven, so only
     # the geometric part applies)
     zoom: Spline = None
+    # Apophysis-7X 3-D camera (cam_yaw/cam_pitch in radians;
+    # ops/camera.py project_3d documents the published algorithm)
+    cam_yaw: Spline = None
+    cam_pitch: Spline = None
+    cam_perspective: Spline = None
+    cam_zpos: Spline = None
+    cam_dof: Spline = None
     rotate: Spline = None           # degrees
     brightness: Spline = None
     gamma: Spline = None
@@ -262,6 +277,8 @@ class Genome:
             "spatial_filter": 0.5,
             "temporal_filter_width": 1.0,
             "temporal_filter_exp": 0.0,
+            "cam_yaw": 0.0, "cam_pitch": 0.0, "cam_perspective": 0.0,
+            "cam_zpos": 0.0, "cam_dof": 0.0,
         }
         for name, dflt in defaults.items():
             cur = getattr(self, name)
@@ -311,6 +328,15 @@ class Genome:
         if not union:
             union = {"linear"}
         fx = self.final_xform
+
+        def live(s: Spline) -> bool:
+            return bool(np.any(s.knots[:, 1] != 0.0))
+
+        cam_mode = 0
+        if any(live(s) for s in (self.cam_yaw, self.cam_pitch,
+                                 self.cam_perspective, self.cam_zpos,
+                                 self.cam_dof)):
+            cam_mode = 2 if live(self.cam_dof) else 1
         return StructureKey(
             n_xforms=len(self.xforms),
             variations=tuple(sorted(union)),
@@ -319,6 +345,7 @@ class Genome:
             final_variations=(None if fx is None
                               else tuple(sorted(fx.vars or {"linear"}))),
             final_has_post=fx is not None and fx.post is not None,
+            cam_mode=cam_mode,
         )
 
     # -- evaluation ------------------------------------------------------
@@ -417,6 +444,9 @@ class Genome:
             estimator_minimum=np.array(self.estimator_minimum(t), dtype=f32),
             estimator_curve=np.array(self.estimator_curve(t), dtype=f32),
             spatial_filter=np.array(self.spatial_filter(t), dtype=f32),
+            cam3d=np.array([self.cam_yaw(t), self.cam_pitch(t),
+                            self.cam_perspective(t), self.cam_zpos(t),
+                            self.cam_dof(t)], dtype=f32),
         )
 
     # -- serialization ---------------------------------------------------
@@ -451,6 +481,12 @@ class Genome:
                 **({"rot_center": [self.rot_center[0].to_json(),
                                    self.rot_center[1].to_json()]}
                    if self.rot_center is not None else {}),
+                # 3-D camera keys are omitted when identically zero so
+                # pre-existing genome files round-trip byte-stable
+                **{k: getattr(self, k).to_json()
+                   for k in ("cam_yaw", "cam_pitch", "cam_perspective",
+                             "cam_zpos", "cam_dof")
+                   if np.any(getattr(self, k).knots[:, 1] != 0.0)},
             },
             "color": {
                 "brightness": self.brightness.to_json(),
@@ -521,6 +557,11 @@ class Genome:
             scale=cam.get("scale", 100.0),
             zoom=cam.get("zoom", 0.0),
             rotate=cam.get("rotate", 0.0),
+            cam_yaw=cam.get("cam_yaw", 0.0),
+            cam_pitch=cam.get("cam_pitch", 0.0),
+            cam_perspective=cam.get("cam_perspective", 0.0),
+            cam_zpos=cam.get("cam_zpos", 0.0),
+            cam_dof=cam.get("cam_dof", 0.0),
             brightness=col.get("brightness", 4.0),
             gamma=col.get("gamma", 4.0),
             gamma_threshold=col.get("gamma_threshold", 0.01),

@@ -85,6 +85,53 @@ class CameraSpec:
         return self.n_bins
 
 
+def project_3d(cam3d, x, y, u1=None, u2=None):
+    """Apophysis-7X / Ember 3-D camera: pitch/yaw rotation of the
+    z-augmented point cloud, perspective divide, depth-of-field blur.
+
+    `cam3d` is the (5,) traced vector [yaw, pitch, perspective, zpos,
+    dof] (yaw/pitch in RADIANS — the Ember/fractorium XML convention;
+    genome/convert.py documents the ambiguity vs editors that write
+    degrees).  Published algorithm (fractorium Ember/Renderer Proj
+    templates; flam3's own tree never shipped these attrs — they are
+    the Apophysis-7X extension every modern renderer honors):
+
+        z  = pz - zpos                     (pz == 0 here: the flam3 2-D
+                                            variation set never writes z,
+                                            so the z=0 plane is projected
+                                            — exactly what Apophysis does
+                                            for 2-D flames)
+        (x1, y1)  = Rz(-yaw) (x, y)        ; yaw spins about the z axis
+        y2 = y1 cos(pitch) - z sin(pitch)  ; pitch tilts about the x axis
+        d  = y1 sin(pitch) + z cos(pitch)  ; depth along the view axis
+        zr = 1 - perspective * d
+        dr = u1 * 0.1 * dof * z ; t = u2 * 2pi      (DOF, when dof != 0)
+        out = ((x1 + dr cos t) / zr, (y2 + dr sin t) / zr)
+
+    `u1`/`u2`: per-point uniforms in [0,1) for the DOF blur; None
+    statically elides it (StructureKey.cam_mode < 2).  Runs BEFORE the
+    2-D camera (rotate/zoom/center), matching Ember's accumulation
+    order.  zr <= 0 (points at/behind the eye plane) produces inf/NaN
+    or mirrored coordinates exactly like the reference; the projected
+    result feeds `project`'s NaN-rejecting bounds masks.
+    """
+    yaw, pitch, persp, zpos, dof = (cam3d[i] for i in range(5))
+    z = -zpos
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    x1 = x * cy + y * sy
+    y1 = y * cy - x * sy
+    y2 = y1 * cp - z * sp
+    depth = y1 * sp + z * cp
+    zr = 1.0 - persp * depth
+    if u1 is not None:
+        dr = u1 * (np.float32(0.1) * dof * z)
+        t = u2 * np.float32(2.0 * np.pi)
+        x1 = x1 + dr * jnp.cos(t)
+        y2 = y2 + dr * jnp.sin(t)
+    return x1 / zr, y2 / zr
+
+
 def project(spec: CameraSpec, center, ppu, rotate_deg, x, y,
             tile_row0=None, rot_center=None):
     """World point arrays -> (addr (int32), in_bounds (bool)).

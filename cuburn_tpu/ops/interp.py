@@ -200,6 +200,9 @@ def pack_genome(genome: Genome) -> PackedGenome:
     idx["estimator_minimum"] = reg(genome.estimator_minimum)
     idx["estimator_curve"] = reg(genome.estimator_curve)
     idx["spatial_filter"] = reg(genome.spatial_filter)
+    idx["cam3d"] = [reg(getattr(genome, k)) for k in
+                    ("cam_yaw", "cam_pitch", "cam_perspective",
+                     "cam_zpos", "cam_dof")]
 
     # pack knots
     kmax = max(len(s.knots) for s in splines)
@@ -253,6 +256,7 @@ def pack_genome(genome: Genome) -> PackedGenome:
             estimator_minimum=a(idx["estimator_minimum"]),
             estimator_curve=a(idx["estimator_curve"]),
             spatial_filter=a(idx["spatial_filter"]),
+            cam3d=a(idx["cam3d"]),
         )
 
     return PackedGenome(

@@ -241,6 +241,15 @@ def iterate_step(
     # plot (display-only final xform on a copy)
     px, py, pcolor = apply_final_xform(
         key, params, nx, ny, ncolor, stream)
+    if key.cam_mode:
+        # Apophysis-7X 3-D camera (statically elided when every cam_*
+        # spline is zero); mode 2 spends two draws on the DOF blur
+        from cuburn_tpu.ops.camera import project_3d
+        if key.cam_mode >= 2:
+            px, py = project_3d(params.cam3d, px, py,
+                                stream.uniform(), stream.uniform())
+        else:
+            px, py = project_3d(params.cam3d, px, py)
     addr, in_bounds = project(
         cam, params.center, ppu, params.rotate, px, py,
         tile_row0=tile_row0, rot_center=params.rot_center)

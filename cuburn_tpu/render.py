@@ -221,6 +221,24 @@ def _load_tune() -> dict:
         rec = rec if isinstance(rec, dict) else {}
     except (OSError, ValueError):
         return {}
+    if rec.get("device"):
+        # chip-gated record: retune.py stamps the device it measured
+        # on; a record for a DIFFERENT chip (or for CPU test runs) is
+        # skipped rather than mis-applied — this is what makes a
+        # checked-in dev-chip tune safe on real silicon
+        try:
+            import jax
+            here = str(jax.devices()[0])
+        except Exception:
+            here = "<uninitialized>"
+        if rec["device"] != here:
+            if path not in _TUNE_ANNOUNCED:
+                _TUNE_ANNOUNCED.add(path)
+                print(f"cuburn-tpu: tune record {path} is for device "
+                      f"{rec['device']!r}, this is {here!r} — "
+                      "skipped (built-in defaults apply)",
+                      file=sys.stderr)
+            return {}
     if rec and path not in _TUNE_ANNOUNCED:
         _TUNE_ANNOUNCED.add(path)
         keys = sorted(k for k in rec if k != "measurements")

@@ -1054,7 +1054,9 @@ def render_reference(genome, width: int, height: int, n_samples: int,
                 raise ValueError(f"reference renderer lacks {name}")
         # resolve parametric knobs through the schema (defaults incl.)
         pfn = (lambda attr, _xf=xf: float(_xf.param(attr, t)))
-        return aff, post, {k: v(t) for k, v in xf.vars.items()}, pfn
+        # empty vars = implicit linear weight 1 (Genome.eval_at's rule)
+        vset = {k: v(t) for k, v in xf.vars.items()} or {"linear": 1.0}
+        return aff, post, vset, pfn
 
     affines, posts, var_sets, pfns = zip(*[xf_tables(xf)
                                            for xf in genome.xforms])
@@ -1092,6 +1094,22 @@ def render_reference(genome, width: int, height: int, n_samples: int,
     # rot_center (default: the image center); the viewing window
     # stays centered on `center` either way (flam3 rot_center rule)
     rot = genome.rotate(t)
+    cam_yaw = genome.cam_yaw(t)
+    cam_pitch = genome.cam_pitch(t)
+    cam_persp = genome.cam_perspective(t)
+    cam_zpos = genome.cam_zpos(t)
+    cam_dof = genome.cam_dof(t)
+    if any(v != 0.0 for v in (cam_yaw, cam_pitch, cam_persp, cam_zpos,
+                              cam_dof)):
+        rx = np.array([[1, 0, 0],
+                       [0, np.cos(cam_pitch), -np.sin(cam_pitch)],
+                       [0, np.sin(cam_pitch), np.cos(cam_pitch)]])
+        rz = np.array([[np.cos(-cam_yaw), -np.sin(-cam_yaw), 0],
+                       [np.sin(-cam_yaw), np.cos(-cam_yaw), 0],
+                       [0, 0, 1]])
+        cam_mat = rx @ rz
+    else:
+        cam_mat = None
     if genome.rot_center is not None:
         rcx = genome.rot_center[0](t)
         rcy = genome.rot_center[1](t)
@@ -1194,6 +1212,25 @@ def render_reference(genome, width: int, height: int, n_samples: int,
         else:
             fx, fy, fc = x, y, c
 
+        if cam_mat is not None:
+            # Apophysis-7X 3-D camera, derived here as explicit
+            # rotation matrices (Rx(pitch) @ Rz(-yaw)) applied to the
+            # z-augmented point — an independent construction of the
+            # algorithm ops/camera.py project_3d writes out
+            # component-wise.  The 2-D variation set never writes z,
+            # so the z = 0 plane is projected (z shifts by -cam_zpos).
+            zc = np.full_like(fx, -cam_zpos)
+            v = cam_mat @ np.stack([fx, fy, zc])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                zr = 1.0 - cam_persp * v[2]
+                sx, sy = v[0], v[1]
+                if cam_dof != 0.0:
+                    dr = rng.uniform(0, 1, fx.shape) \
+                        * (0.1 * cam_dof * (-cam_zpos))
+                    ta = rng.uniform(0, 2.0 * np.pi, fx.shape)
+                    sx = sx + dr * np.cos(ta)
+                    sy = sy + dr * np.sin(ta)
+                fx, fy = sx / zr, sy / zr
         if rot != 0.0:
             th = -rot * np.pi / 180.0
             dx, dy = fx - rcx, fy - rcy

@@ -223,27 +223,33 @@ class TestFlam3Convert:
         np.testing.assert_allclose(gp.eval_at(0.0).rot_center,
                                    [0.1, 0.2])
 
-    def test_3d_camera_attrs_warn(self):
-        """flam3 3-D camera attrs (cam_yaw/pitch/perspective/zpos/dof)
-        are parse-and-WARN: the flat 2-D projection renders, the user
-        learns depth is ignored.  Zero-valued attrs (the flam3
-        defaults Apophysis writes out unconditionally) stay silent."""
+    def test_3d_camera_attrs_parse(self):
+        """Apophysis-7X 3-D camera attrs (cam_yaw/pitch/perspective/
+        zpos/dof) parse into the genome's camera splines (round 4 —
+        previously parse-and-warn; tests/test_camera3d.py pins the
+        projection semantics).  Zero-valued attrs (the defaults
+        Apophysis writes out unconditionally) stay mode-0 and warn
+        nothing."""
         xml3d = ('<flame name="c3" size="64 64" cam_yaw="0.3" '
                  'cam_perspective="0.1" cam_zpos="0" cam_dof="0">'
                  '<xform weight="1" coefs="1 0 0 1 0 0" linear="1"/>'
                  '</flame>')
-        with pytest.warns(UserWarning, match="cam_yaw, cam_perspective"):
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
             [g] = convert.parse_flam3(xml3d)
-        assert g.structure_key() is not None  # still renders flat
-        # all-zero 3-D attrs (flam3 defaults) must not warn
+        assert g.cam_yaw(0.0) == pytest.approx(0.3)
+        assert g.cam_perspective(0.0) == pytest.approx(0.1)
+        assert g.structure_key().cam_mode == 1
+        # all-zero 3-D attrs (flam3 defaults) are statically elided
         xml_flat = ('<flame name="c0" size="64 64" cam_yaw="0" '
                     'cam_pitch="0" cam_dof="0">'
                     '<xform weight="1" coefs="1 0 0 1 0 0" linear="1"/>'
                     '</flame>')
-        import warnings as _w
         with _w.catch_warnings():
             _w.simplefilter("error")
-            convert.parse_flam3(xml_flat)
+            [g0] = convert.parse_flam3(xml_flat)
+        assert g0.structure_key().cam_mode == 0
 
     def test_multi_flame_document(self):
         doc = f"<flames>{FLAM3_XML}{FLAM3_XML}</flames>"
