@@ -117,6 +117,22 @@ def main():
         W = H = 128
         B, K = 1 << 12, 16
         target_iters = 1 << 19
+    # the per-chip tune record (bench/retune.py, device-gated in
+    # render._load_tune) also steers the raw headline loop: flush
+    # cadence K from the measured flush_records ladder and the
+    # segmented-sort depth (round-4 retune: K=128/S=4 is ~10% over
+    # the old hardcoded K=64/S=1 on the dev chip)
+    sort_segments = 1
+    try:
+        from cuburn_tpu.render import _load_tune
+        tune = _load_tune()
+    except Exception:
+        tune = {}
+    if backend_name == "tpu" and tune:
+        if tune.get("flush_records"):
+            K = max(16, min(1024, int(tune["flush_records"]) // B))
+        sort_segments = int(tune.get("sort_segments", 1))
+        extra["tuned"] = {"K": K, "sort_segments": sort_segments}
     cam = CameraSpec(W, H, 1)
     cdf = xform_cdf_rows(params)
     ppu = params.ppu * jnp.float32(W / g.size[0])
@@ -131,16 +147,17 @@ def main():
     if backend_name == "tpu":
         backends.append("pallas_win")
     for hist_backend in backends:
+        ss = sort_segments if hist_backend == "pallas_win" else 1
         state = init_state(jax.random.PRNGKey(0), B)
         hist = hist_alloc_for(hist_backend, cam.n_bins)
         state, hist, n = iterate_accumulate(        # warm compile
             key, cam, hist_backend, params, cdf, state, hist, ppu,
-            jnp.int32(1), K, 32)
+            jnp.int32(1), K, 32, sort_segments=ss)
         hard_sync(hist)
         t0 = time.perf_counter()
         state, hist, n = iterate_accumulate(
             key, cam, hist_backend, params, cdf, state, hist, ppu,
-            jnp.int32(n_chunks), K, 32)
+            jnp.int32(n_chunks), K, 32, sort_segments=ss)
         hard_sync(hist)
         dt = time.perf_counter() - t0
         results[hist_backend] = (int(n) / dt, dt, int(n), hist)

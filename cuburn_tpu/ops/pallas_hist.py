@@ -276,10 +276,29 @@ def from_planes_layout(planes: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     return flat[:n_bins + 1]
 
 
+def to_split_layout(hist: jnp.ndarray):
+    """(bins+1, 4) logical -> (dens (1, rows, 128) f32,
+    rgb (3, rows, 128) bf16): the rgb16 tiled-flush HBM layout —
+    density keeps full f32 (counts are the exactness contract), the
+    three color planes store bf16 to halve their reload bytes."""
+    planes = to_planes_layout(hist)
+    return planes[3:4], planes[0:3].astype(jnp.bfloat16)
+
+
+def from_split_layout(dens: jnp.ndarray, rgb16: jnp.ndarray,
+                      n_bins: int) -> jnp.ndarray:
+    """Inverse of to_split_layout -> (bins+1, 4) logical f32."""
+    planes = jnp.concatenate(
+        [rgb16.astype(jnp.float32), dens.astype(jnp.float32)], axis=0)
+    return from_planes_layout(planes, n_bins)
+
+
 GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
 
 
-def _make_win_kernel(block_rows: int, mxu_precision):
+def _make_win_kernel(block_rows: int, mxu_precision,
+                     inplace: bool = False,
+                     mode: str = None):
     """`mxu_precision` is the segment-sum matmul precision.
 
     HIGHEST is required for EXACTNESS only when some matmul input is
@@ -291,9 +310,46 @@ def _make_win_kernel(block_rows: int, mxu_precision):
     (~2^-9 relative, from the palette values themselves) sits below
     the 8-bit palette quantization the packed record already accepts.
     Measured on the dev chip: DEFAULT is 11.7% faster END TO END
-    (140.9 vs 126.2 M samples/s at 512²)."""
+    (140.9 vs 126.2 M samples/s at 512²).
+
+    `inplace` (round 4): the kernel receives the CURRENT histogram as
+    an extra input left in ANY memory space (HBM — aliased to the
+    output buffer via input_output_aliases) plus the temporal-filter
+    weight as an SMEM scalar; on each block's first visit it DMAs the
+    block straight from HBM into the output window and accumulates on
+    top — the caller's separate delta buffer and its full
+    read-read-write `hist + delta` pass disappear, ~halving per-flush
+    HBM traffic.  ANY (manual DMA) rather than a pipelined VMEM input
+    window because Mosaic double-buffers every pipelined window: a
+    second br-row window blows the 16 MB scoped-VMEM limit at both
+    render geometries (measured 16.06M at rows=2056, 16.01M at
+    br=2048 tiled).  The weight multiplies each window's f32
+    segment-sum OUTPUT (not the matmul inputs), so the
+    precision-by-contract argument above is untouched: at weight==1.0
+    per-bin density stays bit-exact at DEFAULT precision.
+
+    `mode="rgb16"` (round 4, VERDICT item 5): HBM stores the three RGB
+    planes bf16 (half the reload bytes on 3/4 planes) while density
+    stays f32 (exactness contract) — accumulation is STILL full f32 in
+    a (4, br, 128) VMEM scratch; rounding to bf16 happens only at each
+    block's LAST visit, when the scratch DMAs back out.  In and out
+    both live in ANY space (manual DMA), aliased in↔out, so unvisited
+    blocks keep their mass for free and nothing is double-buffered."""
+    mode = mode or ("inplace" if inplace else "delta")
+    rgb16 = mode == "rgb16"
+    inplace = mode == "inplace"
+
     def _win_kernel(perm_ref, rbg_ref, addr_s_ref,
-                    addr_ref, q_ref, cnt_ref, palF_ref, out_ref):
+                    addr_ref, q_ref, cnt_ref, palF_ref,
+                    *rest_refs):
+        if rgb16:
+            (dens_in_ref, rgb_in_ref, w_ref, dens_out_ref,
+             rgb_out_ref, acc_ref, stage_ref, copy_sem) = rest_refs
+            out_ref = acc_ref          # all window RMWs hit the f32
+        elif inplace:                  # VMEM scratch in rgb16 mode
+            hist_in_ref, w_ref, out_ref, copy_sem = rest_refs
+        else:
+            (out_ref,) = rest_refs
         """One grid step = GROUP windows of WIN sorted unique records.
 
         Scalar-prefetch refs (full SMEM arrays): perm_ref — grid step
@@ -327,7 +383,44 @@ def _make_win_kernel(block_rows: int, mxu_precision):
 
         @pl.when(jnp.logical_or(gi == 0, rb != prev_rb))
         def _first_visit():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            if rgb16:
+                # split-plane load: density f32 block straight into
+                # the scratch's density channel; rgb bf16 block via a
+                # bf16 staging buffer, upcast into the scratch — from
+                # here on the whole block accumulates in f32
+                cp = pltpu.make_async_copy(
+                    dens_in_ref.at[:, pl.ds(rb * block_rows,
+                                            block_rows), :],
+                    acc_ref.at[pl.ds(3, 1)], copy_sem)
+                cp.start()
+                cp.wait()
+                cp2 = pltpu.make_async_copy(
+                    rgb_in_ref.at[:, pl.ds(rb * block_rows,
+                                           block_rows), :],
+                    stage_ref, copy_sem)
+                cp2.start()
+                cp2.wait()
+                acc_ref[pl.ds(0, 3)] = \
+                    stage_ref[:].astype(jnp.float32)
+            elif inplace:
+                # DMA the running histogram block from HBM into the
+                # output window; new mass accumulates ON TOP and the
+                # block writes back in place of the caller's
+                # hist+delta pass.  Safe with the aliased buffer:
+                # the group permutation guarantees one contiguous run
+                # per block, so block b is never read here after its
+                # own write-back.
+                cp = pltpu.make_async_copy(
+                    hist_in_ref.at[:, pl.ds(rb * block_rows,
+                                            block_rows), :],
+                    out_ref, copy_sem)
+                cp.start()
+                cp.wait()
+            else:
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+        w_t = (w_ref[0, 0] if (inplace or rgb16)
+               else np.float32(1.0))
 
         row_off = rb * block_rows
         kh = palF_ref.shape[0] // 4       # palette factored KH x KL
@@ -377,6 +470,8 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                         WT, Pt, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=mxu_precision)  # (4,128)
+                    if inplace or rgb16:
+                        out = out * w_t
                     out_ref[:, pl.ds(r0, 1), :] = \
                         out_ref[:, pl.ds(r0, 1), :] + out[:, None, :]
 
@@ -402,6 +497,8 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                             WT, Pt, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=mxu_precision)
+                        if inplace or rgb16:
+                            out = out * w_t
                         # rows past the block end only ever receive
                         # zero one-hots (block straddles are diverted
                         # upstream); clamp so the RMW stays in bounds
@@ -422,6 +519,8 @@ def _make_win_kernel(block_rows: int, mxu_precision):
                         # rotate record k's column to its bin lane
                         add = pltpu.roll(WT, lane - k, axis=1) \
                             * (liota == lane).astype(jnp.float32)
+                        if inplace or rgb16:
+                            add = add * w_t
                         row = jnp.clip(a // 128 - row_off, 0,
                                        block_rows - 1)
                         out_ref[:, pl.ds(row, 1), :] = \
@@ -435,49 +534,52 @@ def _make_win_kernel(block_rows: int, mxu_precision):
 
         jax.lax.fori_loop(0, GROUP, window, 0)
 
+        if rgb16:
+            # block complete?  (the group permutation makes each
+            # block's visits one contiguous run, so "next grid step is
+            # a different block" == last visit) — round rgb to bf16
+            # and DMA the scratch back out; density stays f32
+            ng = pl.num_programs(0)
+            nxt_rb = rbg_ref[perm_ref[jnp.minimum(gi + 1, ng - 1)]]
+
+            @pl.when(jnp.logical_or(gi == ng - 1, rb != nxt_rb))
+            def _last_visit():
+                stage_ref[:] = acc_ref[pl.ds(0, 3)].astype(
+                    jnp.bfloat16)
+                cp = pltpu.make_async_copy(
+                    stage_ref,
+                    rgb_out_ref.at[:, pl.ds(rb * block_rows,
+                                            block_rows), :],
+                    copy_sem)
+                cp.start()
+                cp.wait()
+                cp2 = pltpu.make_async_copy(
+                    acc_ref.at[pl.ds(3, 1)],
+                    dens_out_ref.at[:, pl.ds(rb * block_rows,
+                                             block_rows), :],
+                    copy_sem)
+                cp2.start()
+                cp2.wait()
+
     return _win_kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_bins", "color_bits", "interpret",
-                                    "merge", "sort_segments"))
-def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
-                               n_bins: int, color_bits: int,
-                               interpret: bool = False, weight=None,
-                               merge: bool = False,
-                               sort_segments: int = 1):
-    """Key-sort + run-merge + windowed one-hot-matmul Pallas flush —
-    the full 'tile-local VMEM accumulation with key-sort + segment-sum
-    flushes' design named by BASELINE.json, with the segment sums on
-    the MXU (TPU-native recast of the reference's radix sort + write
-    kernel, cuburn/code/sort.py + iter.py write kernel, SURVEY.md §1).
+INPLACE_FLUSH = _os.environ.get("CUBURN_INPLACE_FLUSH", "1") != "0"
 
-    Histograms up to BLOCK_ROWS lane rows (~2 M bins) stay VMEM-resident
-    for the whole flush; larger ones (1080p ss2 = 8.6 M bins) are HBM-
-    resident and walked in row blocks via the prefetched block index;
-    a group permutation (perm, also prefetched and consumed by the
-    BlockSpec index maps — no data gather) keeps every block's visits
-    contiguous.  Windows whose sparse fallback would cross a block
-    boundary (at most ~2 per boundary) are diverted to an exact XLA
-    side-scatter.
 
-    `sort_segments` > 1 runs the SEGMENTED sub-sort: S independent
-    contiguous sub-sorts instead of one full bitonic network (~1.5x
-    fewer substages at S=16 on 2^21 records).  Windows never straddle
-    segment boundaries (segment length is a multiple of GROUP*WIN) and
-    each window's segment sum is order-independent, so no merge pass
-    exists — the decomposition the full-network rejection in
-    docs/KERNEL_DESIGN.md does NOT cover.  The trade: each segment
-    spreads the same bin range over 1/S the records, so windows span
-    ~S x more bins and can drop a flush tier; measure end-to-end
-    (bench/segsweep.py) before changing the default.
+def _prep_windows(packed_records, palette_hi, n_bins,
+                  color_bits, merge, sort_segments,
+                  br, n_blocks):
+    """Shared record prep for the windowed flush family:
+    key-sort (optionally segmented), optional run-merge,
+    window reshapes, per-group row-block ids + the block-
+    contiguity permutation, boundary-straddle diversion, the
+    factored palette and the precision-by-contract choice.
+    Returns a dict consumed by accumulate_windowed_pallas and
+    accumulate_windowed_pallas_rgb16."""
+    from cuburn_tpu.ops.sort import (merge_sorted_records,
+                                     sort_records)
 
-    hist_planes: (4, rows, 128) from to_planes_layout."""
-    from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
-
-    rows = hist_planes.shape[1]
-    br = rows if rows <= BLOCK_ROWS else TILED_BLOCK_ROWS
-    n_blocks = rows // br
     junk_rec = jnp.uint32(n_bins << color_bits)
     cmask = np.uint32((1 << color_bits) - 1)
     nrec = int(np.prod(packed_records.shape))
@@ -580,29 +682,133 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     mxu_precision = (jax.lax.Precision.DEFAULT if exact_at_default
                      else jax.lax.Precision.HIGHEST)
 
+    rec_specs = [
+        pl.BlockSpec((GROUP, WIN),
+                     lambda i, p, rbg: (p[i], 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((GROUP, WIN),
+                     lambda i, p, rbg: (p[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROUP, WIN),
+                     lambda i, p, rbg: (p[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROUP, WIN),
+                     lambda i, p, rbg: (p[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(palF.shape, lambda i, p, rbg: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return dict(perm=perm, rbg=rbg, addr_w=addr_w, q_w=q_w,
+                cnt_w=cnt_w, palF=palF,
+                mxu_precision=mxu_precision, n_grp=n_grp,
+                s_addr=s_addr if n_blocks > 1 else None,
+                s_rgba=s_rgba if n_blocks > 1 else None,
+                rec_specs=rec_specs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "color_bits", "interpret",
+                                    "merge", "sort_segments", "inplace"))
+def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
+                               n_bins: int, color_bits: int,
+                               interpret: bool = False, weight=None,
+                               merge: bool = False,
+                               sort_segments: int = 1,
+                               inplace: bool = INPLACE_FLUSH):
+    """Key-sort + run-merge + windowed one-hot-matmul Pallas flush —
+    the full 'tile-local VMEM accumulation with key-sort + segment-sum
+    flushes' design named by BASELINE.json, with the segment sums on
+    the MXU (TPU-native recast of the reference's radix sort + write
+    kernel, cuburn/code/sort.py + iter.py write kernel, SURVEY.md §1).
+
+    Histograms up to BLOCK_ROWS lane rows (~2 M bins) stay VMEM-resident
+    for the whole flush; larger ones (1080p ss2 = 8.6 M bins) are HBM-
+    resident and walked in row blocks via the prefetched block index;
+    a group permutation (perm, also prefetched and consumed by the
+    BlockSpec index maps — no data gather) keeps every block's visits
+    contiguous.  Windows whose sparse fallback would cross a block
+    boundary (at most ~2 per boundary) are diverted to an exact XLA
+    side-scatter.
+
+    `sort_segments` > 1 runs the SEGMENTED sub-sort: S independent
+    contiguous sub-sorts instead of one full bitonic network (~1.5x
+    fewer substages at S=16 on 2^21 records).  Windows never straddle
+    segment boundaries (segment length is a multiple of GROUP*WIN) and
+    each window's segment sum is order-independent, so no merge pass
+    exists — the decomposition the full-network rejection in
+    docs/KERNEL_DESIGN.md does NOT cover.  The trade: each segment
+    spreads the same bin range over 1/S the records, so windows span
+    ~S x more bins and can drop a flush tier; measure end-to-end
+    (bench/segsweep.py) before changing the default.
+
+    hist_planes: (4, rows, 128) from to_planes_layout."""
+    from cuburn_tpu.ops.sort import merge_sorted_records, sort_records
+
+    rows = hist_planes.shape[1]
+    br = rows if rows <= BLOCK_ROWS else TILED_BLOCK_ROWS
+    n_blocks = rows // br
+    p_ = _prep_windows(packed_records, palette_hi, n_bins,
+                       color_bits, merge, sort_segments,
+                       br, n_blocks)
+    (perm, rbg, addr_w, q_w, cnt_w, palF, mxu_precision,
+     n_grp, s_addr, s_rgba, rec_specs) = (
+        p_["perm"], p_["rbg"], p_["addr_w"], p_["q_w"],
+        p_["cnt_w"], p_["palF"], p_["mxu_precision"],
+        p_["n_grp"], p_["s_addr"], p_["s_rgba"],
+        p_["rec_specs"])
+    out_spec = pl.BlockSpec((4, br, 128),
+                            lambda i, p, rbg: (0, rbg[p[i]], 0),
+                            memory_space=pltpu.VMEM)
+    if inplace:
+        # round-4 in-place flush: the histogram itself rides in as an
+        # input ALIASED to the output buffer — each row block is
+        # DMA'd in once at first visit, accumulated over its
+        # contiguous run of groups, and written back, replacing the
+        # old separate-delta design (delta write + full hist+delta
+        # read-read-write add = ~2x the HBM traffic of this).  Safe
+        # because the group permutation guarantees every block is
+        # visited in ONE contiguous run: the aliased buffer's block b
+        # is never read after block b's write-back.
+        w_arr = jnp.full((1, 1), 1.0 if weight is None else weight,
+                         jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_grp,),
+            in_specs=rec_specs + [
+                # ANY = stays in HBM, manually DMA'd at first visit;
+                # a pipelined VMEM window here would be
+                # double-buffered and blow scoped VMEM (see kernel
+                # docstring)
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 1), lambda i, p, rbg: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        )
+        result = pl.pallas_call(
+            _make_win_kernel(br, mxu_precision, inplace=True),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
+            # operand index counts the 2 scalar-prefetch args first,
+            # then the 7 inputs: hist_planes is operand 2+5=7
+            input_output_aliases={7: 0},
+            interpret=interpret,
+        )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF,
+          hist_planes, w_arr)
+        if n_blocks > 1:
+            # diverted straddle windows: exact in-place scatter-add on
+            # the result (small index set; no full-histogram pass)
+            sw = s_rgba if weight is None else s_rgba * weight
+            result = result.reshape(4, rows * 128).at[:, s_addr].add(
+                sw.T).reshape(4, rows, 128)
+        return result
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_grp,),
-        in_specs=[
-            pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg: (p[i], 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg: (p[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg: (p[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, WIN),
-                         lambda i, p, rbg: (p[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(palF.shape, lambda i, p, rbg: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, br, 128),
-                               lambda i, p, rbg:
-                               (0, rbg[p[i]], 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=rec_specs,
+        out_specs=out_spec,
     )
     delta = pl.pallas_call(
         _make_win_kernel(br, mxu_precision),
@@ -628,6 +834,89 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     if weight is not None:
         delta = delta * weight
     return hist_planes + delta
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "color_bits", "interpret",
+                                    "sort_segments"))
+def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
+                                     palette_hi, n_bins: int,
+                                     color_bits: int,
+                                     interpret: bool = False,
+                                     weight=None,
+                                     sort_segments: int = 1):
+    """Windowed flush over the SPLIT bf16-rgb histogram layout
+    (VERDICT round-4 item 5: tiled-histogram traffic compression).
+
+    hist_split: (dens (1, rows, 128) f32, rgb (3, rows, 128) bf16)
+    from to_split_layout.  HBM stores rgb bf16 (their reload+writeback
+    bytes halve — at tiled densities the flush is row-block-reload
+    bound, ~the histogram's own size per flush); accumulation is STILL
+    exact f32 in a VMEM scratch, with rgb rounded to bf16 only once
+    per block per flush at write-back.  Density never leaves f32, so
+    per-bin counts keep the bit-exactness contract.  In/out buffers
+    are aliased and manually DMA'd (ANY space) — unvisited blocks keep
+    their mass for free and nothing is double-buffered.
+
+    No merge support (merged counts need the HIGHEST-precision path
+    whose win profile is different; rgb16 targets the default fast
+    path).  Returns the updated (dens, rgb) pair."""
+    dens, rgb = hist_split
+    rows = dens.shape[1]
+    br = rows if rows <= BLOCK_ROWS else TILED_BLOCK_ROWS
+    n_blocks = rows // br
+    p_ = _prep_windows(packed_records, palette_hi, n_bins,
+                       color_bits, False, sort_segments,
+                       br, n_blocks)
+    (perm, rbg, addr_w, q_w, cnt_w, palF, mxu_precision,
+     n_grp, s_addr, s_rgba, rec_specs) = (
+        p_["perm"], p_["rbg"], p_["addr_w"], p_["q_w"],
+        p_["cnt_w"], p_["palF"], p_["mxu_precision"],
+        p_["n_grp"], p_["s_addr"], p_["s_rgba"],
+        p_["rec_specs"])
+
+    w_arr = jnp.full((1, 1), 1.0 if weight is None else weight,
+                     jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_grp,),
+        in_specs=rec_specs + [
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dens (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # rgb16 (HBM)
+            pl.BlockSpec((1, 1), lambda i, p, rbg: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dens out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # rgb16 out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, br, 128), jnp.float32),     # f32 acc
+            pltpu.VMEM((3, br, 128), jnp.bfloat16),    # bf16 stage
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dens_new, rgb_new = pl.pallas_call(
+        _make_win_kernel(br, mxu_precision, mode="rgb16"),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, rows, 128), jnp.bfloat16),
+        ],
+        # operands: 2 scalar-prefetch + 5 record/palette inputs, then
+        # dens at 7, rgb at 8 — aliased onto outputs 0 and 1
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF, dens, rgb, w_arr)
+    if n_blocks > 1:
+        # diverted straddle windows: exact scatter-add on the split
+        # pair (small index set; rgb rounds at the bf16 array add)
+        sw = s_rgba if weight is None else s_rgba * weight
+        dens_new = dens_new.reshape(rows * 128).at[s_addr].add(
+            sw[:, 3]).reshape(1, rows, 128)
+        rgb_new = rgb_new.reshape(3, rows * 128).at[:, s_addr].add(
+            sw[:, :3].T.astype(jnp.bfloat16)).reshape(3, rows, 128)
+    return dens_new, rgb_new
 
 
 @functools.partial(jax.jit,

@@ -331,6 +331,149 @@ class TestMergedPallasFlush:
         assert np.asarray(out).reshape(4, -1)[3].sum() \
             == pytest.approx(addr.shape[0])
 
+    @pytest.mark.parametrize("weight", [None, 0.25])
+    def test_windowed_inplace_matches_delta_path(self, weight):
+        """Round-4 in-place flush (histogram aliased into the kernel,
+        first-visit copy-in, weight applied to each window's f32
+        segment-sum output) must agree with the old separate-delta
+        path — bit-exactly on the density channel at weight=None
+        (integer adds in either order), and to f32 rounding with a
+        temporal weight — INCLUDING from a non-zero starting histogram
+        (the new behavior: old path never saw hist inside the
+        kernel)."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(41)
+        n_bins, cbits = 5000, 10
+        addr = rng.randint(0, n_bins, 2048).astype(np.int32)
+        color = rng.rand(2048).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, _ = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        # non-zero start: a prior flush's mass must survive exactly.
+        # Density is integer-valued in the real pipeline (counts), so
+        # integer + integer adds agree bit-exactly in EITHER order;
+        # rgb starts are arbitrary f32, where the two add orders
+        # (records-onto-hist vs hist-plus-delta) legitimately differ
+        # by f32 rounding ulps.
+        start = rng.rand(n_bins + 1, 4).astype(np.float32)
+        start[:, 3] = rng.randint(0, 1000, n_bins + 1)
+        hp = ph.to_planes_layout(jnp.asarray(start))
+        w = None if weight is None else jnp.float32(weight)
+        new = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            weight=w, inplace=True)
+        old = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            weight=w, inplace=False)
+        a = np.asarray(ph.from_planes_layout(new, n_bins))
+        b = np.asarray(ph.from_planes_layout(old, n_bins))
+        if weight is None:
+            np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    def test_windowed_inplace_tiled_nonzero_start(self):
+        """In-place flush over multiple HBM row blocks from a non-zero
+        histogram: unvisited blocks must keep their prior mass (the
+        aliased buffer is simply never touched there), visited blocks
+        must add exactly, straddle diversions included."""
+        from cuburn_tpu.ops import histogram as hm
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(43)
+        n_bins = 3 * ph.BLOCK_ROWS * 128 - 500
+        cbits = 10
+        bdry = ph.BLOCK_ROWS * 128
+        # records in blocks 0 and 2 only (block 1 unvisited except
+        # straddles), plus boundary straddles
+        addr = np.concatenate([
+            rng.randint(0, 3000, 700),
+            rng.randint(2 * bdry + 100, n_bins, 700),
+            rng.randint(bdry - 20, bdry + 20, 100),
+        ]).astype(np.int32)
+        color = rng.rand(addr.shape[0]).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        base = rng.rand(n_bins + 1, 4).astype(np.float32)
+        hp = ph.to_planes_layout(jnp.asarray(base))
+        out = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            inplace=True)
+        got = np.asarray(ph.from_planes_layout(out, n_bins))
+        want = base[:n_bins] + ref[:n_bins]
+        np.testing.assert_allclose(got[:n_bins], want,
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("dist", ["dense", "sparse", "mixed"])
+    def test_windowed_rgb16_matches_f32(self, dist):
+        """Split bf16-rgb flush (tiled traffic compression): density
+        must stay BIT-EXACT vs the f32 path (it never leaves f32);
+        rgb agrees within one bf16 rounding of the running value."""
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(47)
+        n_bins, cbits = 6000, 10
+        n = 3000
+        if dist == "dense":
+            addr = rng.randint(0, 128, n).astype(np.int32)
+        elif dist == "sparse":
+            addr = rng.randint(0, n_bins, n).astype(np.int32)
+        else:
+            addr = np.concatenate([
+                rng.randint(0, 64, n // 2),
+                rng.randint(0, n_bins, n // 2)]).astype(np.int32)
+        color = rng.rand(n).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, _ = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        start = rng.rand(n_bins + 1, 4).astype(np.float32)
+        start[:, 3] = rng.randint(0, 1000, n_bins + 1)
+        hp = ph.to_planes_layout(jnp.asarray(start))
+        split = ph.to_split_layout(jnp.asarray(start))
+        f32 = ph.accumulate_windowed_pallas(
+            hp, packed, pal_hi, n_bins, cbits, interpret=True,
+            inplace=True)
+        d16, r16 = ph.accumulate_windowed_pallas_rgb16(
+            split, packed, pal_hi, n_bins, cbits, interpret=True)
+        a = np.asarray(ph.from_split_layout(d16, r16, n_bins))
+        b = np.asarray(ph.from_planes_layout(f32, n_bins))
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        # rgb: starting values rounded to bf16 once + one write-back
+        # round — tolerance is a couple of bf16 ulps of the magnitude
+        scale = np.maximum(np.abs(b[:, :3]), 1.0)
+        np.testing.assert_allclose(a[:, :3], b[:, :3],
+                                   atol=float((scale * 2 ** -7).max()))
+
+    def test_windowed_rgb16_tiled_nonzero_start(self):
+        """rgb16 over multiple HBM row blocks: unvisited blocks keep
+        their mass (aliased, never touched), visited blocks add with
+        density exact; straddle diversions included."""
+        from cuburn_tpu.ops import pallas_hist as ph
+        rng = np.random.RandomState(53)
+        n_bins = 3 * ph.BLOCK_ROWS * 128 - 500
+        cbits = 10
+        bdry = ph.BLOCK_ROWS * 128
+        addr = np.concatenate([
+            rng.randint(0, 3000, 700),
+            rng.randint(2 * bdry + 100, n_bins, 700),
+            rng.randint(bdry - 20, bdry + 20, 100),
+        ]).astype(np.int32)
+        color = rng.rand(addr.shape[0]).astype(np.float32)
+        palette = jnp.asarray(rng.rand(256, 3).astype(np.float32))
+        packed, pal_hi, ref = self._scatter_reference(
+            n_bins, cbits, addr, color, palette)
+        base = rng.rand(n_bins + 1, 4).astype(np.float32)
+        base[:, 3] = rng.randint(0, 1000, n_bins + 1)
+        split = ph.to_split_layout(jnp.asarray(base))
+        base16 = np.asarray(ph.from_split_layout(*split, n_bins))
+        d16, r16 = ph.accumulate_windowed_pallas_rgb16(
+            split, packed, pal_hi, n_bins, cbits, interpret=True)
+        got = np.asarray(ph.from_split_layout(d16, r16, n_bins))
+        want = base16[:n_bins] + ref[:n_bins]
+        np.testing.assert_array_equal(got[:n_bins, 3], want[:, 3])
+        scale = np.maximum(np.abs(want[:, :3]), 1.0)
+        np.testing.assert_allclose(got[:n_bins, :3], want[:, :3],
+                                   atol=float((scale * 2 ** -7).max()))
+
     def test_windowed_weight_scales(self):
         from cuburn_tpu.ops import histogram as hm
         from cuburn_tpu.ops import pallas_hist as ph
