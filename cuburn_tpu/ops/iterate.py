@@ -355,7 +355,7 @@ def iterate_accumulate(
         tot_bits = op_bits + cbits
     else:
         cbits = color_bits_for(cam.layout_bins) if packed else 0
-        if backend == "pallas_win" and cbits:
+        if backend in ("pallas_win", "pallas_rgb16") and cbits:
             # 2^8 = flam3's native palette resolution; quarters the
             # windowed kernel's palette one-hot cost vs 10 bits
             cbits = min(cbits, 8)
@@ -393,14 +393,17 @@ def iterate_accumulate(
 
             state, packed_recs = jax.lax.scan(
                 body, state, None, length=iters_per_flush)
-            if backend in ("pallas", "pallas_merged", "pallas_win"):
+            if backend in ("pallas", "pallas_merged", "pallas_win",
+                           "pallas_rgb16"):
                 from cuburn_tpu.ops import pallas_hist as ph
                 acc = {"pallas": ph.accumulate_packed_pallas,
                        "pallas_merged": ph.accumulate_merged_pallas,
                        "pallas_win": ph.accumulate_windowed_pallas,
+                       "pallas_rgb16": ph.accumulate_windowed_pallas_rgb16,
                        }[backend]
                 kw = ({"sort_segments": sort_segments}
-                      if backend == "pallas_win" else {})
+                      if backend in ("pallas_win", "pallas_rgb16")
+                      else {})
                 hist = acc(
                     hist, packed_recs, palette_hi, cam.n_bins,
                     tot_bits,
@@ -507,6 +510,9 @@ def hist_to_layout(backend: str, hist):
     if backend == "pallas_win":
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.to_planes_layout(hist)
+    if backend == "pallas_rgb16":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.to_split_layout(hist)
     if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.to_packed_layout(hist)
@@ -518,6 +524,9 @@ def hist_to_logical(backend: str, hist, n_bins: int):
     if backend == "pallas_win":
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.from_planes_layout(hist, n_bins)
+    if backend == "pallas_rgb16":
+        from cuburn_tpu.ops import pallas_hist as ph
+        return ph.from_split_layout(hist[0], hist[1], n_bins)
     if backend.startswith("pallas"):
         from cuburn_tpu.ops import pallas_hist as ph
         return ph.from_packed_layout(hist, n_bins)

@@ -28,7 +28,7 @@ class RenderProfile:
     # pays ~the whole histogram in row-block traffic regardless of
     # record count (render.py _resolve_iters_per_chunk).
     iters_per_chunk: int = 0
-    hist_backend: str = "auto"   # auto | scatter | sortcum | pallas | pallas_merged | pallas_win (auto picks pallas_win on TPU)
+    hist_backend: str = "auto"   # auto | scatter | sortcum | pallas | pallas_merged | pallas_win | pallas_rgb16 (auto picks pallas_win on TPU)
     de_enabled: bool = True
     transparent: bool = False
     fps: float = 24.0

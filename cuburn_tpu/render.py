@@ -19,6 +19,7 @@ from __future__ import annotations
 
 
 import functools
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -168,11 +169,12 @@ def band_margin(de_on: bool, de_r: float, spatial_filter: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "ss", "margin", "gutter_x", "transparent", "de_on",
-    "de_static_r", "spatial_filter", "filter_shape"))
+    "de_static_r", "spatial_filter", "filter_shape", "skip_empty"))
 def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
                  ss: int, margin: int, gutter_x: int,
                  transparent: bool, de_on: bool, de_static_r: float,
-                 spatial_filter: float, filter_shape: str):
+                 spatial_filter: float, filter_shape: str,
+                 skip_empty: bool = False):
     """_filter_frame on one horizontal band of the accumulator.
 
     hist_band: (band_rows + 2*margin, acc_w, 4) with `margin` rows of
@@ -193,7 +195,8 @@ def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
             params.estimator_radius * ss,
             params.estimator_minimum * ss,
             params.estimator_curve,
-            static_max_radius=de_static_r)
+            static_max_radius=de_static_r,
+            skip_empty=skip_empty)
     img = downsample(img, ss, spatial_filter, filter_shape,
                      gutter=(margin, gutter_x))
     img = colorclip(
@@ -268,18 +271,23 @@ def _merge_stripe(full, stripe, row0, rows, acc_w: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_bands", "band_rows", "margin", "ss", "gutter_x", "transparent",
-    "de_on", "de_static_r", "spatial_filter", "filter_shape"))
+    "de_on", "de_static_r", "spatial_filter", "filter_shape",
+    "skip_empty"))
 def _filter_banded_device(himg, params: GenomeParams, quality_per_cell,
                           n_bands: int, band_rows: int, margin: int,
                           ss: int, gutter_x: int, transparent: bool,
                           de_on: bool, de_static_r: float,
-                          spatial_filter: float, filter_shape: str):
+                          spatial_filter: float, filter_shape: str,
+                          skip_empty: bool = False):
     """ALL bands of finalize_frame_banded in ONE device program: a
     lax.map over band starts whose body is the band-sized _filter_band
     (programs stay small — the reason banding exists — while the
     histogram image never leaves the device and the whole filter costs
     ONE dispatch instead of n_bands; per-dispatch latency is ~0.5-1 s
-    on the dev tunnel).  Returns (n_bands, band_rows/ss, W, 4) u8."""
+    on the dev tunnel).  Returns (n_bands, band_rows/ss, W, C) u8 —
+    C=3 for opaque output (alpha is a constant 255 the host fills in;
+    readback bytes drop 25% — the final u8 D2H is a real slice of the
+    binding-size still wall, bench/filterprof.py), C=4 transparent."""
     acc_h, acc_w = himg.shape[0], himg.shape[1]
     need_h = gutter_x + n_bands * band_rows + 2 * margin
     pad_bot = max(0, need_h - margin - acc_h)
@@ -291,9 +299,11 @@ def _filter_banded_device(himg, params: GenomeParams, quality_per_cell,
         block = jax.lax.dynamic_slice(
             padded, (start, 0, 0),
             (band_rows + 2 * margin, acc_w, 4))
-        return _filter_band(block, params, quality_per_cell, ss,
-                            margin, gutter_x, transparent, de_on,
-                            de_static_r, spatial_filter, filter_shape)
+        out = _filter_band(block, params, quality_per_cell, ss,
+                           margin, gutter_x, transparent, de_on,
+                           de_static_r, spatial_filter, filter_shape,
+                           skip_empty=skip_empty)
+        return out if transparent else out[..., :3]
 
     starts = gutter_x + band_rows * jnp.arange(n_bands,
                                                dtype=jnp.int32)
@@ -383,7 +393,8 @@ class Renderer:
             tiled = planes_rows(self.cam.n_bins) > BLOCK_ROWS
             choice = (tune.get("hist_backend_tiled") if tiled
                       else None) or tune.get("hist_backend")
-            if (choice in ("scatter", "scatter_sorted", "pallas_win")
+            if (choice in ("scatter", "scatter_sorted", "pallas_win",
+                           "pallas_rgb16")
                     and jax.default_backend() == "tpu"):
                 # per-chip tune record (bench/retune.py)
                 backend = choice
@@ -461,7 +472,7 @@ class Renderer:
             base = max(1, int(tune["flush_records"]) // profile.batch)
         else:
             base = int(tune.get("iters_per_chunk") or 32)
-        if self.backend == "pallas_win":
+        if self.backend in ("pallas_win", "pallas_rgb16"):
             from cuburn_tpu.ops.pallas_hist import BLOCK_ROWS, planes_rows
             # planes_rows is the kernel's own resident/tiled decision
             # (it pads n_bins+1 and rounds to sublane/tile multiples);
@@ -655,7 +666,9 @@ class Renderer:
 
     def finalize_frame_banded(self, hist, t: float = 0.0,
                               stats: Optional[FrameStats] = None,
-                              n_bands: int = 4) -> np.ndarray:
+                              n_bands: int = 4,
+                              skip_empty: Optional[bool] = None
+                              ) -> np.ndarray:
         """finalize_frame as n_bands horizontal sub-programs.
 
         Every filter stage is local and bands carry enough real context
@@ -690,17 +703,24 @@ class Renderer:
         # Slicing with lax.dynamic_slice on a zero-padded device image
         # keeps programs band-sized (the reason banding exists) while
         # data never leaves the device until the final u8 readback.
+        if skip_empty is None:
+            skip_empty = os.environ.get("CUBURN_DE_SKIP_EMPTY") == "1"
         himg = jnp.asarray(hist, jnp.float32)[:-1]\
             .reshape(acc_h, acc_w, 4)
         bands = _filter_banded_device(
             himg, params, q_cell, n_bands, band_rows, margin, ss, g,
-            prof.transparent, de_on, de_static, sf, shape)
+            prof.transparent, de_on, de_static, sf, shape,
+            skip_empty=bool(skip_empty))
         out = np.zeros((H, W, 4), np.uint8)
+        if not prof.transparent:
+            out[..., 3] = 255       # device program returns rgb only
+        ch = 4 if prof.transparent else 3
         bands_np = np.asarray(bands)       # one D2H for all bands
         for b in range(n_bands):
             rows = min(h_band, H - b * h_band)
             if rows > 0:
-                out[b * h_band:b * h_band + rows] = bands_np[b][:rows]
+                out[b * h_band:b * h_band + rows, :, :ch] = \
+                    bands_np[b][:rows]
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1
         return out

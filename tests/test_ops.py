@@ -380,6 +380,41 @@ class TestPallasHistogram:
         np.testing.assert_allclose(
             img_s.astype(np.int32), img_p.astype(np.int32), atol=1)
 
+    def test_iterate_rgb16_matches_pallas_win(self):
+        """pallas_rgb16 (split bf16-rgb HBM layout) over multiple
+        chunks: density bit-exact vs pallas_win (f32 accumulation in
+        both, integer counts), rgb within the bf16 storage envelope —
+        one rounding per block per flush, so error scales with flush
+        count times a bf16 ulp of the running value (bounded here by
+        density, since palette entries are <= 1)."""
+        from cuburn_tpu.ops.iterate import (hist_alloc_for,
+                                            hist_to_logical,
+                                            iterate_accumulate)
+        g = sierpinski()
+        key = g.structure_key()
+        params = jax.tree_util.tree_map(jnp.asarray, g.eval_at(0.0))
+        cam = CameraSpec(64, 64, 1)
+        cdf = xform_cdf_rows(params)
+        ppu = params.ppu * jnp.float32(64 / g.size[0])
+        out = {}
+        n_chunks = 3
+        for backend in ("pallas_win", "pallas_rgb16"):
+            state = init_state(jax.random.PRNGKey(9), 1024)
+            h0 = hist_alloc_for(backend, cam.n_bins)
+            _, h, n = iterate_accumulate(
+                key, cam, backend, params, cdf, state, h0, ppu,
+                jnp.int32(n_chunks), 16, 8)
+            out[backend] = (np.asarray(
+                hist_to_logical(backend, h, cam.n_bins)), int(n))
+        w, n_w = out["pallas_win"]
+        r, n_r = out["pallas_rgb16"]
+        assert n_w == n_r and n_w > 0
+        np.testing.assert_array_equal(r[:-1, 3], w[:-1, 3])
+        # bf16 has 8 mantissa bits -> relative step 2^-8; error per
+        # bin bounded by n_chunks roundings of a value <= density
+        bound = n_chunks * 2.0 ** -8 * np.maximum(w[:-1, 3:4], 1.0)
+        assert (np.abs(r[:-1, :3] - w[:-1, :3]) <= bound).all()
+
     def test_render_with_pallas_win_backend(self):
         """End-to-end render through the windowed one-hot-matmul flush
         (channel-planes layout) matches scatter to quantization."""
