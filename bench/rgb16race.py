@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ipc", type=int, default=0,
                     help="iters/chunk; 0 = tuned tiled_flush_records/B")
+    ap.add_argument("--segs", type=int, default=0,
+                    help="sort_segments override (0 = tuned; the "
+                         "straddle slot count — and the rgb16 fix's "
+                         "per-address combine cost — scales with it)")
     args = ap.parse_args()
 
     from cuburn_tpu.models import full_feature
@@ -73,7 +77,8 @@ def main():
     rows = planes_rows(cam.n_bins)
     ipc = args.ipc or max(
         32, int(tune.get("tiled_flush_records", 1 << 23)) // B)
-    ss_seg = int(tune.get("sort_segments", 1)) if on_tpu else 1
+    ss_seg = args.segs or (int(tune.get("sort_segments", 1))
+                           if on_tpu else 1)
     print(json.dumps({"probe": "rgb16-race", "n_bins": cam.n_bins,
                       "rows": rows, "tiled": rows > BLOCK_ROWS,
                       "B": B, "ipc": ipc, "chunks": args.chunks,
@@ -107,18 +112,24 @@ def main():
     # per-bin differential on device (identical seeds + chunk counts:
     # same trajectory stream, so density must be bit-exact and rgb
     # inside the bf16 storage envelope)
-    w = logical["pallas_win"][:-1]
-    r = logical["pallas_rgb16"][:-1]
-    dens_err = float(jnp.max(jnp.abs(w[:, 3] - r[:, 3])))
+    w = np.asarray(logical["pallas_win"][:-1])
+    r = np.asarray(logical["pallas_rgb16"][:-1])
+    dens_err = float(np.max(np.abs(w[:, 3] - r[:, 3])))
     flushes = (args.reps * args.chunks + 1)
-    rgb_rel = float(jnp.max(jnp.abs(w[:, :3] - r[:, :3])
-                            / jnp.maximum(w[:, 3:4], 1.0)))
+    rel = np.abs(w[:, :3] - r[:, :3]) / np.maximum(w[:, 3:4], 1.0)
+    rgb_rel = float(rel.max())
+    env = flushes * 2.0 ** -8
+    worst = int(np.unravel_index(rel.argmax(), rel.shape)[0])
     speedup = results["pallas_rgb16"] / results["pallas_win"]
     out = {"speedup_rgb16": round(speedup, 3),
            "max_bin_err_density": dens_err,
            "max_bin_err_rgb_rel": round(rgb_rel, 6),
-           "rgb_envelope": round(flushes * 2.0 ** -8, 6),
-           "ok": dens_err == 0.0 and rgb_rel <= flushes * 2.0 ** -8}
+           "rgb_envelope": round(env, 6),
+           "bins_over_envelope": int((rel.max(axis=1) > env).sum()),
+           "worst_bin": worst,
+           "worst_f32_rgba": [round(float(v), 3) for v in w[worst]],
+           "worst_rgb16_rgb": [round(float(v), 3) for v in r[worst, :3]],
+           "ok": dens_err == 0.0 and rgb_rel <= env}
     print(json.dumps(out))
     return 0 if out["ok"] else 1
 

@@ -909,13 +909,36 @@ def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
         interpret=interpret,
     )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF, dens, rgb, w_arr)
     if n_blocks > 1:
-        # diverted straddle windows: exact scatter-add on the split
-        # pair (small index set; rgb rounds at the bf16 array add)
+        # diverted straddle windows: density scatter-adds exact (f32)
         sw = s_rgba if weight is None else s_rgba * weight
         dens_new = dens_new.reshape(rows * 128).at[s_addr].add(
             sw[:, 3]).reshape(1, rows, 128)
-        rgb_new = rgb_new.reshape(3, rows * 128).at[:, s_addr].add(
-            sw[:, :3].T.astype(jnp.bfloat16)).reshape(3, rows, 128)
+        # rgb CANNOT use a plain bf16 .add: on real Mosaic the scatter
+        # applies its (heavily duplicated) updates serially in bf16,
+        # so one record's sub-ulp color increment absorbs once a bin
+        # grows — measured: hot boundary bins hard-cap at EXACTLY
+        # 256.0 (where color < ulp/2 = 1) and the race's worst bin had
+        # lost 2/3 of its color at density 1201 while the f32 path
+        # matched the scatter truth to 0.004 (bench/rgb16single.py
+        # --hot; interpret mode combines in f32 and never showed it).
+        # Combine per unique address in f32 first (sort + segment
+        # sum over the ~sc*WIN straddle slots), then ONE rounded bf16
+        # add per touched bin — restoring the one-rounding-per-flush
+        # envelope the split-plane design promises.
+        order = jnp.argsort(s_addr)
+        sa = s_addr[order]
+        sv = sw[order, :3]
+        seg = jnp.cumsum(jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (sa[1:] != sa[:-1]).astype(jnp.int32)])) - 1
+        tot = jax.ops.segment_sum(sv, seg,
+                                  num_segments=sa.shape[0])
+        # representative flat address per segment; unused tail slots
+        # point at the junk bin (their zero totals add exactly)
+        uaddr = jnp.full((sa.shape[0],), n_bins,
+                         jnp.int32).at[seg].set(sa)
+        rgb_new = rgb_new.reshape(3, rows * 128).at[:, uaddr].add(
+            tot.T.astype(jnp.bfloat16)).reshape(3, rows, 128)
     return dens_new, rgb_new
 
 
