@@ -411,15 +411,29 @@ class Renderer:
                            and self.packed else "scatter")
         self.backend = backend
         # segmented sub-sort width for the pallas_win flush
-        # (ops/pallas_hist.py): env > profile > measured auto default
+        # (ops/pallas_hist.py): env > profile > measured auto default.
+        # PER-GEOMETRY like the backend choice: S is a trade between
+        # sort substages saved and window span lost, and the optimum
+        # flips hard across the HBM-tiling boundary — on the dev chip
+        # S=4 won at 512² (136.5 vs 124.1 M it/s) while at tiled
+        # 1080p-ss2 density S=1 ran 1.62x S=4 (110.6 vs 68.4 M
+        # samples/s, bench/rgb16race.py --segs): wider windows drop
+        # flush tiers faster at ~1-record/bin, and the segmented
+        # sort's extra straddle slots multiply the boundary-diversion
+        # cost by S.
+        from cuburn_tpu.ops.pallas_hist import (BLOCK_ROWS as _BR,
+                                                planes_rows as _prows)
+        _tiled = _prows(self.cam.n_bins) > _BR
         import os as _os
         env_segs = _os.environ.get("CUBURN_SORT_SEGMENTS")
+        tune_segs = ((tune.get("sort_segments_tiled") if _tiled
+                      else None) or tune.get("sort_segments"))
         if env_segs:
             self.sort_segments = int(env_segs)
         elif profile.sort_segments:
             self.sort_segments = profile.sort_segments
-        elif tune.get("sort_segments"):
-            self.sort_segments = int(tune["sort_segments"])
+        elif tune_segs:
+            self.sort_segments = int(tune_segs)
         else:
             # measured on the dev chip (bench/segsweep.py, round 3):
             # the flat segmented sort is real (~1.5x fewer substages

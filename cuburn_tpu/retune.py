@@ -52,7 +52,7 @@ def race(key, cam, params, cdf, ppu, backend, B, K, n_chunks,
     hist = hist_alloc_for(backend, cam.n_bins)
     state = init_state(jax.random.PRNGKey(0), B)
     kw = ({"sort_segments": sort_segments}
-          if backend == "pallas_win" else {})
+          if backend in ("pallas_win", "pallas_rgb16") else {})
 
     def fn(st):
         return iterate_accumulate(key, cam, backend, params, cdf, st,
@@ -101,12 +101,16 @@ def main():
 
     # 1. backend race at two densities (scatter_sorted: same sort the
     # pallas_win flush pays, but a monotone XLA scatter — untried on
-    # real silicon, exact by construction)
+    # real silicon, exact by construction; pallas_rgb16 — bf16 color
+    # planes halve tiled reload bytes — only makes sense tiled, where
+    # the flush is row-block-reload-bound)
     CANDIDATES = ("scatter", "scatter_sorted", "pallas_win")
+    TILED_CANDIDATES = CANDIDATES + ("pallas_rgb16",)
     for label, (W, H) in {"512": (512, 512),
                           "720p": (1280, 720)}.items():
         cam, ppu = cam_for(W, H)
-        for backend in CANDIDATES:
+        for backend in (TILED_CANDIDATES if label == "720p"
+                        else CANDIDATES):
             r = race(key, cam, params, cdf, ppu, backend, B, 64,
                      n_chunks)
             m[f"{backend}@{label}"] = round(r, 1)
@@ -120,6 +124,12 @@ def main():
         CANDIDATES, key=lambda b: m[f"{b}@512"])
     tune["hist_backend_tiled"] = max(
         CANDIDATES, key=lambda b: m[f"{b}@720p"])
+    # rgb16 stores color bf16 (inside a per-flush rounding envelope,
+    # vs the exact f32 paths): only worth trading exactness for a
+    # real margin
+    if (m["pallas_rgb16@720p"]
+            > 1.05 * m[f"{tune['hist_backend_tiled']}@720p"]):
+        tune["hist_backend_tiled"] = "pallas_rgb16"
 
     # 2. segmented sub-sort width (pallas_win only)
     cam, ppu = cam_for(512, 512)
@@ -134,6 +144,24 @@ def main():
         if r > best_r:
             best_s, best_r = s, r
     tune["sort_segments"] = best_s
+
+    # 2b. segmented sub-sort at HBM-TILED density — the optimum flips
+    # hard across the tiling boundary (dev chip: S=4 won 512² by 10%
+    # while S=1 ran 1.62x S=4 at tiled 1080p-ss2 — wider windows drop
+    # flush tiers at ~1-record/bin and straddle slots scale with S),
+    # so the Renderer consumes a separate per-geometry key
+    cam, ppu = cam_for(1280, 720)
+    st_list = (1, 4) if args.quick else (1, 2, 4, 8)
+    best_st, best_tr0 = 1, 0.0
+    for s in st_list:
+        r = race(key, cam, params, cdf, ppu, "pallas_win", B, 64,
+                 n_chunks, sort_segments=s)
+        m[f"sort_segments_tiled={s}"] = round(r, 1)
+        print(json.dumps({"sort_segments_tiled": s,
+                          "M_iters_per_s": round(r, 1)}))
+        if r > best_tr0:
+            best_st, best_tr0 = s, r
+    tune["sort_segments_tiled"] = best_st
 
     # 3. flush chunk size K — recorded as RECORDS per flush (B*K):
     # the tuned quantity is batch-independent, and the Renderer
