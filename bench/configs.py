@@ -115,8 +115,16 @@ def run_config(idx, quick):
         else:
             hw, sw = rw.accumulate(0.2, 1)
         # warm the filter program too — its first-call compile costs
-        # minutes over the tunnel and is not what this suite measures
-        nb_warm = max(1, -(-r.cam.n_bins // 1_500_000))
+        # minutes over the tunnel and is not what this suite measures.
+        # Round-4 bandsweep (bench/bandsweep.py, 8.6 M bins): the
+        # WHOLE-frame filter program survives this chip and beats the
+        # best banded split (0.53 s vs 0.563 s at n_bands=4, vs
+        # round-3's 0.80 s at 6) — banding stays the fallback for
+        # workers that die on full-frame filter programs
+        # (CUBURN_BENCH_BANDS=1, or any explicit band count).
+        nb_warm = (max(2, -(-r.cam.n_bins // 1_500_000))
+                   if os.environ.get("CUBURN_BENCH_BANDS") == "1"
+                   else 1)
         try:
             if nb_warm > 1:
                 rw.finalize_frame_banded(hw, 0.2, sw, n_bands=nb_warm)
@@ -132,9 +140,7 @@ def run_config(idx, quick):
         else:
             hist, stats = r.accumulate(0.2, seed=2)
         try:
-            # band the filter so its programs stay under the same
-            # size the worker survives (each band ~1.5M px)
-            n_bands = max(1, -(-r.cam.n_bins // 1_500_000))
+            n_bands = nb_warm
             if n_bands > 1:
                 img = r.finalize_frame_banded(hist, 0.2, stats,
                                               n_bands=n_bands)

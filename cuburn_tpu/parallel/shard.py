@@ -530,8 +530,10 @@ class ShardedRenderer(Renderer):
         gather back.  No extra collective beyond the output gather;
         filter wall time scales ~1/n_devices."""
         import time as _time
+        from cuburn_tpu.render import _with_alpha
         t1 = _time.perf_counter()
-        out = np.asarray(self.finalize_frame_device(hist, t))
+        out = _with_alpha(np.asarray(self.finalize_frame_device(hist,
+                                                                t)))
         if stats is not None:
             stats.filter_s = _time.perf_counter() - t1
         return out
@@ -556,9 +558,10 @@ class ShardedRenderer(Renderer):
 
     def finalize_frame_device(self, hist, t: float = 0.0):
         """Sharded finalize_frame WITHOUT the host readback (returns
-        the (H, W, 4) u8 frame as a device array) — lets the
-        overlapped animation driver (frames_overlapped) pipeline the
-        sharded filter exactly like the single-device one."""
+        the u8 frame as a device array — (H, W, 3) opaque / (H, W, 4)
+        transparent, see render._with_alpha) — lets the overlapped
+        animation driver (frames_overlapped) pipeline the sharded
+        filter exactly like the single-device one."""
         from cuburn_tpu.render import (_filter_band, _to_device,
                                        de_mod)
         prof, cam = self.profile, self.cam
@@ -583,6 +586,8 @@ class ShardedRenderer(Renderer):
         # pad so every band's +-margin slice is in bounds
         img = jnp.pad(img, ((margin, _bot), (0, 0), (0, 0)))
 
+        ch = 4 if prof.transparent else 3        # rgb-only readback
+
         def device_band(img, params, q_cell):
             k = jax.lax.axis_index(BATCH_AXIS)
             lo = g + k * band_rows - margin      # acc coords
@@ -592,7 +597,7 @@ class ShardedRenderer(Renderer):
             band = _filter_band(
                 block, params, q_cell, ss, margin,
                 g, prof.transparent, de_on, de_static, sf, shape)
-            return band[None]                    # (1, h_band, W, 4)
+            return band[None, ..., :ch]          # (1, h_band, W, ch)
 
         shard = jax.shard_map(
             device_band, mesh=self.mesh,
@@ -600,8 +605,8 @@ class ShardedRenderer(Renderer):
             out_specs=P(BATCH_AXIS),
             check_vma=False,
         )
-        bands = shard(img, params, q_cell)       # (n, h_band, W, 4)
-        return bands.reshape(n * h_band, W, 4)[:H]
+        bands = shard(img, params, q_cell)       # (n, h_band, W, ch)
+        return bands.reshape(n * h_band, W, ch)[:H]
 
     # -- reduce-scatter mode ------------------------------------------------
     # Alternative to the replicated psum (ROADMAP.md multi-chip): the
@@ -772,9 +777,10 @@ class ShardedRenderer(Renderer):
         all — the margins were baked in by the scatter) and the u8
         bands gather back."""
         import time as _time
+        from cuburn_tpu.render import _with_alpha
         t1 = _time.perf_counter()
-        out = np.asarray(
-            self.finalize_frame_scattered_device(myblocks, t))
+        out = _with_alpha(np.asarray(
+            self.finalize_frame_scattered_device(myblocks, t)))
         if stats is not None:
             stats.filter_s = _time.perf_counter() - t1
         return out
@@ -782,8 +788,8 @@ class ShardedRenderer(Renderer):
     def finalize_frame_scattered_device(self, myblocks,
                                         t: float = 0.0):
         """finalize_frame_scattered WITHOUT the host readback —
-        returns the (H, W, 4) u8 frame as a device array for the
-        overlapped driver."""
+        returns the u8 frame as a device array for the overlapped
+        driver ((H, W, 3) opaque / (H, W, 4) transparent)."""
         from cuburn_tpu.render import _filter_band, _to_device
         prof, cam = self.profile, self.cam
         n = self.n_devices
@@ -799,12 +805,14 @@ class ShardedRenderer(Renderer):
         h_band, band_rows, margin, block_rows, _bot = \
             self._band_geometry(de_on)
 
+        ch = 4 if prof.transparent else 3        # rgb-only readback
+
         def device_band(myblock, params, q_cell):
             band = _filter_band(
                 myblock[0], params, q_cell, cam.ss, margin,
                 cam.gutter, prof.transparent, de_on, de_static, sf,
                 shape)
-            return band[None]
+            return band[None, ..., :ch]
 
         shard = jax.shard_map(
             device_band, mesh=self.mesh,
@@ -813,7 +821,8 @@ class ShardedRenderer(Renderer):
             check_vma=False,
         )
         bands = shard(myblocks, params, q_cell)
-        return bands.reshape(n * h_band, prof.width, 4)[:prof.height]
+        return bands.reshape(n * h_band, prof.width,
+                             ch)[:prof.height]
 
     def frames_overlapped_scattered(self, seed: int = 0):
         """frames_overlapped through the reduce-scatter mode: frame

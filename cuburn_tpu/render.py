@@ -145,7 +145,23 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     img = colorclip(
         img, params.gamma, params.vibrancy, params.highlight_power,
         params.gamma_threshold, params.background, transparent)
-    return to_u8(img)
+    u8 = to_u8(img)
+    # opaque output reads back rgb only (alpha is a constant 255 the
+    # host fills in, render._with_alpha): the final u8 D2H is a real
+    # slice of the binding-size still wall (bench/bandsweep.py) and
+    # this cuts it 25% — same contract as _filter_banded_device
+    return u8 if transparent else u8[..., :3]
+
+
+def _with_alpha(img_np: np.ndarray) -> np.ndarray:
+    """Pad a device-side rgb-only u8 frame to RGBA (alpha=255) — the
+    host half of the opaque rgb-only readback contract."""
+    if img_np.shape[-1] == 3:
+        out = np.empty(img_np.shape[:-1] + (4,), np.uint8)
+        out[..., :3] = img_np
+        out[..., 3] = 255
+        return out
+    return img_np
 
 
 def band_margin(de_on: bool, de_r: float, spatial_filter: float,
@@ -654,7 +670,8 @@ class Renderer:
         """logscale -> DE -> colorclip -> downsample a logical
         histogram into a u8 frame."""
         t1 = time.perf_counter()
-        img = np.asarray(self.finalize_frame_device(hist, t))
+        img = _with_alpha(np.asarray(self.finalize_frame_device(hist,
+                                                                t)))
         if stats is not None:
             stats.filter_s = time.perf_counter() - t1
         return img
@@ -663,7 +680,9 @@ class Renderer:
         """finalize_frame without the device->host readback: returns
         the u8 frame as a device array still in flight (the overlapped
         driver reads it back only when the NEXT frame's work has been
-        dispatched — cuburn's async D2H copy, SURVEY.md §3.1)."""
+        dispatched — cuburn's async D2H copy, SURVEY.md §3.1).
+        Opaque profiles return (H, W, 3) — alpha is a constant the
+        host fills in (_with_alpha); transparent return (H, W, 4)."""
         prof, cam = self.profile, self.cam
         params = _to_device(self.genome.eval_at(t))
         # flam3 folds the temporal filter's mean weight (sumfilt) into
@@ -961,7 +980,7 @@ class Renderer:
         img_dev, n_plot, n_iter = pending
         stats = FrameStats()
         t1 = time.perf_counter()
-        img = np.asarray(img_dev)
+        img = _with_alpha(np.asarray(img_dev))
         stats.filter_s = time.perf_counter() - t1
         stats.plotted_samples = int(n_plot)
         stats.total_iters = int(n_iter)
