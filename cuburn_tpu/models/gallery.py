@@ -148,12 +148,30 @@ def kaleido() -> Genome:
     return g
 
 
+def tilted() -> Genome:
+    """3-D camera showcase (round 4): the classic_swirl attractor
+    viewed through the Apophysis-7X camera — pitch tilts the z=0
+    attractor plane into depth, perspective foreshortens the far
+    edge, and DOF blurs by distance (ops/camera.py project_3d).
+    cam_zpos lifts the eye off the plane so dof has a lever arm."""
+    g = classic_swirl()
+    g.name = "tilted"
+    from cuburn_tpu.genome.spline import Spline
+    g.cam_pitch = Spline(0.55)
+    g.cam_yaw = Spline(0.15)
+    g.cam_perspective = Spline(0.35)
+    g.cam_zpos = Spline(1.0)
+    g.cam_dof = Spline(0.12)
+    return g
+
+
 GALLERY = {
     "sierpinski": sierpinski,
     "classic_swirl": classic_swirl,
     "full_feature": full_feature,
     "animated_spark": animated_spark,
     "kaleido": kaleido,
+    "tilted": tilted,
 }
 
 
