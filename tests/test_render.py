@@ -572,6 +572,30 @@ class TestStripedAccumulate:
         assert diff.max() <= 1
         assert (diff > 0).mean() < 0.005
 
+    def test_rgb_only_device_readback_contract(self):
+        """Opaque renders read back rgb-only from the device (alpha
+        is a constant 255 the host fills in, render._with_alpha) —
+        25% fewer final-frame D2H bytes on every filter path; the
+        host-facing finalize_frame/overlapped-driver surface stays
+        (H, W, 4) with alpha 255, and transparent profiles keep the
+        full 4-channel device frame."""
+        g = sierpinski()
+        r = Renderer(g, FAST)
+        hist, _ = r.accumulate(0.0, seed=5)
+        dev = r.finalize_frame_device(hist, 0.0)
+        assert dev.shape == (FAST.height, FAST.width, 3)
+        full = r.finalize_frame(hist, 0.0)
+        assert full.shape == (FAST.height, FAST.width, 4)
+        assert (full[..., 3] == 255).all()
+        np.testing.assert_array_equal(full[..., :3], np.asarray(dev))
+        img, _ = next(iter(r.frames_overlapped(seed=5)))
+        assert img.shape == (FAST.height, FAST.width, 4)
+        assert (img[..., 3] == 255).all()
+        rt = Renderer(g, dataclasses.replace(FAST, transparent=True))
+        hist_t, _ = rt.accumulate(0.0, seed=5)
+        dev_t = rt.finalize_frame_device(hist_t, 0.0)
+        assert dev_t.shape == (FAST.height, FAST.width, 4)
+
     def test_striped_with_supersample_and_gutter(self):
         from cuburn_tpu.genome.spline import Spline
         g = sierpinski()
