@@ -315,7 +315,9 @@ def blend_genomes(a: Genome, b: Genome, t_a: float = 0.0,
         estimator_minimum=tv(lambda g: g.estimator_minimum),
         estimator_curve=tv(lambda g: g.estimator_curve),
         # filter-shape strings can't interpolate; carry endpoint a's
+        # (earlyclip is a static pipeline-order flag, same rule)
         spatial_filter_shape=a.spatial_filter_shape,
+        earlyclip=a.earlyclip,
         temporal_filter_type=a.temporal_filter_type,
         temporal_filter_width=tv(lambda g: g.temporal_filter_width),
         temporal_filter_exp=tv(lambda g: g.temporal_filter_exp),

@@ -316,15 +316,10 @@ def flame_to_genome(flame: ET.Element) -> Genome:
     center = tuple(_parse_floats(attrs.get("center", "0 0")))[:2]
     rot_center = (tuple(_parse_floats(attrs["rot_center"]))[:2]
                   if "rot_center" in attrs else None)
-    if "earlyclip" in attrs:
-        # flam3's pre-2008 pipeline order (gamma clip BEFORE the DE
-        # filter); parse-and-warn — the modern late clip is rendered
-        # [flam3 rect.c earlyclip, SURVEY.md §0 M/L-confidence tail]
-        import warnings
-        warnings.warn(
-            "flame sets earlyclip; cuburn_tpu renders the modern "
-            "late-clip order — output may differ slightly in "
-            "saturated highlights")
+    # flam3's pre-2008 pipeline order: gamma/clip each accumulator
+    # bucket after DE but BEFORE the spatial filter (flam3 rect.c
+    # earlyclip block; render._filter_frame implements both orders)
+    earlyclip = bool(float(attrs.get("earlyclip", 0)))
     # Apophysis-7X 3-D camera attrs (cam_persp is the Apophysis
     # spelling, cam_perspective the Ember/fractorium one).  Angles are
     # taken as RADIANS — the Ember XML convention; editors that write
@@ -365,6 +360,7 @@ def flame_to_genome(flame: ET.Element) -> Genome:
         size=size, name=attrs.get("name", "untitled"),
         flame_time=(float(attrs["time"]) if "time" in attrs else None),
         interpolation=attrs.get("interpolation", "linear"),
+        earlyclip=earlyclip,
     )
 
 
@@ -431,6 +427,8 @@ def genome_to_flame_xml(g: Genome, t: float = 0.0) -> str:
         flame.set("time", f"{g.flame_time:.9g}")
     if g.interpolation != "linear":
         flame.set("interpolation", g.interpolation)
+    if g.earlyclip:
+        flame.set("earlyclip", "1")
 
     def emit_xform(tag: str, xf: XForm, chaos_row=None):
         at = {

@@ -264,6 +264,14 @@ class Genome:
     # flam3 <flame interpolation="linear|smooth">: smooth pulls
     # Catmull-Rom tangents from neighboring keyframes in sequences
     interpolation: str = "linear"
+    # flam3 `earlyclip`: the pre-2008 pipeline order — gamma/clip each
+    # supersampled accumulator bucket AFTER density estimation but
+    # BEFORE the spatial filter, instead of clipping filtered output
+    # pixels (flam3 rect.c: the earlyclip block runs over `accumulate`
+    # ahead of the filtered decimation; the final loop then only
+    # clips).  Static flag: changes filter-program structure, never a
+    # traced value.
+    earlyclip: bool = False
 
     def __post_init__(self):
         defaults = {
@@ -515,6 +523,8 @@ class Genome:
             doc["flame_time"] = self.flame_time
         if self.interpolation != "linear":
             doc["interpolation"] = self.interpolation
+        if self.earlyclip:
+            doc["earlyclip"] = True
         if self.final_xform is not None:
             doc["final_xform"] = enc_xform(self.final_xform)
         if self.xaos is not None:
@@ -585,4 +595,5 @@ class Genome:
             time_range=tuple(doc.get("time_range", (0.0, 1.0))),
             flame_time=doc.get("flame_time"),
             interpolation=doc.get("interpolation", "linear"),
+            earlyclip=bool(doc.get("earlyclip", False)),
         )

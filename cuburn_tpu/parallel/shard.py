@@ -596,7 +596,8 @@ class ShardedRenderer(Renderer):
                 (band_rows + 2 * margin, acc_w, 4))
             band = _filter_band(
                 block, params, q_cell, ss, margin,
-                g, prof.transparent, de_on, de_static, sf, shape)
+                g, prof.transparent, de_on, de_static, sf, shape,
+                earlyclip=self.genome.earlyclip)
             return band[None, ..., :ch]          # (1, h_band, W, ch)
 
         shard = jax.shard_map(
@@ -811,7 +812,7 @@ class ShardedRenderer(Renderer):
             band = _filter_band(
                 myblock[0], params, q_cell, cam.ss, margin,
                 cam.gutter, prof.transparent, de_on, de_static, sf,
-                shape)
+                shape, earlyclip=self.genome.earlyclip)
             return band[None, ..., :ch]
 
         shard = jax.shard_map(

@@ -118,13 +118,16 @@ class FrameStats:
 @functools.partial(jax.jit, static_argnames=("cam", "transparent",
                                              "de_on", "de_static_r",
                                              "spatial_filter",
-                                             "filter_shape"))
+                                             "filter_shape",
+                                             "earlyclip"))
 def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
                   hist, params: GenomeParams, quality_per_cell,
                   de_static_r: float = 9.0,
                   spatial_filter: float = 0.0,
-                  filter_shape: str = "gaussian"):
-    """logscale -> DE -> colorclip -> downsample -> u8, one fused jit."""
+                  filter_shape: str = "gaussian",
+                  earlyclip: bool = False):
+    """logscale -> DE -> downsample -> colorclip -> u8, one fused jit
+    (earlyclip swaps the last two stages, flam3's pre-2008 order)."""
     img = hist.reshape(cam.acc_height, cam.acc_width, 4)
     raw_density = img[..., 3]
     img = logscale(img, params.brightness, quality_per_cell)
@@ -140,11 +143,25 @@ def _filter_frame(cam: CameraSpec, transparent: bool, de_on: bool,
     # colorclips output-res pixels) — and it's cheaper: gamma at 1/ss^2
     # the pixels.  The gutter is consumed inside downsample so the
     # filtered decimation reads real border context.
-    img = downsample(img, cam.ss, spatial_filter, filter_shape,
-                     gutter=cam.gutter)
-    img = colorclip(
-        img, params.gamma, params.vibrancy, params.highlight_power,
-        params.gamma_threshold, params.background, transparent)
+    # earlyclip restores flam3's pre-2008 order (rect.c earlyclip
+    # block): colorclip EVERY supersampled bucket after DE, filter the
+    # already-clipped rgba, then only clip — negative filter lobes
+    # (mitchell/catrom/sinc) can leave [0,1].  Background/alpha
+    # compose per BUCKET in that order, exactly as the rect.c block
+    # stores composed values back into `accumulate`.
+    if earlyclip:
+        img = colorclip(
+            img, params.gamma, params.vibrancy, params.highlight_power,
+            params.gamma_threshold, params.background, transparent)
+        img = downsample(img, cam.ss, spatial_filter, filter_shape,
+                         gutter=cam.gutter)
+        img = jnp.clip(img, 0.0, 1.0)
+    else:
+        img = downsample(img, cam.ss, spatial_filter, filter_shape,
+                         gutter=cam.gutter)
+        img = colorclip(
+            img, params.gamma, params.vibrancy, params.highlight_power,
+            params.gamma_threshold, params.background, transparent)
     u8 = to_u8(img)
     # opaque output reads back rgb only (alpha is a constant 255 the
     # host fills in, render._with_alpha): the final u8 D2H is a real
@@ -185,12 +202,13 @@ def band_margin(de_on: bool, de_r: float, spatial_filter: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "ss", "margin", "gutter_x", "transparent", "de_on",
-    "de_static_r", "spatial_filter", "filter_shape", "skip_empty"))
+    "de_static_r", "spatial_filter", "filter_shape", "skip_empty",
+    "earlyclip"))
 def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
                  ss: int, margin: int, gutter_x: int,
                  transparent: bool, de_on: bool, de_static_r: float,
                  spatial_filter: float, filter_shape: str,
-                 skip_empty: bool = False):
+                 skip_empty: bool = False, earlyclip: bool = False):
     """_filter_frame on one horizontal band of the accumulator.
 
     hist_band: (band_rows + 2*margin, acc_w, 4) with `margin` rows of
@@ -213,11 +231,22 @@ def _filter_band(hist_band, params: GenomeParams, quality_per_cell,
             params.estimator_curve,
             static_max_radius=de_static_r,
             skip_empty=skip_empty)
-    img = downsample(img, ss, spatial_filter, filter_shape,
-                     gutter=(margin, gutter_x))
-    img = colorclip(
-        img, params.gamma, params.vibrancy, params.highlight_power,
-        params.gamma_threshold, params.background, transparent)
+    # earlyclip: flam3's pre-2008 order (clip per bucket, then filter)
+    # — see _filter_frame.  colorclip is per-bucket-local, so banding
+    # stays exact under either order.
+    if earlyclip:
+        img = colorclip(
+            img, params.gamma, params.vibrancy, params.highlight_power,
+            params.gamma_threshold, params.background, transparent)
+        img = downsample(img, ss, spatial_filter, filter_shape,
+                         gutter=(margin, gutter_x))
+        img = jnp.clip(img, 0.0, 1.0)
+    else:
+        img = downsample(img, ss, spatial_filter, filter_shape,
+                         gutter=(margin, gutter_x))
+        img = colorclip(
+            img, params.gamma, params.vibrancy, params.highlight_power,
+            params.gamma_threshold, params.background, transparent)
     return to_u8(img)
 
 
@@ -288,13 +317,14 @@ def _merge_stripe(full, stripe, row0, rows, acc_w: int):
 @functools.partial(jax.jit, static_argnames=(
     "n_bands", "band_rows", "margin", "ss", "gutter_x", "transparent",
     "de_on", "de_static_r", "spatial_filter", "filter_shape",
-    "skip_empty"))
+    "skip_empty", "earlyclip"))
 def _filter_banded_device(himg, params: GenomeParams, quality_per_cell,
                           n_bands: int, band_rows: int, margin: int,
                           ss: int, gutter_x: int, transparent: bool,
                           de_on: bool, de_static_r: float,
                           spatial_filter: float, filter_shape: str,
-                          skip_empty: bool = False):
+                          skip_empty: bool = False,
+                          earlyclip: bool = False):
     """ALL bands of finalize_frame_banded in ONE device program: a
     lax.map over band starts whose body is the band-sized _filter_band
     (programs stay small — the reason banding exists — while the
@@ -318,7 +348,7 @@ def _filter_banded_device(himg, params: GenomeParams, quality_per_cell,
         out = _filter_band(block, params, quality_per_cell, ss,
                            margin, gutter_x, transparent, de_on,
                            de_static_r, spatial_filter, filter_shape,
-                           skip_empty=skip_empty)
+                           skip_empty=skip_empty, earlyclip=earlyclip)
         return out if transparent else out[..., :3]
 
     starts = gutter_x + band_rows * jnp.arange(n_bands,
@@ -695,7 +725,8 @@ class Renderer:
             hist_mod.finalize(jnp.asarray(hist)), params, q_cell,
             de_static_r=de_r if de_r > 0 else 9.0,
             spatial_filter=self._static_sf,
-            filter_shape=self.genome.spatial_filter_shape)
+            filter_shape=self.genome.spatial_filter_shape,
+            earlyclip=self.genome.earlyclip)
 
     def finalize_frame_banded(self, hist, t: float = 0.0,
                               stats: Optional[FrameStats] = None,
@@ -743,7 +774,8 @@ class Renderer:
         bands = _filter_banded_device(
             himg, params, q_cell, n_bands, band_rows, margin, ss, g,
             prof.transparent, de_on, de_static, sf, shape,
-            skip_empty=bool(skip_empty))
+            skip_empty=bool(skip_empty),
+            earlyclip=self.genome.earlyclip)
         out = np.zeros((H, W, 4), np.uint8)
         if not prof.transparent:
             out[..., 3] = 255       # device program returns rgb only

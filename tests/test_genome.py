@@ -194,26 +194,34 @@ class TestFlam3Convert:
 
     def test_rot_center_and_earlyclip(self):
         """flam3 rot_center parses into the genome and survives the
-        XML round trip; earlyclip (unimplemented pipeline-order flag)
-        is parse-and-WARN, not parse-and-drop."""
+        XML round trip; earlyclip parses into the pipeline-order flag
+        (render._filter_frame implements both orders) and round-trips
+        through XML and JSON."""
         xml = ('<flame name="rc" size="64 64" center="0.1 0.2" '
                'rot_center="0.5 -0.4" rotate="45" earlyclip="1">'
                '<xform weight="1" coefs="1 0 0 1 0 0" linear="1"/>'
                '</flame>')
-        with pytest.warns(UserWarning, match="earlyclip"):
-            [g] = convert.parse_flam3(xml)
+        [g] = convert.parse_flam3(xml)
+        assert g.earlyclip is True
         assert g.rot_center is not None
         assert (g.rot_center[0](0), g.rot_center[1](0)) == (0.5, -0.4)
         p = g.eval_at(0.0)
         np.testing.assert_allclose(p.rot_center, [0.5, -0.4])
         xml2 = convert.genome_to_flame_xml(g)
+        assert 'earlyclip="1"' in xml2
         [g2] = convert.parse_flam3(xml2)
+        assert g2.earlyclip is True
         np.testing.assert_allclose(g2.eval_at(0.0).rot_center,
                                    [0.5, -0.4])
         # JSON round trip too
         g3 = type(g).from_json(g.to_json())
+        assert g3.earlyclip is True
         np.testing.assert_allclose(g3.eval_at(0.0).rot_center,
                                    [0.5, -0.4])
+        # default (absent attr) stays late-clip and serializes clean
+        [g4] = convert.parse_flam3(xml.replace(' earlyclip="1"', ''))
+        assert g4.earlyclip is False
+        assert "earlyclip" not in convert.genome_to_flame_xml(g4)
         # default: rot_center follows center
         xml_plain = ('<flame name="p" size="64 64" center="0.1 0.2">'
                      '<xform weight="1" coefs="1 0 0 1 0 0" '
