@@ -16,6 +16,7 @@ flam3 attribute conventions honored here:
 
 from __future__ import annotations
 
+import math
 import xml.etree.ElementTree as ET
 from typing import List
 
@@ -234,8 +235,13 @@ def _symmetry_xforms(kind: int) -> List[XForm]:
     return out
 
 
-def flame_to_genome(flame: ET.Element) -> Genome:
-    """Convert one parsed <flame> element to a Genome."""
+def flame_to_genome(flame: ET.Element,
+                    angle_units: str = "") -> Genome:
+    """Convert one parsed <flame> element to a Genome.
+
+    angle_units: "" (honor cam_angle_units attr / magnitude
+    heuristic), "degrees", or "radians" — how to read
+    cam_yaw/cam_pitch (CLI --cam-angle-units)."""
     attrs = dict(flame.attrib)
     xform_els = flame.findall("xform")
     n = len(xform_els)
@@ -318,16 +324,45 @@ def flame_to_genome(flame: ET.Element) -> Genome:
                   if "rot_center" in attrs else None)
     # flam3's pre-2008 pipeline order: gamma/clip each accumulator
     # bucket after DE but BEFORE the spatial filter (flam3 rect.c
-    # earlyclip block; render._filter_frame implements both orders)
-    earlyclip = bool(float(attrs.get("earlyclip", 0)))
+    # earlyclip block; render._filter_frame implements both orders).
+    # Parse TOLERANTLY: editors write "1"/"yes"/"true"; the attr being
+    # present and not an explicit negative means set (float() on
+    # "yes" raised — round-4 advisor finding).
+    _ec_raw = str(attrs.get("earlyclip", "0")).strip().lower()
+    if _ec_raw in ("", "0", "no", "false", "off"):
+        earlyclip = False
+    else:
+        try:
+            earlyclip = bool(float(_ec_raw))
+        except ValueError:
+            earlyclip = True
     # Apophysis-7X 3-D camera attrs (cam_persp is the Apophysis
     # spelling, cam_perspective the Ember/fractorium one).  Angles are
     # taken as RADIANS — the Ember XML convention; editors that write
     # degrees exist, but radians is the convention the published
     # renderer implementations consume directly (ops/camera.py
-    # project_3d documents the algorithm).
+    # project_3d documents the algorithm).  An explicit
+    # cam_angle_units attr ("degrees"/"radians") or the angle_units=
+    # argument (CLI --cam-angle-units) overrides; with neither, a
+    # magnitude heuristic WARNS when |yaw| or |pitch| > 2π — no
+    # radian camera exceeds a full turn, so such values are almost
+    # certainly Apophysis-style degrees and would render garbage
+    # silently otherwise.
     cam_yaw = float(attrs.get("cam_yaw", 0.0))
     cam_pitch = float(attrs.get("cam_pitch", 0.0))
+    units = (angle_units or attrs.get("cam_angle_units", "")).lower()
+    if units.startswith("deg"):
+        cam_yaw = math.radians(cam_yaw)
+        cam_pitch = math.radians(cam_pitch)
+    elif not units.startswith("rad"):
+        if max(abs(cam_yaw), abs(cam_pitch)) > 2 * math.pi:
+            import warnings
+            warnings.warn(
+                f"cam_yaw={cam_yaw:g} / cam_pitch={cam_pitch:g} "
+                "exceed 2*pi and are being read as RADIANS; if this "
+                "file came from an Apophysis-lineage editor they are "
+                "probably DEGREES — set cam_angle_units=\"degrees\" "
+                "in the XML or pass --cam-angle-units degrees")
     cam_persp = float(attrs.get("cam_perspective",
                                 attrs.get("cam_persp", 0.0)))
     cam_zpos = float(attrs.get("cam_zpos", 0.0))
@@ -364,22 +399,23 @@ def flame_to_genome(flame: ET.Element) -> Genome:
     )
 
 
-def parse_flam3(text: str) -> List[Genome]:
+def parse_flam3(text: str, angle_units: str = "") -> List[Genome]:
     """Parse a flam3 XML document (one or more <flame> elements)."""
     text = text.strip()
     root = ET.fromstring(text)
     if root.tag == "flame":
-        return [flame_to_genome(root)]
-    return [flame_to_genome(f) for f in root.iter("flame")]
+        return [flame_to_genome(root, angle_units=angle_units)]
+    return [flame_to_genome(f, angle_units=angle_units)
+            for f in root.iter("flame")]
 
 
-def load_genomes(path: str) -> List[Genome]:
+def load_genomes(path: str, angle_units: str = "") -> List[Genome]:
     """Load genomes from a file: flam3 XML (.flam3/.flame/.xml) or
     cuburn-style JSON."""
     with open(path) as f:
         text = f.read()
     if text.lstrip().startswith("<"):
-        return parse_flam3(text)
+        return parse_flam3(text, angle_units=angle_units)
     return [Genome.from_json(text)]
 
 

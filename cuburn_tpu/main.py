@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir",
                    help="capture a jax.profiler trace (Perfetto) of the "
                         "render into this directory")
+    p.add_argument("--cam-angle-units", default="",
+                   choices=("", "degrees", "radians"),
+                   help="how to read cam_yaw/cam_pitch in flam3 XML "
+                        "(default: the file's cam_angle_units attr, "
+                        "else radians with a >2*pi magnitude warning)")
     return p
 
 
@@ -130,7 +135,7 @@ def _stats_record(frame_idx, t, stats):
     }
 
 
-def load_genome(spec: str, index: int):
+def load_genome(spec: str, index: int, angle_units: str = ""):
     from cuburn_tpu.genome.convert import load_genomes
     from cuburn_tpu.models import get_genome
     if spec.startswith("gallery:"):
@@ -148,7 +153,7 @@ def load_genome(spec: str, index: int):
                              f"got {spec!r}")
         return random_genome(seed_val)
     try:
-        genomes = load_genomes(spec)
+        genomes = load_genomes(spec, angle_units=angle_units)
     except FileNotFoundError:
         raise SystemExit(f"genome file not found: {spec}")
     except Exception as e:
@@ -169,11 +174,13 @@ def main(argv=None) -> int:
         # hooks override the JAX_PLATFORMS env var but not this
         import jax
         jax.config.update("jax_platforms", "cpu")
-    genome = load_genome(args.genome, args.flame_index)
+    genome = load_genome(args.genome, args.flame_index,
+                         angle_units=args.cam_angle_units)
     sequence = None
     if args.blend:
         from cuburn_tpu.genome.blend import blend_genomes
-        target = load_genome(args.blend, 0)
+        target = load_genome(args.blend, 0,
+                             angle_units=args.cam_angle_units)
         genome = blend_genomes(genome, target, spin=args.blend_spin)
     elif (args.animate and not args.convert
           and not args.genome.startswith("gallery:")):
@@ -184,7 +191,8 @@ def main(argv=None) -> int:
         # a structure-key pass per edge)
         from cuburn_tpu.genome.convert import load_genomes
         try:
-            all_genomes = load_genomes(args.genome)
+            all_genomes = load_genomes(
+                args.genome, angle_units=args.cam_angle_units)
         except Exception:
             all_genomes = []
         if len(all_genomes) > 1:

@@ -94,15 +94,19 @@ def sharded_accumulate(
                     n_chunks, w):
         # accumulate into ZEROS and add the (replicated) input hist
         # after the psum: summing the input replica n_devices times
-        # would multiply resumed checkpoint mass by the mesh size
+        # would multiply resumed checkpoint mass by the mesh size.
+        # tree_map, not bare ops: pallas_rgb16's hist is a
+        # (density f32, rgb bf16) TUPLE — zeros_like on the tuple
+        # raises and `+` would concatenate (round-4 advisor finding).
         state, delta, n = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state,
-            jnp.zeros_like(hist), ppu,
+            jax.tree_util.tree_map(jnp.zeros_like, hist), ppu,
             n_chunks, n_iters, fuse, packed=packed, weight=w,
             tile_row0=tile_row0, op_bits=op_bits,
             sort_segments=sort_segments)
         # the single collective: reduce partial histograms over ICI
-        hist = hist + jax.lax.psum(delta, BATCH_AXIS)
+        hist = jax.tree_util.tree_map(
+            lambda h, d: h + jax.lax.psum(d, BATCH_AXIS), hist, delta)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
@@ -159,13 +163,16 @@ def sharded_accumulate_temporal(
     def device_body(params_T, state, hist, ppu_T, weights_T,
                     tile_row0, n_chunks):
         # zeros + add-after-psum: see sharded_accumulate (resumed
-        # checkpoint mass must not be multiplied by the mesh size)
+        # checkpoint mass must not be multiplied by the mesh size);
+        # tree_map for the tuple-histogram backend (pallas_rgb16)
         state, delta, n = iterate_accumulate_temporal(
-            key, cam, backend, params_T, state, jnp.zeros_like(hist),
+            key, cam, backend, params_T, state,
+            jax.tree_util.tree_map(jnp.zeros_like, hist),
             ppu_T, n_chunks, n_iters, fuse, packed=packed,
             weights_T=weights_T, tile_row0=tile_row0,
             op_bits=op_bits, sort_segments=sort_segments)
-        hist = hist + jax.lax.psum(delta, BATCH_AXIS)
+        hist = jax.tree_util.tree_map(
+            lambda h, d: h + jax.lax.psum(d, BATCH_AXIS), hist, delta)
         plotted = jax.lax.psum(n, BATCH_AXIS)
         return state, hist, plotted
 
