@@ -430,29 +430,69 @@ def _make_win_kernel(block_rows: int, mxu_precision,
         biota = jax.lax.broadcasted_iota(jnp.int32, (128, WIN), 0)
         liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
+        def palette_wt(j):
+            """(4, WIN) count-weighted palette rgba for window j —
+            the shared two-level one-hot stage (see _window)."""
+            cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
+            q_row = q_ref[pl.ds(j, 1), :]
+            L = jnp.where(q_row % kl == lio, cnt_row,
+                          np.float32(0.0))
+            H = (q_row // kl == hiota).astype(jnp.float32)
+            T1 = jnp.dot(palF_ref[:, :], L,
+                         preferred_element_type=jnp.float32,
+                         precision=mxu_precision)
+            return jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
+
+        # ---- group-dense fast path (round 5) ----
+        # At >= a few records/bin (the 512²-class hot case) 128 sorted
+        # records span only a handful of bins, so the WHOLE grid
+        # step's GROUP*WIN records usually live inside one 128-lane
+        # bin row.  One register accumulator + GROUP dense matmuls +
+        # ONE row RMW replaces GROUP branchy windows with a
+        # dynamic-slice RMW each (the per-window overheads measured
+        # ~5x the arithmetic, bench/flushprof.py).  Exactness contract
+        # unchanged: same matmuls, same precision, f32 adds of
+        # integer-count densities in a different order.
+        first_g = addr_s_ref[0, 0]
+        last_g = addr_s_ref[GROUP - 1, WIN - 1]
+        base_g = (first_g // 128) * 128
+        span_g = last_g - base_g
+        # clamp: an all-sentinel pad group (zero counts everywhere)
+        # can land here with span < 128 but a row far outside the
+        # block — its adds are zero, the RMW address just must not
+        # alias out of bounds (Mosaic OOB indices alias real data)
+        rg = jnp.clip(base_g // 128 - row_off, 0, block_rows - 1)
+
+        @pl.when(span_g < 128)
+        def _group_dense():
+            acc = jnp.zeros((4, 128), jnp.float32)
+            for j in range(GROUP):        # static unroll
+                WT = palette_wt(j)
+                Pt = (addr_ref[pl.ds(j, 1), :] - base_g
+                      == biota).astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    WT, Pt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_precision)
+            if inplace or rgb16:
+                acc = acc * w_t
+            out_ref[:, pl.ds(rg, 1), :] = \
+                out_ref[:, pl.ds(rg, 1), :] + acc[:, None, :]
+
         def window(j, _):
             cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
             total = jnp.sum(cnt_row)
 
             @pl.when(total > 0)
             def _window():
-                # two-level palette one-hot: q = kl*qh + ql; building
-                # (KH,WIN)+(KL,WIN) one-hots costs K/KH + K/KL of the
-                # flat (K,WIN) build.  WT[c,r] = cnt_r * pal[c, q_r]:
-                #   L[l,r]    = cnt_r * [ql_r == l]
-                #   T1        = palF (4*KH, KL) @ L  -> (4*KH, WIN)
-                #   WT[c,r]   = sum_h T1[c*KH+h, r] * [qh_r == h]
+                # two-level palette one-hot (palette_wt): q = kl*qh +
+                # ql; building (KH,WIN)+(KL,WIN) one-hots costs K/KH +
+                # K/KL of the flat (K,WIN) build.  WT[c,r] = cnt_r *
+                # pal[c, q_r].
                 # HIGHEST: default MXU precision is bf16-class, which
                 # mangles count-weighted sums (measured max_err ~1 at
                 # 2M records); exactness vs scatter is the contract.
-                q_row = q_ref[pl.ds(j, 1), :]
-                L = jnp.where(q_row % kl == lio, cnt_row,
-                              np.float32(0.0))
-                H = (q_row // kl == hiota).astype(jnp.float32)
-                T1 = jnp.dot(palF_ref[:, :], L,
-                             preferred_element_type=jnp.float32,
-                             precision=mxu_precision)
-                WT = jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
+                WT = palette_wt(j)
                 # base + tier from the sorted window's first/last
                 # record (SMEM scalar reads) — no prefetch arrays
                 first = addr_s_ref[j, 0]
@@ -532,7 +572,9 @@ def _make_win_kernel(block_rows: int, mxu_precision,
 
             return 0
 
-        jax.lax.fori_loop(0, GROUP, window, 0)
+        @pl.when(span_g >= 128)
+        def _per_window():
+            jax.lax.fori_loop(0, GROUP, window, 0)
 
         if rgb16:
             # block complete?  (the group permutation makes each

@@ -293,7 +293,57 @@ def _load_tune() -> dict:
         print(f"cuburn-tpu: applying tune record {os.path.abspath(path)}"
               f" (keys: {', '.join(keys)}); delete the file or unset "
               "CUBURN_TUNE_FILE for built-in defaults", file=sys.stderr)
+        # staleness warnings (round-5 verdict: the round-3->4 segment
+        # REVERSAL proved records go stale on the SAME chip as tunnel
+        # economics drift) — still applied, but loudly dated
+        stamp = rec.get("timestamp")
+        if stamp:
+            try:
+                import datetime
+                then = datetime.datetime.fromisoformat(stamp)
+                now = datetime.datetime.now(datetime.timezone.utc)
+                if then.tzinfo is None:
+                    then = then.replace(tzinfo=datetime.timezone.utc)
+                age = (now - then).days
+                if age > TUNE_MAX_AGE_DAYS:
+                    print(f"cuburn-tpu: tune record {path} is {age} "
+                          f"days old (> {TUNE_MAX_AGE_DAYS}) — chip "
+                          "economics drift; re-run bench/retune.py",
+                          file=sys.stderr)
+            except ValueError:
+                pass
+        rev = rec.get("git_rev")
+        here_rev = _current_git_rev()
+        if rev and here_rev and rev != here_rev:
+            print(f"cuburn-tpu: tune record {path} was measured at "
+                  f"code rev {rev}, this tree is {here_rev} — kernel "
+                  "economics may have changed; re-run bench/retune.py",
+                  file=sys.stderr)
     return rec
+
+
+TUNE_MAX_AGE_DAYS = 30
+_GIT_REV_CACHE: list = []
+
+
+def _current_git_rev():
+    """Short git rev of the source tree, or None outside a checkout
+    (installed package / no git binary).  Cached per process."""
+    if _GIT_REV_CACHE:
+        return _GIT_REV_CACHE[0]
+    rev = None
+    try:
+        import os
+        import subprocess
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        rev = out.stdout.strip() or None
+    except Exception:
+        rev = None
+    _GIT_REV_CACHE.append(rev)
+    return rev
 
 
 def _to_device(params: GenomeParams) -> GenomeParams:

@@ -64,6 +64,42 @@ def race(key, cam, params, cdf, ppu, backend, B, K, n_chunks,
     return n_chunks * B * K / dt / 1e6
 
 
+RGB16_PROMOTE_MARGIN = 1.05
+
+
+def pick_tiled_backend(m: dict, candidates) -> str:
+    """Per-geometry tiled-backend choice from the race measurements.
+
+    The exact-f32 winner among `candidates` takes the slot unless
+    pallas_rgb16 (bf16 color planes — a per-flush rounding envelope
+    traded for halved tiled reload bytes) beats it by more than
+    RGB16_PROMOTE_MARGIN: exactness is only traded for a real
+    margin.  Unit-tested with a synthetic winning record
+    (tests/test_render.py) — the promotion branch had never executed
+    on a chip where rgb16 wins."""
+    best = max(candidates, key=lambda b: m[f"{b}@720p"])
+    rgb16 = m.get("pallas_rgb16@720p")
+    if isinstance(rgb16, (int, float)) \
+            and rgb16 > RGB16_PROMOTE_MARGIN * m[f"{best}@720p"]:
+        return "pallas_rgb16"
+    return best
+
+
+def stamp(tune: dict) -> dict:
+    """Timestamp + code-rev stamp (round-5 verdict: the round-3->4
+    segment reversal proved records go stale on the same chip;
+    render._load_tune warns when consuming a dated/foreign-rev
+    record)."""
+    import datetime
+    tune["timestamp"] = datetime.datetime.now(
+        datetime.timezone.utc).isoformat(timespec="seconds")
+    from cuburn_tpu.render import _current_git_rev
+    rev = _current_git_rev()
+    if rev:
+        tune["git_rev"] = rev
+    return tune
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.environ.get(
@@ -122,14 +158,10 @@ def main():
     # hist_backend_tiled for tiled geometries, hist_backend otherwise)
     tune["hist_backend"] = max(
         CANDIDATES, key=lambda b: m[f"{b}@512"])
-    tune["hist_backend_tiled"] = max(
-        CANDIDATES, key=lambda b: m[f"{b}@720p"])
     # rgb16 stores color bf16 (inside a per-flush rounding envelope,
     # vs the exact f32 paths): only worth trading exactness for a
-    # real margin
-    if (m["pallas_rgb16@720p"]
-            > 1.05 * m[f"{tune['hist_backend_tiled']}@720p"]):
-        tune["hist_backend_tiled"] = "pallas_rgb16"
+    # real margin (pick_tiled_backend, unit-tested)
+    tune["hist_backend_tiled"] = pick_tiled_backend(m, CANDIDATES)
 
     # 2. segmented sub-sort width (pallas_win only)
     cam, ppu = cam_for(512, 512)
@@ -232,6 +264,7 @@ def main():
                 break
         tune["dim_cap"] = safe or None
 
+    stamp(tune)
     with open(args.out, "w") as f:
         json.dump(tune, f, indent=1)
     print(json.dumps({"tune_written": args.out,

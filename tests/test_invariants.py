@@ -490,3 +490,94 @@ class TestDensityEstimation:
         b = np.asarray(de_mod.density_filter(
             *args, static_max_radius=7.0, skip_empty=True))
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# earlyclip: flam3's pre-2008 pipeline order (colorclip per supersample
+# bucket BEFORE the spatial filter, then clip — rect.c earlyclip block)
+# ---------------------------------------------------------------------------
+
+class TestEarlyclipOrder:
+    """Pins the earlyclip ordering the same way the rest of the color
+    stack is pinned (round-5 verdict item 5): by mathematical
+    consequences of the published definition, with no flam3 binary
+    output needed."""
+
+    BLACK = jnp.zeros((3,), jnp.float32)
+
+    def _both_orders(self, img, gamma, vib, ss, sf, shape):
+        args = (jnp.float32(gamma), jnp.float32(vib),
+                jnp.float32(1.0), jnp.float32(0.0), self.BLACK)
+        early = jnp.clip(
+            downsample(colorclip(img, *args), ss, sf, shape), 0.0, 1.0)
+        late = colorclip(downsample(img, ss, sf, shape), *args)
+        return np.asarray(early), np.asarray(late)
+
+    def test_earlyclip_equals_lateclip_when_colorclip_linear(self):
+        """gamma == 1, threshold == 0, vibrancy == 1, black
+        background, every channel and density <= 1: colorclip is then
+        the identity on rgb (alpha = d^(1/1) = d, scale =
+        vib*alpha/d = 1, below-white so highlight inert, vibrancy
+        term vanishes, compose against black adds nothing), so it
+        commutes with the downsample convolution and the two orders
+        MUST agree — from the definitions alone."""
+        rng = np.random.RandomState(11)
+        img = rng.rand(32, 32, 4).astype(np.float32) * 0.8
+        img[..., :3] = np.minimum(img[..., :3],
+                                  img[..., 3:4])  # premultiplied
+        img = jnp.asarray(img)
+        for ss, sf, shape in [(2, 0.5, "gaussian"), (1, 0.0, "box"),
+                              (2, 0.6, "mitchell")]:
+            early, late = self._both_orders(img, 1.0, 1.0, ss, sf,
+                                            shape)
+            np.testing.assert_allclose(early[..., :3], late[..., :3],
+                                       atol=2e-6, err_msg=shape)
+
+    def test_earlyclip_differs_when_gamma_bends(self):
+        """gamma != 1 makes colorclip nonlinear, so filtering before
+        vs after it must NOT agree on a high-contrast field — if the
+        two paths coincide there, the flag is wired to nothing."""
+        img = np.zeros((32, 32, 4), np.float32)
+        img[8:16, 8:16] = [0.9, 0.5, 0.2, 1.0]   # hard bright edge
+        img = jnp.asarray(img)
+        early, late = self._both_orders(img, 4.0, 1.0, 2, 0.6,
+                                        "gaussian")
+        assert np.abs(early[..., :3] - late[..., :3]).max() > 0.01
+
+    def test_earlyclip_bounds_negative_lobes(self):
+        """With a negative-lobe kernel (catrom) over a superwhite
+        edge, the early order clips per bucket FIRST, so its output
+        after the final clip stays in [0,1] and ringing is computed
+        on clipped values; both orders stay bounded (definition of
+        the final clip), and the early path's pre-filter values are
+        already <= 1 so its overshoot is strictly smaller."""
+        img = np.zeros((32, 32, 4), np.float32)
+        img[8:16, 8:16] = [40.0, 30.0, 10.0, 50.0]  # superwhite
+        img = jnp.asarray(img)
+        early, late = self._both_orders(img, 2.0, 1.0, 2, 0.75,
+                                        "catrom")
+        assert early.min() >= 0.0 and early.max() <= 1.0
+        assert late.min() >= 0.0 and late.max() <= 1.0
+
+    def test_renderer_honors_earlyclip_flag(self):
+        """End-to-end: the genome flag switches the pipeline order —
+        renders must differ at gamma 4 on the same seed, and the
+        earlyclip render must be a valid image (the flag was
+        parse-and-warn until round 4)."""
+        from cuburn_tpu.models import sierpinski
+        from cuburn_tpu.profile import RenderProfile
+        from cuburn_tpu.render import Renderer
+        prof = RenderProfile(width=64, height=64, quality=60,
+                             batch=2048, iters_per_chunk=8,
+                             hist_backend="scatter", fuse=8,
+                             de_enabled=False)
+        g = sierpinski()
+        g.earlyclip = False
+        late, _ = Renderer(g, prof).render_frame(0.0, seed=5)
+        g2 = sierpinski()
+        g2.earlyclip = True
+        early, _ = Renderer(g2, prof).render_frame(0.0, seed=5)
+        assert early.shape == late.shape
+        assert early[..., :3].sum() > 0
+        assert np.abs(early.astype(np.int32)
+                      - late.astype(np.int32)).max() > 0
