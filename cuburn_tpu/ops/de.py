@@ -43,6 +43,67 @@ N_BANDS = 8
 MAX_RADIUS_CAP = 24          # absolute clamp on DE radius, px
 MIN_BAND_RADIUS = 0.5        # radii below this are effectively identity
 
+# ---- pyramid (scale-space) execution of the wide bands (round 5) ----
+# A band of radius r costs H*W*(2*ceil(1.5 r)+1)*2 conv MACs at full
+# resolution, so the widest rungs dominate DE compute at binding sizes.
+# Blurring a WIDE Gaussian at 1/f resolution is the classic pyramid
+# identity: box-downsample by f (variance (f^2-1)/12), blur with a
+# coarse Gaussian, reconstruct with repeat + triangle (linear interp
+# between block centers; variance ~(f^2-1)/12 + f^2/6) — the coarse
+# sigma is chosen so the COMPOSED kernel's variance equals the target
+# Gaussian's:  (f*sigma_c)^2 + f^2/3 ~= sigma^2.  Validated against
+# the direct per-source splat by the banded-vs-direct rel-L2 harness
+# (tests/test_filters.py) and the DE mass/monotonicity invariants.
+# CUBURN_PYRAMID_DE=0 restores full-resolution bands.
+import os as _os
+
+PYRAMID_DE = _os.environ.get("CUBURN_PYRAMID_DE", "1") != "0"
+PYRAMID_MIN_HALF = 8          # bands narrower than this stay direct
+PYRAMID_COARSE_HALF = 4       # target coarse-scale half-width
+# the pyramid is a ~2% rel-L2 approximation (validated, bounded), so
+# it engages only where the wide bands' conv cost actually binds:
+# accumulators >= this many lanes WIDE (1080p-ss2-class frames and
+# up).  The gate is on WIDTH, not pixels: banded filtering slices the
+# frame into row bands that keep the full width, so a width gate
+# keeps the banded and whole-frame paths on the SAME code path (their
+# equality contract).  Below it the banded DE keeps its
+# exact-on-rung contract (tests/test_filters.py).
+PYRAMID_MIN_WIDTH = int(_os.environ.get(
+    "CUBURN_PYRAMID_MIN_WIDTH", "2048"))
+
+
+def _sep_blur_band(img, radius: float, half: int):
+    """One band's separable Gaussian, octave-downsampled when wide
+    AND the frame is binding-size (see PYRAMID_MIN_WIDTH)."""
+    if (not PYRAMID_DE or half < PYRAMID_MIN_HALF
+            or img.shape[1] < PYRAMID_MIN_WIDTH):
+        return _sep_blur(img, _gaussian_taps(radius, half), half)
+    o = int(np.floor(np.log2(half / PYRAMID_COARSE_HALF)))
+    f = 1 << max(o, 0)
+    if f <= 1:
+        return _sep_blur(img, _gaussian_taps(radius, half), half)
+    sigma = max(radius * 0.5, 1e-3)
+    # composed down/up variance correction (see module comment); the
+    # 0.25 floor keeps the coarse kernel a real blur if the caller
+    # ever shrinks the ladder under PYRAMID_MIN_HALF's radius
+    sigma_c = float(np.sqrt(max(sigma * sigma - f * f / 3.0, 0.25))) / f
+    r_c = 2.0 * sigma_c
+    half_c = max(int(np.ceil(1.5 * r_c)), 1)
+    H, W, C = img.shape
+    Hp, Wp = -(-H // f) * f, -(-W // f) * f
+    x = jnp.pad(img, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    # box down (mean keeps per-cell scale; mass/f^2)
+    x = x.reshape(Hp // f, f, Wp // f, f, C).mean(axis=(1, 3))
+    x = _sep_blur(x, _gaussian_taps(r_c, half_c), half_c)
+    # repeat + normalized triangle = linear interpolation between
+    # block centers (mass * f^2 — net mass preserved); zero-pad edges,
+    # the same convention as the direct conv path
+    x = jnp.repeat(jnp.repeat(x, f, axis=0), f, axis=1)
+    tri = np.maximum(
+        1.0 - np.abs(np.arange(-(f - 1), f, dtype=np.float32)) / f, 0.0)
+    x = _sep_blur(x, jnp.asarray(tri / f), f - 1)
+    return x[:H, :W]
+
 
 @functools.lru_cache(maxsize=None)
 def band_ladder(static_max_radius: float):
@@ -193,10 +254,8 @@ def density_filter(img, density, max_radius, min_radius, curve,
         if skip_empty:
             out = out + jax.lax.cond(
                 jnp.any(w > 0),
-                lambda s=src, k=k: _sep_blur(
-                    s, _gaussian_taps(radii[k], taps[k]), taps[k]),
+                lambda s=src, k=k: _sep_blur_band(s, radii[k], taps[k]),
                 lambda s=src: jnp.zeros_like(s))
         else:
-            out = out + _sep_blur(
-                src, _gaussian_taps(radii[k], taps[k]), taps[k])
+            out = out + _sep_blur_band(src, radii[k], taps[k])
     return out

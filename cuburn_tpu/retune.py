@@ -198,8 +198,13 @@ def main():
     # 3. flush chunk size K — recorded as RECORDS per flush (B*K):
     # the tuned quantity is batch-independent, and the Renderer
     # divides by the profile's own batch (storing the raw K silently
-    # mis-tuned any profile whose batch differs from the sweep's B)
-    k_list = (32, 64) if args.quick else (16, 32, 64, 128)
+    # mis-tuned any profile whose batch differs from the sweep's B).
+    # Measured at the UNTILED geometry (512²): section 2b left the
+    # tiled 720p camera active, so flush_records — the untiled key —
+    # was being tuned on the wrong geometry (round-5 fix); the tiled
+    # key gets its own sweep in 3b.
+    cam, ppu = cam_for(512, 512)
+    k_list = (32, 64) if args.quick else (16, 32, 64, 128, 256)
     best_k, best_r = 64, 0.0
     for k in k_list:
         nc = max(1, n_chunks * 64 // k)

@@ -269,6 +269,40 @@ class TestDE:
         # to within the radius interpolation)
         assert banded.sum() == pytest.approx(direct.sum(), rel=0.02)
 
+    def test_pyramid_de_bounded_error(self, monkeypatch):
+        """Round-5 pyramid DE: wide bands run at octave-downsampled
+        resolution on binding-size frames (de.PYRAMID_MIN_WIDTH).
+        Forced on here (width gate dropped to 0), the same
+        banded-vs-direct harness must stay within the documented
+        rel-L2 bound, preserve mass, and the width gate must keep
+        sub-threshold frames bit-identical to the non-pyramid path."""
+        monkeypatch.setattr(de_mod, "PYRAMID_MIN_WIDTH", 0)
+        rng = np.random.RandomState(6)
+        img = (rng.rand(32, 32, 4) * rng.binomial(1, 0.4, (32, 32, 1))
+               ).astype(np.float32)
+        density = np.exp(rng.rand(32, 32) * 8).astype(np.float32)
+        args = (jnp.asarray(img), jnp.asarray(density),
+                jnp.float32(9.0), jnp.float32(0.0), jnp.float32(0.4))
+        pyr = np.asarray(de_mod.density_filter(
+            *args, static_max_radius=9.0))
+        direct = de_mod.density_filter_direct(
+            img, density, 9.0, 0.0, 0.4)
+        rel_l2 = np.linalg.norm(pyr - direct) / np.linalg.norm(direct)
+        assert rel_l2 < 0.035, f"pyramid-vs-direct rel L2 {rel_l2:.3f}"
+        assert pyr.sum() == pytest.approx(direct.sum(), rel=0.02)
+        # skip_empty composes with the pyramid path unchanged
+        pyr_skip = np.asarray(de_mod.density_filter(
+            *args, static_max_radius=9.0, skip_empty=True))
+        np.testing.assert_allclose(pyr, pyr_skip, rtol=1e-5, atol=1e-6)
+        # gate restored: sub-threshold frames take the exact path
+        monkeypatch.setattr(de_mod, "PYRAMID_MIN_WIDTH", 2048)
+        exact = np.asarray(de_mod.density_filter(
+            *args, static_max_radius=9.0))
+        monkeypatch.setattr(de_mod, "PYRAMID_DE", False)
+        off = np.asarray(de_mod.density_filter(
+            *args, static_max_radius=9.0))
+        np.testing.assert_array_equal(exact, off)
+
     def test_de_skip_empty_identical(self):
         """skip_empty=True (lax.cond per band on occupancy) must be a
         pure perf knob: outputs identical to the unconditional path."""
