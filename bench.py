@@ -273,8 +273,15 @@ def main():
 
             from cuburn_tpu.profile import RenderProfile
             from cuburn_tpu.render import Renderer
+            # q1000 — the SAME quality as BASELINE.md's config-3 table
+            # rows, so the driver JSON and the table are directly
+            # comparable (round-4's q500 probe read 29% under the
+            # q1000 table row purely from startup amortization, and
+            # the single-shot probe swings ±25% run-to-run anyway;
+            # q1000 halves the startup share).  ~13-20 s device time,
+            # split across dispatches by the iter cap below.
             q1080 = int(os.environ.get("CUBURN_BENCH_1080P_QUALITY",
-                                       "500"))
+                                       "1000"))
             prof = RenderProfile(
                 width=1920, height=1080, quality=q1080, batch=1 << 15,
                 iters_per_chunk=0, fuse=32, hist_backend="auto",

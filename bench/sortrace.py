@@ -55,6 +55,17 @@ def main():
         return jax.lax.sort(r.reshape(-1)).ravel()[0]
     timed("lax_sort", in_loop(stage_lax, flip, L), recs, total, L)
 
+    # VMEM-fused tiled bitonic (ops/pallas_sort.py — a round-3
+    # measured negative; chip economics flip between rounds, re-race)
+    from cuburn_tpu.ops.pallas_sort import bitonic_sort_u32_tiled
+    interp = jax.default_backend() != "tpu"
+
+    def stage_tiled(r):
+        return bitonic_sort_u32_tiled(
+            r.reshape(-1), interpret=interp).ravel()[0]
+    timed("bitonic_tiled", in_loop(stage_tiled, flip, L), recs,
+          total, L)
+
 
 if __name__ == "__main__":
     main()
