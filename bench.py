@@ -133,6 +133,13 @@ def main():
             K = max(16, min(1024, int(tune["flush_records"]) // B))
         sort_segments = int(tune.get("sort_segments", 1))
         extra["tuned"] = {"K": K, "sort_segments": sort_segments}
+        if tune.get("sort_impl"):
+            # trace-time process default (ops/sort.py; env still wins)
+            from cuburn_tpu.ops.sort import set_sort_impl
+            import os as _os
+            if not _os.environ.get("CUBURN_SORT_IMPL"):
+                set_sort_impl(str(tune["sort_impl"]))
+            extra["tuned"]["sort_impl"] = str(tune["sort_impl"])
     cam = CameraSpec(W, H, 1)
     cdf = xform_cdf_rows(params)
     ppu = params.ppu * jnp.float32(W / g.size[0])

@@ -139,12 +139,12 @@ def main():
     def s_prep(r):
         p = ph._prep_windows(r, pal, cam.n_bins, cbits, False, S,
                              br, n_blocks)
-        outs = [p["perm"], p["rbg"], p["addr_w"], p["q_w"]]
+        outs = [p["perm"], p["rbg"], p["addr_w"], p["q_f"]]
         acc = jnp.uint32(0)
         for o in outs:
             acc = acc + o.ravel()[0].astype(jnp.uint32)
         # i32 hop: no direct f32->u32 cast on this backend
-        acc = acc + p["cnt_w"].ravel()[0].astype(jnp.int32)\
+        acc = acc + p["cnt_f"].ravel()[0].astype(jnp.int32)\
             .astype(jnp.uint32)
         if p["s_addr"] is not None:
             acc = acc + p["s_addr"].ravel()[0].astype(jnp.uint32)

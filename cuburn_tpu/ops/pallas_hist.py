@@ -340,7 +340,7 @@ def _make_win_kernel(block_rows: int, mxu_precision,
     inplace = mode == "inplace"
 
     def _win_kernel(perm_ref, rbg_ref, addr_s_ref,
-                    addr_ref, q_ref, cnt_ref, palF_ref,
+                    addr_f_ref, q_f_ref, cnt_f_ref, palF_ref,
                     *rest_refs):
         if rgb16:
             (dens_in_ref, rgb_in_ref, w_ref, dens_out_ref,
@@ -369,8 +369,18 @@ def _make_win_kernel(block_rows: int, mxu_precision,
         span < 8*128 — chunked matmuls (one per touched lane row);
         else — per-record roll fallback.
         addr_s_ref: (GROUP, WIN) SMEM int32 (scalar reads).
-        addr_ref/q_ref/cnt_ref: (GROUP, WIN) VMEM int32/int32/float32,
-        block-fetched through the same perm[i] index map.
+        addr_f_ref/q_f_ref/cnt_f_ref: (1, 1, GROUP*WIN) VMEM int32/
+        int32/float32 — the grid step's records FLAT along the lane
+        axis
+        (same memory order as the (GROUP, WIN) view; window j is the
+        static lane slice [j*WIN, (j+1)*WIN)), block-fetched through
+        the same perm[i] index map.  The flat layout lets the palette
+        weighting stage run ONCE per grid step — one (4*KH, KL) @
+        (KL, GROUP*WIN) matmul feeding every window — and the
+        group-dense fast path contract all GROUP*WIN records in ONE
+        MXU dot instead of GROUP, cutting the kernel's matmul issue
+        count ~8x (round 5; the per-step overheads, not the
+        arithmetic, dominated at 512²-class densities).
         palF_ref: (4*KH, KL) VMEM — palette^T with the density row,
         factored for the two-level one-hot (see _window).
         out_ref: (4, block_rows, 128) — the group's row block,
@@ -425,34 +435,43 @@ def _make_win_kernel(block_rows: int, mxu_precision,
         row_off = rb * block_rows
         kh = palF_ref.shape[0] // 4       # palette factored KH x KL
         kl = palF_ref.shape[1]
-        hiota = jax.lax.broadcasted_iota(jnp.int32, (kh, WIN), 0)
-        lio = jax.lax.broadcasted_iota(jnp.int32, (kl, WIN), 0)
+        GW = GROUP * WIN
         biota = jax.lax.broadcasted_iota(jnp.int32, (128, WIN), 0)
         liota = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
-        def palette_wt(j):
-            """(4, WIN) count-weighted palette rgba for window j —
-            the shared two-level one-hot stage (see _window)."""
-            cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
-            q_row = q_ref[pl.ds(j, 1), :]
-            L = jnp.where(q_row % kl == lio, cnt_row,
-                          np.float32(0.0))
-            H = (q_row // kl == hiota).astype(jnp.float32)
-            T1 = jnp.dot(palF_ref[:, :], L,
-                         preferred_element_type=jnp.float32,
-                         precision=mxu_precision)
-            return jnp.sum(T1.reshape(4, kh, WIN) * H[None], axis=1)
+        # ---- shared palette weighting, ONCE per grid step ----
+        # WT_all[c, n] = cnt_n * pal[c, q_n] for every record of the
+        # grid step at once, via the two-level one-hot (q = kl*qh +
+        # ql; building (KH,GW)+(KL,GW) one-hots costs K/KH + K/KL of
+        # the flat (K,GW) build): ONE (4KH, KL) @ (KL, GW) matmul +
+        # one (KH, GW) mask-reduce instead of GROUP copies of each —
+        # the flat lane-major record layout exists for exactly this.
+        # HIGHEST precision when any input is not bf16-representable:
+        # default MXU precision mangles count-weighted sums (measured
+        # max_err ~1 at 2M records); exactness vs scatter is the
+        # contract (precision-by-contract, see docstring).
+        q_all = q_f_ref[0]                          # (1, GW)
+        cnt_all = cnt_f_ref[0]                      # (1, GW)
+        addr_all = addr_f_ref[0]                    # (1, GW)
+        lio_f = jax.lax.broadcasted_iota(jnp.int32, (kl, GW), 0)
+        hio_f = jax.lax.broadcasted_iota(jnp.int32, (kh, GW), 0)
+        L = jnp.where(q_all % kl == lio_f, cnt_all, np.float32(0.0))
+        H = (q_all // kl == hio_f).astype(jnp.float32)
+        T1 = jnp.dot(palF_ref[:, :], L,
+                     preferred_element_type=jnp.float32,
+                     precision=mxu_precision)       # (4KH, GW)
+        WT_all = jnp.sum(T1.reshape(4, kh, GW) * H[None], axis=1)
 
         # ---- group-dense fast path (round 5) ----
         # At >= a few records/bin (the 512²-class hot case) 128 sorted
         # records span only a handful of bins, so the WHOLE grid
         # step's GROUP*WIN records usually live inside one 128-lane
-        # bin row.  One register accumulator + GROUP dense matmuls +
-        # ONE row RMW replaces GROUP branchy windows with a
-        # dynamic-slice RMW each (the per-window overheads measured
-        # ~5x the arithmetic, bench/flushprof.py).  Exactness contract
-        # unchanged: same matmuls, same precision, f32 adds of
-        # integer-count densities in a different order.
+        # bin row.  ONE (4, GW) @ (GW, 128) MXU contraction + ONE row
+        # RMW replaces GROUP branchy windows with a dynamic-slice RMW
+        # each (the per-window overheads measured ~5x the arithmetic,
+        # bench/flushprof.py).  Exactness contract unchanged: same
+        # products, same precision, f32 adds of integer-count
+        # densities in a different order.
         first_g = addr_s_ref[0, 0]
         last_g = addr_s_ref[GROUP - 1, WIN - 1]
         base_g = (first_g // 128) * 128
@@ -465,34 +484,29 @@ def _make_win_kernel(block_rows: int, mxu_precision,
 
         @pl.when(span_g < 128)
         def _group_dense():
-            acc = jnp.zeros((4, 128), jnp.float32)
-            for j in range(GROUP):        # static unroll
-                WT = palette_wt(j)
-                Pt = (addr_ref[pl.ds(j, 1), :] - base_g
-                      == biota).astype(jnp.float32)
-                acc = acc + jax.lax.dot_general(
-                    WT, Pt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mxu_precision)
+            bio_f = jax.lax.broadcasted_iota(jnp.int32, (128, GW), 0)
+            Pt = (addr_all - base_g == bio_f).astype(jnp.float32)
+            acc = jax.lax.dot_general(
+                WT_all, Pt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision)            # (4, 128)
             if inplace or rgb16:
                 acc = acc * w_t
             out_ref[:, pl.ds(rg, 1), :] = \
                 out_ref[:, pl.ds(rg, 1), :] + acc[:, None, :]
 
-        def window(j, _):
-            cnt_row = cnt_ref[pl.ds(j, 1), :]          # (1, WIN)
+        def window(j):
+            # window j of the grid step: STATIC lane slices of the
+            # flat records / shared WT_all (j is a Python int — the
+            # per-window path is statically unrolled)
+            lo, hi = j * WIN, (j + 1) * WIN
+            cnt_row = cnt_all[:, lo:hi]             # (1, WIN)
             total = jnp.sum(cnt_row)
 
             @pl.when(total > 0)
             def _window():
-                # two-level palette one-hot (palette_wt): q = kl*qh +
-                # ql; building (KH,WIN)+(KL,WIN) one-hots costs K/KH +
-                # K/KL of the flat (K,WIN) build.  WT[c,r] = cnt_r *
-                # pal[c, q_r].
-                # HIGHEST: default MXU precision is bf16-class, which
-                # mangles count-weighted sums (measured max_err ~1 at
-                # 2M records); exactness vs scatter is the contract.
-                WT = palette_wt(j)
+                WT = WT_all[:, lo:hi]               # (4, WIN)
+                addr_row = addr_all[:, lo:hi]       # (1, WIN)
                 # base + tier from the sorted window's first/last
                 # record (SMEM scalar reads) — no prefetch arrays
                 first = addr_s_ref[j, 0]
@@ -504,7 +518,7 @@ def _make_win_kernel(block_rows: int, mxu_precision,
                 @pl.when(span < 128)
                 def _dense():
                     # all records inside [base, base+128): ONE matmul
-                    Pt = (addr_ref[pl.ds(j, 1), :] - base
+                    Pt = (addr_row - base
                           == biota).astype(jnp.float32)  # (128, WIN)
                     out = jax.lax.dot_general(
                         WT, Pt, (((1,), (1,)), ((), ())),
@@ -530,7 +544,7 @@ def _make_win_kernel(block_rows: int, mxu_precision,
                     # compile helper's limits inside full render
                     # programs.
                     def chunk(c, _):
-                        Pt = (addr_ref[pl.ds(j, 1), :]
+                        Pt = (addr_row
                               - (base + 128 * c)
                               == biota).astype(jnp.float32)
                         out = jax.lax.dot_general(
@@ -570,11 +584,10 @@ def _make_win_kernel(block_rows: int, mxu_precision,
 
                     jax.lax.fori_loop(0, WIN, body, 0)
 
-            return 0
-
         @pl.when(span_g >= 128)
         def _per_window():
-            jax.lax.fori_loop(0, GROUP, window, 0)
+            for j in range(GROUP):        # static unroll
+                window(j)
 
         if rgb16:
             # block complete?  (the group permutation makes each
@@ -724,24 +737,38 @@ def _prep_windows(packed_records, palette_hi, n_bins,
     mxu_precision = (jax.lax.Precision.DEFAULT if exact_at_default
                      else jax.lax.Precision.HIGHEST)
 
+    # flat lane-major views for the kernel's VMEM record inputs: the
+    # SAME memory order as the (n_win, WIN) window view, reshaped so a
+    # grid step's GROUP*WIN records ride in as ONE (1, GROUP*WIN) row
+    # — the kernel's shared palette stage and group-dense contraction
+    # each become a single wide matmul (see _make_win_kernel).  The
+    # arrays are 3-D (n_grp, 1, GW) with the grid-step axis LEADING:
+    # Mosaic requires a block's last two dims divisible by (8, 128) or
+    # equal to the array's — (1, GW) == the trailing dims exactly, so
+    # the unit-sublane row is legal (a (1, GW) block with array shape
+    # (n_grp, GW) is rejected on real TPU; interpret mode accepts it).
+    addr_f = addr_w.reshape(n_grp, 1, GROUP * WIN)
+    q_f = q_w.reshape(n_grp, 1, GROUP * WIN)
+    cnt_f = cnt_w.reshape(n_grp, 1, GROUP * WIN)
+
     rec_specs = [
         pl.BlockSpec((GROUP, WIN),
                      lambda i, p, rbg: (p[i], 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((GROUP, WIN),
-                     lambda i, p, rbg: (p[i], 0),
+        pl.BlockSpec((1, 1, GROUP * WIN),
+                     lambda i, p, rbg: (p[i], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((GROUP, WIN),
-                     lambda i, p, rbg: (p[i], 0),
+        pl.BlockSpec((1, 1, GROUP * WIN),
+                     lambda i, p, rbg: (p[i], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((GROUP, WIN),
-                     lambda i, p, rbg: (p[i], 0),
+        pl.BlockSpec((1, 1, GROUP * WIN),
+                     lambda i, p, rbg: (p[i], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(palF.shape, lambda i, p, rbg: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    return dict(perm=perm, rbg=rbg, addr_w=addr_w, q_w=q_w,
-                cnt_w=cnt_w, palF=palF,
+    return dict(perm=perm, rbg=rbg, addr_w=addr_w,
+                addr_f=addr_f, q_f=q_f, cnt_f=cnt_f, palF=palF,
                 mxu_precision=mxu_precision, n_grp=n_grp,
                 s_addr=s_addr if n_blocks > 1 else None,
                 s_rgba=s_rgba if n_blocks > 1 else None,
@@ -792,10 +819,10 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     p_ = _prep_windows(packed_records, palette_hi, n_bins,
                        color_bits, merge, sort_segments,
                        br, n_blocks)
-    (perm, rbg, addr_w, q_w, cnt_w, palF, mxu_precision,
+    (perm, rbg, addr_w, addr_f, q_f, cnt_f, palF, mxu_precision,
      n_grp, s_addr, s_rgba, rec_specs) = (
-        p_["perm"], p_["rbg"], p_["addr_w"], p_["q_w"],
-        p_["cnt_w"], p_["palF"], p_["mxu_precision"],
+        p_["perm"], p_["rbg"], p_["addr_w"], p_["addr_f"],
+        p_["q_f"], p_["cnt_f"], p_["palF"], p_["mxu_precision"],
         p_["n_grp"], p_["s_addr"], p_["s_rgba"],
         p_["rec_specs"])
     out_spec = pl.BlockSpec((4, br, 128),
@@ -836,7 +863,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
             # then the 7 inputs: hist_planes is operand 2+5=7
             input_output_aliases={7: 0},
             interpret=interpret,
-        )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF,
+        )(perm, rbg, addr_w, addr_f, q_f, cnt_f, palF,
           hist_planes, w_arr)
         if n_blocks > 1:
             # diverted straddle windows: exact in-place scatter-add on
@@ -857,7 +884,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
         interpret=interpret,
-    )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF)
+    )(perm, rbg, addr_w, addr_f, q_f, cnt_f, palF)
 
     if n_blocks > 1:
         # unvisited blocks hold uninitialized memory: mask them out
@@ -910,10 +937,10 @@ def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
     p_ = _prep_windows(packed_records, palette_hi, n_bins,
                        color_bits, False, sort_segments,
                        br, n_blocks)
-    (perm, rbg, addr_w, q_w, cnt_w, palF, mxu_precision,
+    (perm, rbg, addr_w, addr_f, q_f, cnt_f, palF, mxu_precision,
      n_grp, s_addr, s_rgba, rec_specs) = (
-        p_["perm"], p_["rbg"], p_["addr_w"], p_["q_w"],
-        p_["cnt_w"], p_["palF"], p_["mxu_precision"],
+        p_["perm"], p_["rbg"], p_["addr_w"], p_["addr_f"],
+        p_["q_f"], p_["cnt_f"], p_["palF"], p_["mxu_precision"],
         p_["n_grp"], p_["s_addr"], p_["s_rgba"],
         p_["rec_specs"])
 
@@ -949,7 +976,7 @@ def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
         # dens at 7, rgb at 8 — aliased onto outputs 0 and 1
         input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(perm, rbg, addr_w, addr_w, q_w, cnt_w, palF, dens, rgb, w_arr)
+    )(perm, rbg, addr_w, addr_f, q_f, cnt_f, palF, dens, rgb, w_arr)
     if n_blocks > 1:
         # diverted straddle windows: density scatter-adds exact (f32)
         sw = s_rgba if weight is None else s_rgba * weight

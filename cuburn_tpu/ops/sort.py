@@ -30,8 +30,41 @@ identical and no payload permutation is needed.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Which sort network backs sort_records: "bitonic" (the roll-based
+# XOR-partner network below) or "lax" (jax.lax.sort).  The two produce
+# IDENTICAL outputs (same multiset, ascending), so this is purely a
+# perf choice that drifts with chip economics: round-2 chained
+# measurements had the bitonic ~1.5-2x ahead, the round-5 chip put
+# lax.sort ~17% ahead at 2^22 (bench/sortrace.py) — race per round via
+# bench/retune.py, which writes `sort_impl` into the tune record.
+# Read at TRACE time (env CUBURN_SORT_IMPL > set_sort_impl > default):
+# flipping it after a program is jit-cached does not retrace, which is
+# benign for output (identical sorts) but matters when benchmarking —
+# flip BEFORE the first trace.
+_SORT_IMPL = None
+
+
+def set_sort_impl(impl: str | None):
+    """Set the process-default sort implementation (None = built-in
+    default).  Called by the Renderer when a tune record carries
+    `sort_impl`; the env var CUBURN_SORT_IMPL still wins."""
+    global _SORT_IMPL
+    if impl is not None and impl not in ("bitonic", "lax"):
+        raise ValueError(f"unknown sort impl {impl!r}")
+    _SORT_IMPL = impl
+
+
+def _resolve_impl(impl: str | None) -> str:
+    v = (os.environ.get("CUBURN_SORT_IMPL") or impl
+         or _SORT_IMPL or "bitonic")
+    if v not in ("bitonic", "lax"):
+        raise ValueError(f"unknown sort impl {v!r}")
+    return v
 
 
 def bitonic_sort_u32(keys: jnp.ndarray,
@@ -105,7 +138,8 @@ def bitonic_sort_u32(keys: jnp.ndarray,
                              keys.astype(jnp.uint32))
 
 
-def sort_records(records: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
+def sort_records(records: jnp.ndarray, segments: int = 1,
+                 impl: str = None) -> jnp.ndarray:
     """Sort a flat array of packed u32 records (any length: pads to the
     next power of two with 0xFFFFFFFF sentinels that sort to the end;
     the caller slices them off or lets them land in the junk bin).
@@ -115,7 +149,11 @@ def sort_records(records: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
     bitonic_sort_u32); the result is ascending WITHIN each segment
     only.  Requires segments to divide the padded power-of-two length;
     falls back to fewer segments if it can't keep each one >= 2
-    elements."""
+    elements.
+
+    `impl` picks the network ("bitonic"/"lax", identical outputs —
+    see _SORT_IMPL above); None defers to CUBURN_SORT_IMPL /
+    set_sort_impl / "bitonic"."""
     flat = records.reshape(-1).astype(jnp.uint32)
     n = flat.shape[0]
     pow2 = 1 << (n - 1).bit_length()
@@ -127,6 +165,15 @@ def sort_records(records: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
             raise ValueError(f"segments must be a power of two, "
                              f"got {segments}")
         segments = max(1, min(segments, pow2 // 2))
+    if _resolve_impl(impl) == "lax":
+        if segments > 1:
+            # same segment semantics: rows sorted independently (the
+            # flat reshape keeps each contiguous segment one row)
+            return jnp.sort(
+                flat.reshape(segments, pow2 // segments),
+                axis=-1).reshape(-1)
+        return jnp.sort(flat)
+    if segments > 1:
         return bitonic_sort_u32(flat, seg_len=pow2 // segments)
     return bitonic_sort_u32(flat)
 

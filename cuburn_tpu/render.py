@@ -540,6 +540,13 @@ class Renderer:
             # S=1/2/4/8/16).  Keep the full sort; re-race on real
             # silicon via bench/retune.py
             self.sort_segments = 1
+        # sort implementation (bitonic network vs lax.sort — identical
+        # outputs, perf-only, drifts with chip economics; ops/sort.py).
+        # Trace-time process default: env > tune record > built-in.
+        if tune.get("sort_impl") and not _os.environ.get(
+                "CUBURN_SORT_IMPL"):
+            from cuburn_tpu.ops.sort import set_sort_impl
+            set_sort_impl(str(tune["sort_impl"]))
         if self.backend.startswith("pallas") and not self.packed:
             import warnings
             warnings.warn(

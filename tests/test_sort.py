@@ -66,6 +66,40 @@ class TestBitonic:
             np.sort(out)[:1000], np.sort(keys))
         assert (np.sort(out)[1000:] == 0xFFFFFFFF).all()
 
+    @pytest.mark.parametrize("segs", [1, 4])
+    def test_lax_impl_identical(self, segs):
+        """impl="lax" (jax.lax.sort) must be BIT-IDENTICAL to the
+        bitonic network for any segments — the tune record flips the
+        impl freely (chip-drift races, ops/sort.py), which is only
+        sound because the outputs are the same array."""
+        rng = np.random.RandomState(7 + segs)
+        keys = rng.randint(0, 2**32, 3000, dtype=np.uint32)  # pads
+        a = np.asarray(sort_records(jnp.asarray(keys), segments=segs))
+        b = np.asarray(sort_records(jnp.asarray(keys), segments=segs,
+                                    impl="lax"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_impl_env_and_setter(self, monkeypatch):
+        """Resolution order: env CUBURN_SORT_IMPL > explicit impl arg
+        > set_sort_impl > default; unknown names rejected."""
+        from cuburn_tpu.ops.sort import (_resolve_impl, set_sort_impl)
+        set_sort_impl(None)      # another test's Renderer may have
+        monkeypatch.delenv("CUBURN_SORT_IMPL", raising=False)  # set it
+        assert _resolve_impl(None) == "bitonic"
+        set_sort_impl("lax")
+        try:
+            assert _resolve_impl(None) == "lax"
+            assert _resolve_impl("bitonic") == "bitonic"
+            monkeypatch.setenv("CUBURN_SORT_IMPL", "bitonic")
+            assert _resolve_impl("lax") == "bitonic"
+        finally:
+            set_sort_impl(None)
+        monkeypatch.delenv("CUBURN_SORT_IMPL", raising=False)
+        with pytest.raises(ValueError):
+            set_sort_impl("quantum")
+        with pytest.raises(ValueError):
+            _resolve_impl("quantum")
+
 
 class TestTiledBitonic:
     def test_matches_numpy(self):
