@@ -123,6 +123,7 @@ def main():
     # segmented-sort depth (round-4 retune: K=128/S=4 is ~10% over
     # the old hardcoded K=64/S=1 on the dev chip)
     sort_segments = 1
+    sort_impl = None
     try:
         from cuburn_tpu.render import _load_tune
         tune = _load_tune()
@@ -134,12 +135,11 @@ def main():
         sort_segments = int(tune.get("sort_segments", 1))
         extra["tuned"] = {"K": K, "sort_segments": sort_segments}
         if tune.get("sort_impl"):
-            # trace-time process default (ops/sort.py; env still wins)
-            from cuburn_tpu.ops.sort import set_sort_impl
-            import os as _os
-            if not _os.environ.get("CUBURN_SORT_IMPL"):
-                set_sort_impl(str(tune["sort_impl"]))
-            extra["tuned"]["sort_impl"] = str(tune["sort_impl"])
+            # 512² is untiled geometry — the untiled key applies
+            # (threaded static arg, per-geometry like sort_segments;
+            # env CUBURN_SORT_IMPL still wins inside sort_records)
+            sort_impl = str(tune["sort_impl"])
+            extra["tuned"]["sort_impl"] = sort_impl
     cam = CameraSpec(W, H, 1)
     cdf = xform_cdf_rows(params)
     ppu = params.ppu * jnp.float32(W / g.size[0])
@@ -159,12 +159,16 @@ def main():
         hist = hist_alloc_for(hist_backend, cam.n_bins)
         state, hist, n = iterate_accumulate(        # warm compile
             key, cam, hist_backend, params, cdf, state, hist, ppu,
-            jnp.int32(1), K, 32, sort_segments=ss)
+            jnp.int32(1), K, 32, sort_segments=ss,
+            sort_impl=sort_impl if hist_backend == "pallas_win"
+            else None)
         hard_sync(hist)
         t0 = time.perf_counter()
         state, hist, n = iterate_accumulate(
             key, cam, hist_backend, params, cdf, state, hist, ppu,
-            jnp.int32(n_chunks), K, 32, sort_segments=ss)
+            jnp.int32(n_chunks), K, 32, sort_segments=ss,
+            sort_impl=sort_impl if hist_backend == "pallas_win"
+            else None)
         hard_sync(hist)
         dt = time.perf_counter() - t0
         results[hist_backend] = (int(n) / dt, dt, int(n), hist)

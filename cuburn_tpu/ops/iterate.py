@@ -298,7 +298,7 @@ def iterate_chunk(
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
                           "backend", "packed", "op_bits",
-                          "sort_segments"))
+                          "sort_segments", "sort_impl"))
 def iterate_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -316,6 +316,7 @@ def iterate_accumulate(
     tile_row0=None,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
 ):
     """Advance n_chunks * iters_per_flush steps, flushing the histogram
     once per chunk — the rendering path.
@@ -401,7 +402,8 @@ def iterate_accumulate(
                        "pallas_win": ph.accumulate_windowed_pallas,
                        "pallas_rgb16": ph.accumulate_windowed_pallas_rgb16,
                        }[backend]
-                kw = ({"sort_segments": sort_segments}
+                kw = ({"sort_segments": sort_segments,
+                       "sort_impl": sort_impl}
                       if backend in ("pallas_win", "pallas_rgb16")
                       else {})
                 hist = acc(
@@ -444,7 +446,7 @@ def iterate_accumulate(
 @partial(jax.jit,
          static_argnames=("key", "cam", "iters_per_flush", "fuse",
                           "backend", "packed", "op_bits",
-                          "sort_segments"))
+                          "sort_segments", "sort_impl"))
 def iterate_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -461,6 +463,7 @@ def iterate_accumulate_temporal(
     tile_row0=None,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
 ):
     """Accumulate all temporal samples of a motion-blurred frame in ONE
     device program (SURVEY.md §2b temporal-sample parallelism row: fold
@@ -482,7 +485,7 @@ def iterate_accumulate_temporal(
             key, cam, backend, params_t, cdf_rows, state, hist, ppu,
             n_chunks_per_sample, iters_per_flush, fuse, packed=packed,
             weight=w_t, tile_row0=tile_row0, op_bits=op_bits,
-            sort_segments=sort_segments)
+            sort_segments=sort_segments, sort_impl=sort_impl)
         return (state, hist, n + dn), None
 
     (state, hist, n), _ = jax.lax.scan(

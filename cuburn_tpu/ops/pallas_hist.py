@@ -624,7 +624,7 @@ INPLACE_FLUSH = _os.environ.get("CUBURN_INPLACE_FLUSH", "1") != "0"
 
 def _prep_windows(packed_records, palette_hi, n_bins,
                   color_bits, merge, sort_segments,
-                  br, n_blocks):
+                  br, n_blocks, sort_impl=None):
     """Shared record prep for the windowed flush family:
     key-sort (optionally segmented), optional run-merge,
     window reshapes, per-group row-block ids + the block-
@@ -652,7 +652,8 @@ def _prep_windows(packed_records, palette_hi, n_bins,
         raise ValueError("merge=True requires sort_segments == 1 "
                          "(per-segment runs break window-local "
                          "monotonicity after compaction)")
-    sorted_recs = sort_records(packed_records, segments=segs)
+    sorted_recs = sort_records(packed_records, segments=segs,
+                               impl=sort_impl)
     if merge:
         # run-merge collapses duplicates into counts (fewer active
         # windows on hot-pixel distributions), at the cost of a
@@ -777,13 +778,15 @@ def _prep_windows(packed_records, palette_hi, n_bins,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "color_bits", "interpret",
-                                    "merge", "sort_segments", "inplace"))
+                                    "merge", "sort_segments", "inplace",
+                                    "sort_impl"))
 def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
                                n_bins: int, color_bits: int,
                                interpret: bool = False, weight=None,
                                merge: bool = False,
                                sort_segments: int = 1,
-                               inplace: bool = INPLACE_FLUSH):
+                               inplace: bool = INPLACE_FLUSH,
+                               sort_impl: str = None):
     """Key-sort + run-merge + windowed one-hot-matmul Pallas flush —
     the full 'tile-local VMEM accumulation with key-sort + segment-sum
     flushes' design named by BASELINE.json, with the segment sums on
@@ -818,7 +821,7 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
     n_blocks = rows // br
     p_ = _prep_windows(packed_records, palette_hi, n_bins,
                        color_bits, merge, sort_segments,
-                       br, n_blocks)
+                       br, n_blocks, sort_impl=sort_impl)
     (perm, rbg, addr_w, addr_f, q_f, cnt_f, palF, mxu_precision,
      n_grp, s_addr, s_rgba, rec_specs) = (
         p_["perm"], p_["rbg"], p_["addr_w"], p_["addr_f"],
@@ -907,13 +910,14 @@ def accumulate_windowed_pallas(hist_planes, packed_records, palette_hi,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "color_bits", "interpret",
-                                    "sort_segments"))
+                                    "sort_segments", "sort_impl"))
 def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
                                      palette_hi, n_bins: int,
                                      color_bits: int,
                                      interpret: bool = False,
                                      weight=None,
-                                     sort_segments: int = 1):
+                                     sort_segments: int = 1,
+                                     sort_impl: str = None):
     """Windowed flush over the SPLIT bf16-rgb histogram layout
     (VERDICT round-4 item 5: tiled-histogram traffic compression).
 
@@ -936,7 +940,7 @@ def accumulate_windowed_pallas_rgb16(hist_split, packed_records,
     n_blocks = rows // br
     p_ = _prep_windows(packed_records, palette_hi, n_bins,
                        color_bits, False, sort_segments,
-                       br, n_blocks)
+                       br, n_blocks, sort_impl=sort_impl)
     (perm, rbg, addr_w, addr_f, q_f, cnt_f, palF, mxu_precision,
      n_grp, s_addr, s_rgba, rec_specs) = (
         p_["perm"], p_["rbg"], p_["addr_w"], p_["addr_f"],

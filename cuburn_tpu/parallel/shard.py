@@ -54,7 +54,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh",
                      "n_iters", "fuse", "packed", "op_bits",
-                     "sort_segments"))
+                     "sort_segments", "sort_impl"))
 def sharded_accumulate(
     key: StructureKey,
     cam: CameraSpec,
@@ -72,6 +72,7 @@ def sharded_accumulate(
     tile_row0=None,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
     weight=None,
 ):
     """Run n_chunks x n_iters chaos-game steps across the mesh.
@@ -103,7 +104,7 @@ def sharded_accumulate(
             jax.tree_util.tree_map(jnp.zeros_like, hist), ppu,
             n_chunks, n_iters, fuse, packed=packed, weight=w,
             tile_row0=tile_row0, op_bits=op_bits,
-            sort_segments=sort_segments)
+            sort_segments=sort_segments, sort_impl=sort_impl)
         # the single collective: reduce partial histograms over ICI
         hist = jax.tree_util.tree_map(
             lambda h, d: h + jax.lax.psum(d, BATCH_AXIS), hist, delta)
@@ -129,7 +130,7 @@ def sharded_accumulate(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh",
                      "n_iters", "fuse", "packed", "op_bits",
-                     "sort_segments"))
+                     "sort_segments", "sort_impl"))
 def sharded_accumulate_temporal(
     key: StructureKey,
     cam: CameraSpec,
@@ -147,6 +148,7 @@ def sharded_accumulate_temporal(
     tile_row0=None,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
 ):
     """Motion-blurred frame across the mesh in ONE dispatch: every
     temporal sample's accumulation happens inside the shard_map region
@@ -170,7 +172,8 @@ def sharded_accumulate_temporal(
             jax.tree_util.tree_map(jnp.zeros_like, hist),
             ppu_T, n_chunks, n_iters, fuse, packed=packed,
             weights_T=weights_T, tile_row0=tile_row0,
-            op_bits=op_bits, sort_segments=sort_segments)
+            op_bits=op_bits, sort_segments=sort_segments,
+            sort_impl=sort_impl)
         hist = jax.tree_util.tree_map(
             lambda h, d: h + jax.lax.psum(d, BATCH_AXIS), hist, delta)
         plotted = jax.lax.psum(n, BATCH_AXIS)
@@ -190,7 +193,7 @@ def sharded_accumulate_temporal(
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_iters",
                      "fuse", "packed", "op_bits", "sort_segments",
-                     "band_rows", "margin", "pad_bot"))
+                     "sort_impl", "band_rows", "margin", "pad_bot"))
 def sharded_accumulate_scattered(
     key: StructureKey,
     cam: CameraSpec,
@@ -210,6 +213,7 @@ def sharded_accumulate_scattered(
     packed: bool = True,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
     weight=None,
 ):
     """sharded_accumulate with a reduce-scatter instead of the psum:
@@ -248,7 +252,8 @@ def sharded_accumulate_scattered(
         state, delta, n_plot = iterate_accumulate(
             key, cam, backend, params, cdf_rows, state, zero, ppu,
             n_chunks, n_iters, fuse, packed=packed, weight=w,
-            op_bits=op_bits, sort_segments=sort_segments)
+            op_bits=op_bits, sort_segments=sort_segments,
+            sort_impl=sort_impl)
         mine = scatter_delta(delta)
         plotted = jax.lax.psum(n_plot, BATCH_AXIS)
         return state, (myblock[0] + mine)[None], plotted
@@ -293,7 +298,7 @@ def _make_block_scatter(backend, cam, n, band_rows, margin, pad_bot):
     jax.jit,
     static_argnames=("key", "cam", "backend", "mesh", "n_iters",
                      "fuse", "packed", "op_bits", "sort_segments",
-                     "band_rows", "margin", "pad_bot"))
+                     "sort_impl", "band_rows", "margin", "pad_bot"))
 def sharded_accumulate_temporal_scattered(
     key: StructureKey,
     cam: CameraSpec,
@@ -313,6 +318,7 @@ def sharded_accumulate_temporal_scattered(
     packed: bool = True,
     op_bits: int = 0,
     sort_segments: int = 1,
+    sort_impl: str = None,
 ):
     """sharded_accumulate_temporal with the reduce-scatter reduction:
     motion blur through the scattered mode, one dispatch, one
@@ -330,7 +336,7 @@ def sharded_accumulate_temporal_scattered(
             key, cam, backend, params_T, state, zero, ppu_T,
             n_chunks, n_iters, fuse, packed=packed,
             weights_T=weights_T, op_bits=op_bits,
-            sort_segments=sort_segments)
+            sort_segments=sort_segments, sort_impl=sort_impl)
         mine = scatter_delta(delta)
         plotted = jax.lax.psum(n_plot, BATCH_AXIS)
         return state, (myblock[0] + mine)[None], plotted
@@ -437,7 +443,8 @@ class ShardedRenderer(Renderer):
                 state, hist, ppu, k, prof.iters_per_chunk,
                 prof.fuse, packed=self.packed, tile_row0=tile_row0,
                 op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
         prof, cam, key = self.profile, self.cam, self.key
         return self._chunked_cap_loop(params, hist, seed, iters, call)
 
@@ -499,7 +506,8 @@ class ShardedRenderer(Renderer):
                 key, scam, backend, params, cdf_rows, state, hist,
                 ppu, jnp.int32(n_chunks), ipc, fuse, packed=packed,
                 tile_row0=row0.astype(jnp.int32), op_bits=ob,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
             return hist[None], n_plot[None]
 
         shard = jax.shard_map(
@@ -679,7 +687,8 @@ class ShardedRenderer(Renderer):
                 state, blocks, ppu, k, prof.iters_per_chunk,
                 prof.fuse, band_rows, margin, pad_bot,
                 packed=self.packed, op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
         return self._chunked_cap_loop(params, myblocks, seed,
                                       prof.total_iters, call)
 
@@ -762,7 +771,8 @@ class ShardedRenderer(Renderer):
                 blocks, ppu_s, w_s, nc, prof.iters_per_chunk,
                 prof.fuse, band_rows, margin, pad_bot,
                 packed=self.packed, op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
 
         def call_single(params_k, cdf_k, state, blocks, ppu_k, c,
                         w_k):
@@ -771,7 +781,8 @@ class ShardedRenderer(Renderer):
                 state, blocks, ppu_k, c, prof.iters_per_chunk,
                 prof.fuse, band_rows, margin, pad_bot,
                 packed=self.packed, op_bits=self.op_bits,
-                sort_segments=self.sort_segments, weight=w_k)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl, weight=w_k)
 
         return self._temporal_cap_ladder(
             ts_times, ts_weights, myblocks, seed,
@@ -878,7 +889,8 @@ class ShardedRenderer(Renderer):
                 ppu_s, w_s, nc, prof.iters_per_chunk, prof.fuse,
                 packed=self.packed, tile_row0=tile_row0,
                 op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
 
         def call_single(params_k, cdf_k, state, hist, ppu_k, c, w_k):
             return sharded_accumulate(
@@ -886,7 +898,8 @@ class ShardedRenderer(Renderer):
                 state, hist, ppu_k, c, prof.iters_per_chunk,
                 prof.fuse, packed=self.packed, tile_row0=tile_row0,
                 op_bits=self.op_bits,
-                sort_segments=self.sort_segments, weight=w_k)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl, weight=w_k)
 
         return self._temporal_cap_ladder(
             ts_times, ts_weights, hist, seed, iters_per_sample,

@@ -542,11 +542,22 @@ class Renderer:
             self.sort_segments = 1
         # sort implementation (bitonic network vs lax.sort — identical
         # outputs, perf-only, drifts with chip economics; ops/sort.py).
-        # Trace-time process default: env > tune record > built-in.
-        if tune.get("sort_impl") and not _os.environ.get(
-                "CUBURN_SORT_IMPL"):
-            from cuburn_tpu.ops.sort import set_sort_impl
-            set_sort_impl(str(tune["sort_impl"]))
+        # PER-GEOMETRY like sort_segments: the round-5 dev chip ran
+        # lax.sort ~17% faster at the 512² flush size (2^22) but the
+        # tiled 1080p probe HALVED when lax was applied globally —
+        # lax.sort's advantage does not survive the tiled flush size
+        # (2^23) / segmented reshape, so the tune record carries
+        # sort_impl and sort_impl_tiled and the Renderer threads the
+        # resolved choice through iterate_accumulate as a static arg
+        # (None = ops/sort.py default chain: env > set_sort_impl >
+        # bitonic).  env CUBURN_SORT_IMPL still overrides everything
+        # (sort_records resolves it first).
+        # NO cross-geometry fallback: applying the untiled winner at
+        # tiled geometry is exactly the observed failure mode, so a
+        # record missing the tiled key leaves the built-in default.
+        tune_impl = (tune.get("sort_impl_tiled") if _tiled
+                     else tune.get("sort_impl"))
+        self.sort_impl = str(tune_impl) if tune_impl else None
         if self.backend.startswith("pallas") and not self.packed:
             import warnings
             warnings.warn(
@@ -914,7 +925,8 @@ class Renderer:
                 ppu, jnp.int32(k), prof.iters_per_chunk, prof.fuse,
                 packed=self.packed, tile_row0=tile_row0,
                 op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
             plotted = plotted + n
             left -= k
         return hist, plotted, n_chunks * per_chunk
@@ -951,7 +963,8 @@ class Renderer:
                 jnp.int32(n_chunks), prof.iters_per_chunk, prof.fuse,
                 packed=self.packed, weights_T=weights,
                 tile_row0=tile_row0, op_bits=self.op_bits,
-                sort_segments=self.sort_segments)
+                sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
             return hist, plotted, per_sample * T
 
         # dispatch_iter_cap binds (the long-execution worker kill
@@ -974,7 +987,8 @@ class Renderer:
                     prof.iters_per_chunk, prof.fuse,
                     packed=self.packed, weights_T=weights[sl],
                     tile_row0=tile_row0, op_bits=self.op_bits,
-                    sort_segments=self.sort_segments)
+                    sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
                 plotted = plotted + n
             return hist, plotted, per_sample * T
 
@@ -995,7 +1009,8 @@ class Renderer:
                     prof.iters_per_chunk, prof.fuse,
                     packed=self.packed, weight=weights[k],
                     tile_row0=tile_row0, op_bits=self.op_bits,
-                    sort_segments=self.sort_segments)
+                    sort_segments=self.sort_segments,
+                sort_impl=self.sort_impl)
                 plotted = plotted + n
                 left -= c
         return hist, plotted, per_sample * T

@@ -198,33 +198,44 @@ def main():
     # 2c. sort implementation (bitonic network vs lax.sort).  The two
     # produce IDENTICAL sorted streams, so the end-to-end delta IS the
     # sort-stage delta — a standalone chained sort race is a valid
-    # proxy (and the only clean one: the impl is a trace-time global,
-    # ops/sort.py, so flipping it mid-process would race stale jit
-    # caches).  Raced at the 512² flush size on the tuned S; the
-    # winner lands in the record and Renderer sets the process
-    # default.  Round-5 dev chip: lax.sort 9.87 ms vs bitonic-S1
-    # 11.92 ms at 2^22 — a 2.8-ms chip-drift reversal of the round-2
-    # bitonic win (CLAUDE.md), which is why this is re-raced per chip.
+    # proxy.  PER-GEOMETRY (round-5 lesson: lax.sort won 2^22 by ~17%
+    # end-to-end while the tiled 1080p probe HALVED under a global lax
+    # choice): raced at the 512² flush size on the tuned S ->
+    # `sort_impl`, and at the tiled flush size on the tuned tiled S ->
+    # `sort_impl_tiled`; Renderer threads the per-geometry winner as a
+    # static arg through iterate_accumulate (render.py).  Round-5 dev
+    # chip: lax.sort 9.87 ms vs bitonic-S1 11.92 ms at 2^22 — a
+    # chip-drift reversal of the round-2 bitonic win (CLAUDE.md),
+    # which is why this is re-raced per chip.
     from cuburn_tpu.ops.sort import sort_records
     from cuburn_tpu.utils.timing import time_fn
-    n_sort = B * 64
-    recs0 = jax.random.randint(
-        jax.random.PRNGKey(1), (n_sort,), 0,
-        np.int64(1) << 32, jnp.uint32)
-    best_impl, best_ms = "bitonic", float("inf")
-    for impl in ("bitonic", "lax"):
-        def fs(r, _impl=impl):
-            return sort_records(r, segments=tune["sort_segments"],
-                                impl=_impl)
-        dt, _ = time_fn(
-            fs, recs0, warmup=1, iters=4,
-            chain=lambda out, _args: (out[:n_sort] ^ jnp.uint32(1),))
-        ms = dt * 1e3          # time_fn returns seconds PER CALL
-        m[f"sort_impl={impl}"] = round(ms, 2)
-        print(json.dumps({"sort_impl": impl, "ms": round(ms, 2)}))
-        if ms < best_ms:
-            best_impl, best_ms = impl, ms
-    tune["sort_impl"] = best_impl
+
+    def race_sort(n_sort, segs, label):
+        recs0 = jax.random.randint(
+            jax.random.PRNGKey(1), (n_sort,), 0,
+            np.int64(1) << 32, jnp.uint32)
+        best_impl, best_ms = "bitonic", float("inf")
+        for impl in ("bitonic", "lax"):
+            def fs(r, _impl=impl):
+                return sort_records(r, segments=segs, impl=_impl)
+            dt, _ = time_fn(
+                fs, recs0, warmup=1, iters=4,
+                chain=lambda out, _args: (
+                    out[:n_sort] ^ jnp.uint32(1),))
+            ms = dt * 1e3      # time_fn returns seconds PER CALL
+            m[f"{label}={impl}"] = round(ms, 2)
+            print(json.dumps({label: impl, "ms": round(ms, 2)}))
+            if ms < best_ms:
+                best_impl, best_ms = impl, ms
+        return best_impl
+
+    tune["sort_impl"] = race_sort(
+        B * 64, tune["sort_segments"], "sort_impl")
+    # tiled flush size: the standing 2^23 optimum (CLAUDE.md ladder);
+    # section 3b's K sweep may move tiled_flush_records, but 2^23
+    # stays representative of the tiled regime's sort economics
+    tune["sort_impl_tiled"] = race_sort(
+        1 << 23, tune["sort_segments_tiled"], "sort_impl_tiled")
 
     # 3. flush chunk size K — recorded as RECORDS per flush (B*K):
     # the tuned quantity is batch-independent, and the Renderer
@@ -308,6 +319,7 @@ def main():
                       "hist_backend_tiled": tune["hist_backend_tiled"],
                       "sort_segments": tune["sort_segments"],
                       "sort_impl": tune["sort_impl"],
+                      "sort_impl_tiled": tune["sort_impl_tiled"],
                       "flush_records": tune["flush_records"],
                       "tiled_flush_records":
                           tune.get("tiled_flush_records")}))

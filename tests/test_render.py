@@ -209,15 +209,13 @@ class TestAnimation:
         assert len(rec["measurements"]) >= 13
         # and the Renderer actually consumes the written file
         monkeypatch.setenv("CUBURN_TUNE_FILE", str(out))
-        from cuburn_tpu.ops.sort import set_sort_impl
-        try:
-            r = Renderer(sierpinski(), FAST)
-            assert r.sort_segments == rec["sort_segments"]
-            assert rec["sort_impl"] in ("bitonic", "lax")
-        finally:
-            # the Renderer sets the process-default sort impl from the
-            # record — restore so later tests see the built-in default
-            set_sort_impl(None)
+        r = Renderer(sierpinski(), FAST)
+        assert r.sort_segments == rec["sort_segments"]
+        assert rec["sort_impl"] in ("bitonic", "lax")
+        assert rec["sort_impl_tiled"] in ("bitonic", "lax")
+        # per-geometry consumption: untiled renderer takes the untiled
+        # key (threaded as a static arg, not a process global)
+        assert r.sort_impl == rec["sort_impl"]
 
     def test_rgb16_promotion_threshold(self):
         """pick_tiled_backend promotes pallas_rgb16 ONLY past the
