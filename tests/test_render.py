@@ -200,8 +200,12 @@ class TestAnimation:
         rec = json.loads(out.read_text())
         assert rec["hist_backend"] in ("scatter", "scatter_sorted",
                                        "pallas_win")
+        # the tiled slot may legitimately promote pallas_rgb16 (the
+        # 1.05x exactness-trade threshold CAN trigger at toy sweep
+        # sizes where the race is noise — pick_tiled_backend's
+        # threshold logic has its own deterministic unit test below)
         assert rec["hist_backend_tiled"] in ("scatter", "scatter_sorted",
-                                             "pallas_win")
+                                             "pallas_win", "pallas_rgb16")
         assert rec["sort_segments"] in (1, 4, 16)
         assert rec["flush_records"] % 512 == 0
         # every race row measured (quick: 3 backends x 2 densities,
