@@ -300,9 +300,18 @@ def main():
             r = Renderer(g, prof)
             rw = Renderer(g, dataclasses.replace(prof, quality=1))
             rw.accumulate(0.2, seed=1)          # warm (same program:
-            _, st = r.accumulate(0.2, seed=2)   # n_chunks is traced)
+            # TWO timed shots, report the second: the tunnel worker's
+            # state swings single shots up to 4x (measured 47.6 then
+            # 195.6 M on back-to-back q1000 runs of the SAME program
+            # — worker warm-up, not startup amortization), so the
+            # first timed shot still absorbs worker slowness and the
+            # second is the steady-state number.  Both are recorded.
+            _, st1 = r.accumulate(0.2, seed=2)  # n_chunks is traced)
+            _, st = r.accumulate(0.2, seed=3)
             extra["samples_per_sec_1080p"] = round(
                 st.samples_per_sec, 1)
+            extra["samples_per_sec_1080p_shot1"] = round(
+                st1.samples_per_sec, 1)
             extra["retention_1080p"] = round(st.retention, 3)
             extra["backend_1080p"] = r.backend
         except Exception as e:  # pragma: no cover
