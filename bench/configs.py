@@ -133,30 +133,43 @@ def run_config(idx, quick):
         except Exception:
             pass
         del hw
-        t0 = time.perf_counter()
-        if striped:
-            hist, stats = r.accumulate_striped(0.2, seed=2,
-                                               n_stripes=stripes)
-        else:
-            hist, stats = r.accumulate(0.2, seed=2)
-        try:
-            n_bands = nb_warm
-            if n_bands > 1:
-                img = r.finalize_frame_banded(hist, 0.2, stats,
-                                              n_bands=n_bands)
+        # Multiple timed shots, report the LAST: the tunnel worker's
+        # state swings single shots up to 4x (bench.py measured 47.6
+        # then 195.6 M samples/s back-to-back on the SAME q1000 1080p
+        # program — worker warm-up, not startup amortization).  The
+        # first shot absorbs worker slowness; all shots are recorded.
+        shots = int(os.environ.get("CUBURN_BENCH_SHOTS", "2"))
+        shot_rates = []
+        for shot in range(shots):
+            t0 = time.perf_counter()
+            if striped:
+                hist, stats = r.accumulate_striped(0.2, seed=2 + shot,
+                                                   n_stripes=stripes)
             else:
-                img = r.finalize_frame(hist, 0.2, stats)
-        except Exception as e:
-            print(json.dumps({"config": idx, "finalize_error":
-                              f"{type(e).__name__}: {e}"[:160]}))
-        wall = time.perf_counter() - t0
+                hist, stats = r.accumulate(0.2, seed=2 + shot)
+            try:
+                n_bands = nb_warm
+                if n_bands > 1:
+                    img = r.finalize_frame_banded(hist, 0.2, stats,
+                                                  n_bands=n_bands)
+                else:
+                    img = r.finalize_frame(hist, 0.2, stats)
+            except Exception as e:
+                print(json.dumps({"config": idx, "finalize_error":
+                                  f"{type(e).__name__}: {e}"[:160]}))
+            wall = time.perf_counter() - t0
+            shot_rates.append(round(stats.samples_per_sec, 1))
     else:
         r = Renderer(g, prof)
         # warm compile
         img, _ = r.render_frame(0.2, seed=1)
-        t0 = time.perf_counter()
-        img, stats = r.render_frame(0.2, seed=2)
-        wall = time.perf_counter() - t0
+        shots = int(os.environ.get("CUBURN_BENCH_SHOTS", "2"))
+        shot_rates = []
+        for shot in range(shots):
+            t0 = time.perf_counter()
+            img, stats = r.render_frame(0.2, seed=2 + shot)
+            wall = time.perf_counter() - t0
+            shot_rates.append(round(stats.samples_per_sec, 1))
     rec = {
         "config": idx, "genome": g.name,
         "size": f"{prof.width}x{prof.height}", "ss": prof.ss,
@@ -171,6 +184,8 @@ def run_config(idx, quick):
         "backend": r.backend,
         "stripes": stripes,
     }
+    if len(shot_rates) > 1:
+        rec["samples_per_sec_shots"] = shot_rates
     print(json.dumps(rec))
     return rec
 
@@ -202,8 +217,20 @@ def main():
                "--config", str(i)]
         if args.quick:
             cmd.append("--quick")
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=3600)
+        # Per-config wall cap: a hung tunnel (dead worker + no RPC
+        # timeout) must not eat the rest of the suite.  The slowest
+        # legitimate config (4: q2000 ss2 1080p, two shots + compile)
+        # finishes well inside 20 min warm-cache.
+        cap = int(os.environ.get("CUBURN_BENCH_CONFIG_TIMEOUT", "1500"))
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=cap)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"config": i,
+                              "error": f"timeout after {cap}s "
+                                       "(hung tunnel/worker?)"}))
+            time.sleep(120)  # let the TPU worker come back
+            continue
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
