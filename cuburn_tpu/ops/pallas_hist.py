@@ -295,6 +295,12 @@ def from_split_layout(dens: jnp.ndarray, rgb16: jnp.ndarray,
 
 GROUP = 8     # windows per grid step (Mosaic needs 8-divisible sublanes)
 
+# Group-mid tier span cap (rows): grid steps whose GROUP*WIN records
+# span [2, GMID_ROWS] 128-lane bin rows run whole-group chunk dots
+# (one (4, GW) @ (GW, 128) MXU contraction + one RMW per touched row)
+# instead of the per-window path.  Static at trace time; 0 disables.
+GMID_ROWS = int(_os.environ.get("CUBURN_GMID_ROWS", "8"))
+
 
 def _make_win_kernel(block_rows: int, mxu_precision,
                      inplace: bool = False,
@@ -495,6 +501,45 @@ def _make_win_kernel(block_rows: int, mxu_precision,
             out_ref[:, pl.ds(rg, 1), :] = \
                 out_ref[:, pl.ds(rg, 1), :] + acc[:, None, :]
 
+        # ---- group-mid tier (round 5 follow-up) ----
+        # A grid step that just straddles a row boundary (span 2..
+        # GMID_ROWS rows — ~25% of groups at 512²-class density, where
+        # GW sorted records cover ~GW/16 bins) previously fell all the
+        # way to the per-window path, whose branchy overheads measured
+        # ~5x its arithmetic.  Run the SAME whole-group contraction as
+        # group-dense once per touched row instead: records outside
+        # row chunk c simply miss its one-hot.  Traced trip count from
+        # the group's true span, mirroring the window mid tier.
+        # Exactness contract unchanged (same products, f32 adds of
+        # integer-count densities in a different order).
+        if GMID_ROWS >= 2:
+            @pl.when(jnp.logical_and(span_g >= 128,
+                                     span_g < GMID_ROWS * 128))
+            def _group_mid():
+                bio_f = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, GW), 0)
+
+                def chunk(c, _):
+                    Pt = (addr_all - (base_g + 128 * c)
+                          == bio_f).astype(jnp.float32)
+                    acc = jax.lax.dot_general(
+                        WT_all, Pt, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=mxu_precision)    # (4, 128)
+                    if inplace or rgb16:
+                        acc = acc * w_t
+                    # rows past the block end only ever receive zero
+                    # one-hots (block straddles are diverted
+                    # upstream); clamp so the RMW stays in bounds
+                    rc = jnp.clip(base_g // 128 - row_off + c, 0,
+                                  block_rows - 1)
+                    out_ref[:, pl.ds(rc, 1), :] = \
+                        out_ref[:, pl.ds(rc, 1), :] + acc[:, None, :]
+                    return 0
+
+                nc = jnp.clip(span_g // 128 + 1, 2, GMID_ROWS)
+                jax.lax.fori_loop(0, nc, chunk, 0)
+
         def window(j):
             # window j of the grid step: STATIC lane slices of the
             # flat records / shared WT_all (j is a Python int — the
@@ -584,7 +629,7 @@ def _make_win_kernel(block_rows: int, mxu_precision,
 
                     jax.lax.fori_loop(0, WIN, body, 0)
 
-        @pl.when(span_g >= 128)
+        @pl.when(span_g >= max(GMID_ROWS, 1) * 128)
         def _per_window():
             for j in range(GROUP):        # static unroll
                 window(j)
